@@ -1,0 +1,64 @@
+"""Pipeline configuration.
+
+The reference binds its tunables at construction time (the two DB handles,
+``lib/marc-record-merge-melindautils.js:60``) and hard-codes its rule tables
+(``lib/mergeability-validators.js:95-100``). The new engine makes the whole
+configuration explicit and hashable so checkpoint lineage can record it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- text signatures -------------------------------------------------
+    shingle_k: int = 5            # char k-grams over the normalized transcript
+    num_perms: int = 128          # MinHash signature length
+    num_bands: int = 16           # LSH bands (rows per band = num_perms // num_bands)
+    minhash_seed: int = 0x5EED
+    jaccard_threshold: float = 0.7   # verify-stage estimated-Jaccard gate
+
+    # --- audio fingerprints ---------------------------------------------
+    fp_frames: int = 64           # fixed-length energy envelope for SimHash
+    simhash_bits: int = 64
+    simhash_seed: int = 0xF00D
+    simhash_max_hamming: int = 6  # verify-stage fingerprint gate
+    snr_db: float = 30.0          # per-row invariant: decoded-PCM allclose (BASELINE.json input_hint)
+
+    # --- candidate generation / skew ------------------------------------
+    bucket_cap: int = 64          # band buckets larger than this switch to hub pairing
+    max_pairs_per_bucket: int = 4096
+
+    # --- containment pass ------------------------------------------------
+    containment_sample_bits: int = 5   # sample shingles with hash < 2^64 / 2^bits
+    containment_min_len: int = 12      # normalized-transcript length floor for containment pairs
+
+    # --- merge policy (reference analogs) --------------------------------
+    priority_source: str = "FENNI"     # V4: preferredRecordInFENNI (lib/mergeability-validators.js:69-81)
+    merge_agent: str = "MELINDA-RAY"   # P4 audit agent (lib/post-merge-modifiers.js:130-143)
+    audit_clock: str = "1970-01-01T00:00:00Z"  # injected clock: the reference's one nondeterminism
+                                               # (new Date() at lib/post-merge-modifiers.js:139) is
+                                               # stripped by its tests; we inject for determinism.
+
+    # --- clustering -------------------------------------------------------
+    max_cc_rounds: int = 12       # hash-to-min converges in O(log d); dup clusters are shallow
+
+    # --- execution --------------------------------------------------------
+    batch_size: int = 4096
+    audio_batch_size: int = 256   # wide binary rows -> smaller batches
+    verify_concurrency: int = 4
+    fingerprint_concurrency: int = 4
+    num_shuffle_partitions: int = 0   # 0 = let Ray decide
+
+    def rows_per_band(self) -> int:
+        assert self.num_perms % self.num_bands == 0
+        return self.num_perms // self.num_bands
+
+    def config_hash(self) -> str:
+        """Stable hash of every semantic knob, recorded in checkpoint lineage."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.blake2b(payload, digest_size=8).hexdigest()

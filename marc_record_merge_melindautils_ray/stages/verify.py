@@ -1,0 +1,259 @@
+"""Stage 4: pairwise verification — the reference's ``canMerge`` kernel.
+
+The reference runs 11 validators sequentially per pair, accumulating every
+failure message before throwing one joined error
+(``lib/marc-record-merge-melindautils.js:74-120``).  The new engine keeps that
+accumulate-all-reasons contract (``reasons: list<string>`` per pair) but
+splits verification into two phases by cost:
+
+* **Phase 1** (vectorized, no payloads): every gate decidable from the ~100 B
+  of signature/metadata columns already carried on the pair row — codec class
+  (V5), segment-of (V12), duration descriptor (V10 analog), shared source
+  (V3), normalized-transcript hash equality, SimHash Hamming distance.
+  Runs as a stateless ``map_batches`` directly on the pair stream; typically
+  eliminates the vast majority of candidates without touching audio.
+* **Phase 2** (actor pool, payloads): the ``input_hint`` per-row invariant —
+  decode both payloads to PCM and require allclose at SNR ≥ 30 dB; for
+  containment pairs, a substring check on normalized transcripts plus an FFT
+  segment search.  Payloads are fetched by clip_id for phase-1 survivors only
+  (a tiny fraction), broadcast via ``ray.put`` under a size guard; above the
+  guard the fetch falls back to a hash-partitioned join (see
+  ``pipelines.dedup.fetch_payloads``).
+
+Reason vocabulary (stable strings, asserted by the golden conformance corpus):
+``deleted suppressed malformed same-source codec-class segment-of
+duration-mismatch transcript-mismatch fingerprint-distance undecodable
+pcm-snr-below-threshold priority-source-orientation diacritics-loss``.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from marc_record_merge_melindautils_ray.config import DedupConfig
+from marc_record_merge_melindautils_ray.functions import audio as au
+from marc_record_merge_melindautils_ray.functions.textnorm import (
+    has_diacritics,
+    normalize_transcript,
+)
+
+DUR_TOL_MS = 60
+DUR_TOL_REL = 0.03
+
+
+def _dur_mismatch(da: np.ndarray, db: np.ndarray) -> np.ndarray:
+    """V10 analog: inferred duration descriptor must match within tolerance
+    (the reference requires parsed {type, count} equality,
+    lib/mergeability-validators.js:152-178)."""
+    diff = np.abs(da.astype(np.int64) - db.astype(np.int64))
+    tol = np.maximum(DUR_TOL_MS, (DUR_TOL_REL * np.maximum(da, db)).astype(np.int64))
+    return diff > tol
+
+
+def _sources_overlap(sa, sb) -> bool:
+    """V3 noSameLOWTags (lib/mergeability-validators.js:52-67)."""
+    if sa is None or sb is None:
+        return False
+    return bool(set(sa) & set(sb))
+
+
+def make_phase1_kernel(cfg: DedupConfig):
+    def phase1(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            df["reasons"] = pd.Series([], dtype=object)
+            df["ok1"] = pd.Series([], dtype=bool)
+            return df
+        reasons: list[list[str]] = [[] for _ in range(n)]
+        is_cont = (df["rel"] == "containment").to_numpy()
+
+        def add(mask: np.ndarray, reason: str):
+            for i in np.flatnonzero(mask):
+                reasons[i].append(reason)
+
+        add(df["codec_cls_a"].to_numpy() != df["codec_cls_b"].to_numpy(), "codec-class")
+        add(df["is_segment_of_a"].notna().to_numpy() | df["is_segment_of_b"].notna().to_numpy(),
+            "segment-of")
+        add(~(df["decode_ok_a"].to_numpy() & df["decode_ok_b"].to_numpy())
+            & (df["codec_cls_a"].to_numpy() == df["codec_cls_b"].to_numpy()),
+            "undecodable")
+        dur_bad = _dur_mismatch(df["dur_ms_a"].to_numpy(), df["dur_ms_b"].to_numpy())
+        add(dur_bad & ~is_cont, "duration-mismatch")
+        nh_bad = (df["nh0_a"].to_numpy() != df["nh0_b"].to_numpy()) | (
+            df["nh1_a"].to_numpy() != df["nh1_b"].to_numpy()
+        )
+        add(nh_bad & ~is_cont, "transcript-mismatch")
+        ham = au.hamming64(df["fp_a"].to_numpy().astype(np.uint64),
+                           df["fp_b"].to_numpy().astype(np.uint64))
+        add((ham > cfg.simhash_max_hamming) & ~is_cont, "fingerprint-distance")
+        overlap = np.fromiter(
+            (_sources_overlap(a, b) for a, b in zip(df["sources_a"], df["sources_b"])),
+            dtype=bool, count=n,
+        )
+        add(overlap, "same-source")
+
+        from marc_record_merge_melindautils_ray.functions.util import sanitize_list_cols
+
+        df = df.copy()
+        df["reasons"] = reasons
+        df["ok1"] = [not r for r in reasons]
+        return sanitize_list_cols(df, ["sources_a", "sources_b"])
+
+    return phase1
+
+
+class PairPcmVerify:
+    """Phase-2 actor: decoded-PCM SNR / containment checks on survivors.
+
+    Payload lookup is an object-store broadcast (``ray.put`` once, ``ray.get``
+    in ``__init__`` — zero-copy per actor, never re-shipped per batch); a
+    per-actor LRU keeps decoded PCM across batches.
+    """
+
+    def __init__(self, cfg: DedupConfig, payload_ref):
+        from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+        self.cfg = cfg
+        self.payloads = maybe_get(payload_ref) or {}
+        self._pcm_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+
+    def _pcm(self, cid: str) -> np.ndarray | None:
+        if cid in self._pcm_cache:
+            self._pcm_cache.move_to_end(cid)
+            return self._pcm_cache[cid]
+        rec = self.payloads.get(cid)
+        if rec is None:
+            return None
+        payload, codec = rec["bytes"], rec["codec"]
+        if payload is None or not au.is_decodable(codec):
+            return None
+        pcm = au.decode(payload, codec)
+        self._pcm_cache[cid] = pcm
+        if len(self._pcm_cache) > 4096:
+            self._pcm_cache.popitem(last=False)
+        return pcm
+
+    def _norm(self, cid: str) -> str:
+        rec = self.payloads.get(cid)
+        return rec["norm_transcript"] if rec else ""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        oks = np.zeros(n, dtype=bool)
+        snrs = np.full(n, -np.inf, dtype=np.float64)
+        parents = np.full(n, None, dtype=object)
+        extra: list[list[str]] = [[] for _ in range(n)]
+        for i, row in enumerate(df.itertuples(index=False)):
+            a, b, rel = row.id_a, row.id_b, row.rel
+            pa_, pb = self._pcm(a), self._pcm(b)
+            if pa_ is None or pb is None:
+                extra[i].append("undecodable")
+                continue
+            if rel == "band":
+                m = min(len(pa_), len(pb))
+                if m == 0 or abs(len(pa_) - len(pb)) > max(1, int(0.05 * m)):
+                    extra[i].append("duration-mismatch")
+                    continue
+                s = au.snr_db(pa_[:m], pb[:m])
+                snrs[i] = s
+                if s >= self.cfg.snr_db:
+                    oks[i] = True
+                else:
+                    extra[i].append("pcm-snr-below-threshold")
+            else:  # containment
+                na, nb = self._norm(a), self._norm(b)
+                if len(pa_) <= len(pb):
+                    short_id, long_id, ps, pl, ns, nl = a, b, pa_, pb, na, nb
+                else:
+                    short_id, long_id, ps, pl, ns, nl = b, a, pb, pa_, nb, na
+                if not ns or ns not in nl:
+                    extra[i].append("transcript-mismatch")
+                    continue
+                off = au.find_segment(ps, pl, self.cfg.snr_db)
+                if off < 0:
+                    extra[i].append("pcm-snr-below-threshold")
+                    continue
+                oks[i] = True
+                parents[i] = long_id
+        out = df.copy()
+        out["ok"] = oks
+        out["snr"] = snrs
+        out["parent"] = parents
+        out["reasons"] = [
+            (list(r0) if r0 is not None else []) + r1
+            for r0, r1 in zip(out["reasons"], extra)
+        ]
+        return out
+
+
+# --------------------------------------------------------------------------
+# Oriented pair verification — the full canMerge analog as a pure function,
+# used by the golden conformance corpus (pairs come with fixed roles, like the
+# reference's (otherRecord, preferredRecord) call site,
+# lib/marc-record-merge-melindautils.js:74).
+# --------------------------------------------------------------------------
+def verify_oriented_pairs(
+    clips: pa.Table, pairs: pa.Table, cfg: DedupConfig
+) -> pd.DataFrame:
+    """Returns (case, id_other, id_preferred, ok, reasons) for each pair.
+
+    Includes the direction-sensitive gates the unordered pipeline resolves by
+    orientation instead:
+    * V4 preferredRecordInFENNI — other carries the priority source but
+      preferred doesn't (lib/mergeability-validators.js:69-81)
+    * V7 checkDiacriticsFromTitle — other's transcript has diacritics and
+      preferred's doesn't (lib/mergeability-validators.js:109-114)
+    """
+    df = clips.to_pandas().set_index("clip_id")
+    rows = []
+    for p in pairs.to_pylist():
+        o, pref = df.loc[p["id_other"]], df.loc[p["id_preferred"]]
+        reasons: list[str] = []
+        for side in (o, pref):
+            st = (side.get("status") or "").lower()
+            if st == "deleted":
+                reasons.append("deleted")       # V1
+            if st == "suppressed":
+                reasons.append("suppressed")    # V2
+            if (side.get("transcript") or "").startswith("^^"):
+                reasons.append("malformed")     # V9
+        if _sources_overlap(list(o["sources"] or []), list(pref["sources"] or [])):
+            reasons.append("same-source")       # V3
+        osrc = set(o["sources"] or [])
+        psrc = set(pref["sources"] or [])
+        if cfg.priority_source in osrc and cfg.priority_source not in psrc:
+            reasons.append("priority-source-orientation")  # V4
+        from marc_record_merge_melindautils_ray.schema import codec_class
+
+        if codec_class(o["codec"]) != codec_class(pref["codec"]):
+            reasons.append("codec-class")       # V5
+        ot, pt = o["transcript"] or "", pref["transcript"] or ""
+        if has_diacritics(ot) and not has_diacritics(pt):
+            reasons.append("diacritics-loss")   # V7
+        if o["is_segment_of"] or pref["is_segment_of"]:
+            reasons.append("segment-of")        # V12
+        if _dur_mismatch(np.array([o["dur_ms"]]), np.array([pref["dur_ms"]]))[0]:
+            reasons.append("duration-mismatch")  # V10 analog
+        if normalize_transcript(ot) != normalize_transcript(pt):
+            reasons.append("transcript-mismatch")
+        if au.is_decodable(o["codec"]) and au.is_decodable(pref["codec"]):
+            x, y = au.decode(o["bytes"], o["codec"]), au.decode(pref["bytes"], pref["codec"])
+            m = min(len(x), len(y))
+            if len(x) != len(y) and abs(len(x) - len(y)) > max(1, int(0.05 * m)):
+                if "duration-mismatch" not in reasons:
+                    reasons.append("duration-mismatch")
+            elif au.snr_db(x[:m], y[:m]) < cfg.snr_db:
+                reasons.append("pcm-snr-below-threshold")
+        elif codec_class(o["codec"]) == codec_class(pref["codec"]):
+            reasons.append("undecodable")
+        rows.append(
+            {"case": p.get("case"), "id_other": p["id_other"], "id_preferred": p["id_preferred"],
+             "ok": not reasons, "reasons": reasons}
+        )
+    return pd.DataFrame(rows)

@@ -1,0 +1,128 @@
+"""Per-stage checkpointing with lineage manifests (north_rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+Layout:
+
+    <root>/<stage>/data/part-*.parquet      stage output (partitioned)
+    <root>/<stage>/manifest.json            lineage: config hash, input
+                                            fingerprint, per-file row counts,
+                                            wall time, completion marker
+
+Writes are atomic (write into ``<stage>.tmp``, fsync manifest, ``os.replace``
+to final name), so a killed run leaves either a complete stage or a ``.tmp``
+that the next run ignores and rebuilds.  A stage is skipped on resume iff its
+manifest exists AND its config hash and input fingerprint both match — a
+changed knob or changed upstream output invalidates everything downstream.
+
+The reference has no persistence at all (``SURVEY.md §4.1``); this module is
+pure new-engine machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import ray.data as rd
+
+
+class Checkpointer:
+    def __init__(self, root: str | None, config_hash: str):
+        self.root = root
+        self.config_hash = config_hash
+        self.metrics: dict = {}
+        if root:
+            os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------------ util
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "manifest.json")
+
+    def completed(self, stage: str, input_fingerprint: str = "") -> bool:
+        if not self.root:
+            return False
+        try:
+            with open(self._manifest_path(stage)) as f:
+                m = json.load(f)
+            return (
+                m.get("complete") is True
+                and m.get("config_hash") == self.config_hash
+                and m.get("input_fingerprint") == input_fingerprint
+            )
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
+    def fingerprint(self, stage: str) -> str:
+        """Lineage fingerprint of a completed stage's output (feeds the next
+        stage's input_fingerprint)."""
+        if not self.root:
+            return ""
+        try:
+            with open(self._manifest_path(stage)) as f:
+                m = json.load(f)
+            return f"{stage}:{m['config_hash']}:{m['num_rows']}"
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            return ""
+
+    # ----------------------------------------------------------------- stage
+    def stage(self, name: str, build, *, input_fingerprint: str = "") -> rd.Dataset:
+        """Run ``build() -> Dataset`` through the checkpoint, or read the
+        completed output back.  Without a root dir, materializes in the
+        object store instead (test / ad-hoc mode)."""
+        if not self.root:
+            t0 = time.monotonic()
+            ds = build().materialize()
+            self.metrics[name] = {
+                "num_rows": ds.count(), "sec": round(time.monotonic() - t0, 3),
+                "cached": False,
+            }
+            return ds
+
+        final = self._dir(name)
+        if self.completed(name, input_fingerprint):
+            self.metrics[name] = {"cached": True}
+            return rd.read_parquet(os.path.join(final, "data"))
+
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
+        t0 = time.monotonic()
+        ds = build()
+        ds.write_parquet(os.path.join(tmp, "data"))
+        files = sorted(os.listdir(os.path.join(tmp, "data")))
+        import pyarrow.parquet as pq
+
+        per_file = {
+            f: pq.ParquetFile(os.path.join(tmp, "data", f)).metadata.num_rows
+            for f in files
+        }
+        manifest = {
+            "stage": name,
+            "complete": True,
+            "config_hash": self.config_hash,
+            "input_fingerprint": input_fingerprint,
+            "num_rows": sum(per_file.values()),
+            "partitions": per_file,
+            "sec": round(time.monotonic() - t0, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        self.metrics[name] = {
+            "num_rows": manifest["num_rows"], "sec": manifest["sec"], "cached": False,
+        }
+        return rd.read_parquet(os.path.join(final, "data"))
+
+    def write_metrics(self) -> None:
+        if self.root:
+            with open(os.path.join(self.root, "metrics.json"), "w") as f:
+                json.dump(self.metrics, f, indent=1)
