@@ -157,23 +157,33 @@ class CorpusBuilder:
         # lib/mergeability-validators.js:52-67), so overlapping sources on
         # true dups would be a self-inflicted recall loss.
         s0, s1 = [_SOURCES[fam_idx % 3]], [_SOURCES[3 + fam_idx % 3]]
+
+        def _orient(x, y):
+            """Golden pairs fix roles like the reference call site does
+            (lib/marc-record-merge-melindautils.js:74); the priority-source
+            member must sit on the preferred side or V4 fires by design."""
+            return (y, x) if "FENNI" in s0 else (x, y)
+
         if kind == "exact":
             a = self.add_row(pcm, sr, "pcm16", text, fam, sources=s0)
             b = self.add_row(pcm, sr, "pcm16", text, fam, sources=s1)
+            po, pp = _orient(a, b)
             self.golden_pairs.append(
-                {"case": tag, "id_other": a, "id_preferred": b, "expected_ok": True, "expected_reasons": []}
+                {"case": tag, "id_other": po, "id_preferred": pp, "expected_ok": True, "expected_reasons": []}
             )
         elif kind == "normtext":
             a = self.add_row(pcm, sr, "pcm16", text, fam, sources=s0)
             b = self.add_row(pcm, sr, "pcm16", _mangle_text(text, tag, seed), fam, sources=s1)
+            po, pp = _orient(a, b)
             self.golden_pairs.append(
-                {"case": tag, "id_other": a, "id_preferred": b, "expected_ok": True, "expected_reasons": []}
+                {"case": tag, "id_other": po, "id_preferred": pp, "expected_ok": True, "expected_reasons": []}
             )
         elif kind == "transcode":
             a = self.add_row(pcm, sr, "pcm16", text, fam, sources=s0)
             b = self.add_row(pcm, sr, "ulaw", text, fam, sources=s1)
+            po, pp = _orient(a, b)
             self.golden_pairs.append(
-                {"case": tag, "id_other": a, "id_preferred": b, "expected_ok": True, "expected_reasons": []}
+                {"case": tag, "id_other": po, "id_preferred": pp, "expected_ok": True, "expected_reasons": []}
             )
         elif kind == "containment":
             cut = int(len(pcm) * rng.uniform(0.4, 0.7))

@@ -82,10 +82,11 @@ class BuildCanonical:
 
     def _authorized(self, label: str | None) -> str | None:
         """P7 authorInAuthorizedFormat: compare under punctuation
-        normalization (lib/post-merge-modifiers.js:242-264)."""
+        normalization (lib/post-merge-modifiers.js:242-264).  Authority
+        side-table keys are lowercase punctuation-normalized labels."""
         if not label:
             return None
-        return self.authority.get(normalize_author_key(label))
+        return self.authority.get(normalize_author_key(label).lower())
 
     def __call__(self, g) -> pa.Table:
         cfg = self.cfg

@@ -212,6 +212,10 @@ def verify_oriented_pairs(
     """
     df = clips.to_pandas().set_index("clip_id")
     rows = []
+
+    def _aslist(v):
+        return [] if v is None or (hasattr(v, "__len__") and len(v) == 0) else list(v)
+
     for p in pairs.to_pylist():
         o, pref = df.loc[p["id_other"]], df.loc[p["id_preferred"]]
         reasons: list[str] = []
@@ -223,10 +227,10 @@ def verify_oriented_pairs(
                 reasons.append("suppressed")    # V2
             if (side.get("transcript") or "").startswith("^^"):
                 reasons.append("malformed")     # V9
-        if _sources_overlap(list(o["sources"] or []), list(pref["sources"] or [])):
+        if _sources_overlap(_aslist(o["sources"]), _aslist(pref["sources"])):
             reasons.append("same-source")       # V3
-        osrc = set(o["sources"] or [])
-        psrc = set(pref["sources"] or [])
+        osrc = set(_aslist(o["sources"]))
+        psrc = set(_aslist(pref["sources"]))
         if cfg.priority_source in osrc and cfg.priority_source not in psrc:
             reasons.append("priority-source-orientation")  # V4
         from marc_record_merge_melindautils_ray.schema import codec_class

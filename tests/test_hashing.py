@@ -1,0 +1,69 @@
+"""MinHash / shingle / band-key determinism and accuracy."""
+
+import numpy as np
+
+from marc_record_merge_melindautils_ray.functions.hashing import (
+    MinHasher,
+    estimated_jaccard,
+    splitmix64,
+    stable_str_hash,
+)
+
+
+def _true_jaccard(a: str, b: str, k: int) -> float:
+    sa = {a[i : i + k] for i in range(len(a) - k + 1)}
+    sb = {b[i : i + k] for i in range(len(b) - k + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_signature_determinism():
+    texts = ["kissa istuu puussa", "koira juoksee pihalla", ""]
+    s1 = MinHasher(128, 7, 5).signatures(texts)
+    s2 = MinHasher(128, 7, 5).signatures(texts)
+    assert np.array_equal(s1, s2)
+    s3 = MinHasher(128, 8, 5).signatures(texts)
+    assert not np.array_equal(s1[:2], s3[:2])  # seed changes signatures
+
+
+def test_identical_texts_identical_signatures():
+    mh = MinHasher(128, 42, 5)
+    s = mh.signatures(["sama teksti tässä", "sama teksti tässä"])
+    assert np.array_equal(s[0], s[1])
+
+
+def test_jaccard_estimate_tracks_truth():
+    mh = MinHasher(256, 1, 4)
+    a = "aurinko paistaa ja linnut laulavat metsässä tänään"
+    b = "aurinko paistaa ja linnut laulavat metsässä eilen"
+    est = estimated_jaccard(*mh.signatures([a, b]))
+    true = _true_jaccard(a, b, 4)
+    assert abs(est - true) < 0.15
+
+
+def test_short_and_empty_docs():
+    mh = MinHasher(64, 3, 5)
+    sigs = mh.signatures(["ab", "ab", "", "xy"])
+    assert np.array_equal(sigs[0], sigs[1])      # short texts padded, equal
+    assert (sigs[2] == 0).all()                  # empty → sentinel signature
+    bands = mh.band_keys(sigs, 8)
+    assert (bands[2] == 0).all()                 # empty docs emit no bands
+    assert (bands[0] != 0).all()
+
+
+def test_band_keys_band_index_mixed_in():
+    mh = MinHasher(64, 3, 5)
+    sigs = mh.signatures(["toistuva sana " * 5])
+    bands = mh.band_keys(sigs, 8)[0]
+    assert len(set(bands.tolist())) == 8  # same slice values ≠ same band key
+
+
+def test_stable_str_hash_stability():
+    a = stable_str_hash(["x", "y"])
+    b = stable_str_hash(["x", "y"])
+    assert a.tolist() == b.tolist()
+    assert stable_str_hash(["x"], seed=1)[0] != stable_str_hash(["x"], seed=2)[0]
+
+
+def test_splitmix_is_bijective_sample():
+    x = np.arange(1000, dtype=np.uint64)
+    assert len(set(splitmix64(x).tolist())) == 1000

@@ -1,0 +1,79 @@
+"""End-to-end pipeline: recall ≥ 0.99, clean precision, skew, resume."""
+
+import itertools
+import shutil
+
+import pytest
+
+
+def _run(corpus, cfg, **kw):
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+
+    clips, truth, golden = corpus
+    res = run_dedup(rd.from_arrow(clips), cfg, **kw)
+    return res
+
+
+def _recall(res, truth):
+    tdf = truth.to_pandas()
+    fam = tdf.dropna(subset=["truth_cluster"]).groupby("truth_cluster")["clip_id"].apply(list)
+    true_pairs = [
+        p for ids in fam for p in itertools.combinations(sorted(ids), 2)
+    ]
+    assign = res["assignments"].to_pandas()
+    amap = dict(zip(assign["clip_id"], assign["cluster_id"]))
+    hits = sum(
+        1 for a, b in true_pairs if amap.get(a) is not None and amap.get(a) == amap.get(b)
+    )
+    return hits, len(true_pairs), amap, tdf
+
+
+def test_end_to_end_recall_and_precision(ray_session, corpus, small_cfg):
+    res = _run(corpus, small_cfg)
+    hits, total, amap, tdf = _recall(res, corpus[1])
+    assert hits / total >= 0.99, f"recall {hits}/{total}"
+
+    # precision: no cluster mixes truth families or absorbs negatives
+    tmap = dict(zip(tdf["clip_id"], tdf["truth_cluster"]))
+    clusters: dict[str, list] = {}
+    for cid, cl in amap.items():
+        clusters.setdefault(cl, []).append(cid)
+    for cl, ids in clusters.items():
+        fams = {tmap.get(i) for i in ids}
+        assert len(fams) == 1 and None not in fams, (cl, ids, fams)
+
+    canon = res["canonical"].to_pandas()
+    assert len(canon) == len(clusters)
+    assert (canon["canonical_id"].str.startswith("canon-")).all()
+
+
+def test_resume_identical(ray_session, corpus, small_cfg, tmp_path):
+    ck = str(tmp_path / "ck")
+    r1 = _run(corpus, small_cfg, checkpoint_dir=ck)
+    a1 = r1["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+    r2 = _run(corpus, small_cfg, checkpoint_dir=ck)
+    a2 = r2["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert a1.equals(a2)
+    cached = [v.get("cached") for v in r2["metrics"].values() if isinstance(v, dict)]
+    assert all(cached), r2["metrics"]
+    shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_hot_transcript_skew(ray_session, small_cfg):
+    """One boilerplate transcript across many rows: only audio-identical
+    sub-pairs may cluster (skew handling per BASELINE.json north_rule)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, truth, _ = make_corpus(0, 10, 11, with_poison=False)  # hotkey family only
+    res = run_dedup(rd.from_arrow(clips), small_cfg)
+    assign = res["assignments"].to_pandas()
+    tdf = truth.to_pandas()
+    tmap = dict(zip(tdf["clip_id"], tdf["truth_cluster"]))
+    for _, grp in assign.groupby("cluster_id"):
+        fams = {tmap.get(i) for i in grp["clip_id"]}
+        assert len(fams) == 1 and None not in fams
