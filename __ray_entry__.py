@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship clip-dedup pipeline (Ray already initialised by
+the driver).  ``queries()`` exposes one callable per implemented operator
+family from SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Hash-stability convention: every float aggregate is computed as an integer
+(cents / e4 / permille) with the SAME rounding applied before summation on
+both sides, so order-insensitive value hashes match exactly.  Column names
+match 1:1 between each Ray result and its oracle.
+
+No ray.init()/ray.shutdown() here or in the library (driver owns the
+session).
 """
 
 from __future__ import annotations
@@ -18,27 +19,212 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _clips_dedup(sf_dir: str) -> Any:
+    """Flagship domain pipeline: synthesize the deterministic clip corpus
+    (BASELINE.json input_hint shape — no external data) and run the full
+    near-dup detection + clustering pipeline.  Returns cluster assignments."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, _, _ = make_corpus(20, 60, 42)
+    cfg = DedupConfig(fingerprint_concurrency=2, verify_concurrency=2)
+    res = run_dedup(rd.from_arrow(clips), cfg)
+    return (
+        res["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
+def _clips_canonical(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, _, _ = make_corpus(20, 60, 42)
+    cfg = DedupConfig(fingerprint_concurrency=2, verify_concurrency=2)
+    res = run_dedup(rd.from_arrow(clips), cfg)
+    out = res["canonical"].to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    # driver-facing stable projection (list/struct columns stay internal)
+    return out[["cluster_id", "canonical_id", "preferred_member", "transcript",
+                "audit_agent", "audit_at"]]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline; driver checks rows >= 0 and a stable schema."""
+    return _clips_dedup(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from marc_record_merge_melindautils_ray.ops import (
+        dedup_text,
+        multimodal,
+        relational,
+        similarity,
+        text_analysis,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator coverage (filters, aggregates, joins, sort,
+        # distinct, windows) — SURVEY.md §2.7
+        "filter_project": relational.q_filter_project,
+        "pricing_summary": relational.q_pricing_summary,
+        "events_hourly": relational.q_events_hourly,
+        "join_broadcast": relational.q_join_broadcast,
+        "join_hash": relational.q_join_hash,
+        "top_orders": relational.q_top_orders,
+        "distinct_flags": relational.q_distinct_flags,
+        "exact_dedup_lineitem": relational.q_exact_dedup_lineitem,
+        # dedup family over documents
+        "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
+        "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
+        "simhash_docs": dedup_text.q_simhash_docs,
+        "ngram_jaccard_pairs": dedup_text.q_ngram_jaccard_pairs,
+        # similarity search
+        "ann_topk": similarity.q_ann_topk,
+        "cosine_pairs": similarity.q_cosine_pairs,
+        "lsh_bucket_counts": similarity.lsh_bucket_counts,
+        # text analysis
+        "token_counts": text_analysis.q_token_counts,
+        "quality_signals": text_analysis.q_quality_signals,
+        "doc_fingerprint": text_analysis.q_doc_fingerprint,
+        "lang_id": text_analysis.q_lang_id,
+        # multimodal plumbing
+        "image_features": multimodal.q_image_features,
+        "frame_sample_counts": multimodal.q_frame_sample_counts,
+        # domain pipeline (non-SQL: full dedup engine)
+        "clips_dedup": _clips_dedup,
+        "clips_canonical": _clips_canonical,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                       AS revenue_e4
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "join_broadcast": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "join_hash": """
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "top_orders": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+            FROM orders
+            ORDER BY total_cents DESC, o_orderkey
+            LIMIT 10
+        """,
+        "distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "exact_dedup_lineitem": """
+            SELECT l_partkey, l_suppkey,
+                   min(l_orderkey) AS first_orderkey,
+                   count(*) AS n_dups
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY keep_doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r]+'))
+                       AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS BIGINT)
+                       AS n_subwords
+            FROM documents
+        """,
+        "quality_signals": """
+            SELECT doc_id,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_calc,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]'))
+                       AS BIGINT) AS n_alpha,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+                       AS BIGINT) AS n_digit,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '[ \t\n\r]'))
+                       AS BIGINT) AS n_space,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\r]+'),
+                       x -> x IN ('the', 'and', 'of', 'to', 'in', 'is', 'a')))
+                       AS BIGINT) AS n_stopword_hits,
+                   CAST((1000 * len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')))
+                       // greatest(length(coalesce(text, '')), 1) AS BIGINT)
+                       AS alpha_permille
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(coalesce(text, '')) AS fp_md5 FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id
+                       ) AS rank
+                FROM q, c WHERE q.vec_id != c.vec_id
+            ) WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        "cosine_pairs": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE CAST(round(list_cosine_similarity(a.e, b.e) * 1000, 0) AS BIGINT) >= 400
+            ORDER BY id_a, id_b
+        """,
+        "frame_sample_counts": """
+            SELECT doc_id AS item_id, CAST(4 AS BIGINT) AS n_frames_sampled
+            FROM documents ORDER BY item_id
+        """,
+        # no oracle (non-SQL-expressible; driver records rows-only checks):
+        # minhash_lsh_docs, simhash_docs, ngram_jaccard_pairs, lang_id,
+        # lsh_bucket_counts, image_features, clips_dedup, clips_canonical
+    }

@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline clip-dedup pipeline over a corpus scaled to the SF of
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) plus the key generic
+queries over that directory's tables, and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "clips": n, "clips_per_sec": ...}
+
+``--scaling`` runs the headline job twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs +
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+nodes; BASELINE.md records the protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.ops import dedup_text, relational, similarity
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.sources.synth_scaled import generate_clips_ds
+
+    n_families = max(200, int(30000 * sf))
+    cfg = DedupConfig(
+        fingerprint_concurrency=max(2, num_cpus // 4),
+        verify_concurrency=max(2, num_cpus // 4),
+    )
+
+    # materialize the corpus first (generation excluded from the timed run;
+    # also warms the object store so we measure the engine, not synthesis)
+    clips = generate_clips_ds(n_families).materialize()
+    n_clips = clips.count()
+
+    t0 = time.monotonic()
+    res = run_dedup(clips, cfg)
+    n_assign = res["assignments"].count()
+    n_canon = res["canonical"].count()
+    headline = time.monotonic() - t0
+
+    queries: dict[str, float] = {}
+    for name, fn in [
+        ("pricing_summary", relational.q_pricing_summary),
+        ("join_hash", relational.q_join_hash),
+        ("join_broadcast", relational.q_join_broadcast),
+        ("exact_dedup_lineitem", relational.q_exact_dedup_lineitem),
+        ("minhash_lsh_docs", dedup_text.q_minhash_lsh_docs),
+        ("ann_topk", similarity.q_ann_topk),
+    ]:
+        t = time.monotonic()
+        out = fn(sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.monotonic() - t, 3)
+
+    result = {
+        "metric": "clips_dedup_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "clips": int(n_clips),
+        "clips_per_sec": round(n_clips / headline, 1),
+        "clusters": int(n_canon),
+        "clustered_clips": int(n_assign),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tput8 = out[8]["clips_per_sec"]
+    tput32 = out[32]["clips_per_sec"]
+    eff = (tput32 / tput8) / (32 / 8)
+    return {
+        "metric": "scaling",
+        "sf_dir": sf_dir,
+        "clips_per_sec_8cpu": tput8,
+        "clips_per_sec_32cpu": tput32,
+        "sec_8cpu": out[8]["value"],
+        "sec_32cpu": out[32]["value"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

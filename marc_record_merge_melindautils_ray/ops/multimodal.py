@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by actor-pool ``map_batches`` stages.
+
+The *audio* path is fully real (``functions.audio``: G.711/PCM codecs, SNR,
+fingerprints).  Image/video decoding libraries are not available in this
+container, so the decode kernels here are deterministic fakes behind the
+same actor/batch/schema plumbing a real decoder would use — the Ray-side
+contract (small batches for wide binary rows, per-actor state, fixed output
+schema) is what's tested.  A real deployment swaps ``_fake_decode`` for
+PIL/ffmpeg in the actor ``__init__``/``__call__``; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: payload bytes → (h, w)
+    uint8 array.  NOT a real codec — see module docstring."""
+    if payload is None:
+        raise NotImplementedError("image decode: real codec not available in this env")
+    rng = np.random.default_rng(np.frombuffer(payload[:16].ljust(16, b"\0"), dtype=np.uint64))
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+class ImageFeatures:
+    """Actor stage: decode → resize (mean-pool) → feature-extract.
+
+    Wide binary rows ⇒ callers should pass a small ``batch_size`` (the clip
+    pipeline uses ``cfg.audio_batch_size`` for the same reason)."""
+
+    def __init__(self, src_hw=(64, 64), out_hw=(8, 8)):
+        self.src_hw = src_hw
+        self.out_hw = out_hw
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, feats = [], []
+        for row in t.to_pylist():
+            img = _fake_decode(row["payload"], *self.src_hw)
+            fh, fw = self.src_hw[0] // self.out_hw[0], self.src_hw[1] // self.out_hw[1]
+            pooled = img.reshape(self.out_hw[0], fh, self.out_hw[1], fw).mean(axis=(1, 3))
+            ids.append(row["item_id"])
+            feats.append(pooled.reshape(-1).astype(np.float32))
+        return pa.table({
+            "item_id": pa.array(ids),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(feats) if feats else np.array([], np.float32),
+                         pa.float32()),
+                self.out_hw[0] * self.out_hw[1],
+            ),
+            "feat_mean_e3": pa.array(
+                [int(round(float(f.mean()) * 1000)) for f in feats], pa.int64()
+            ),
+        })
+
+
+class FrameSampler:
+    """Actor stage for 'video' payloads: sample every k-th fixed-size frame
+    from the binary payload (frame extraction plumbing; decode is the same
+    deterministic fake)."""
+
+    def __init__(self, frame_bytes: int = 256, every: int = 4):
+        self.frame_bytes = frame_bytes
+        self.every = every
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_ids, out_fidx, out_frames = [], [], []
+        for row in t.to_pylist():
+            payload = row["payload"] or b""
+            n_frames = len(payload) // self.frame_bytes
+            for fi in range(0, n_frames, self.every):
+                out_ids.append(row["item_id"])
+                out_fidx.append(fi)
+                out_frames.append(payload[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+        return pa.table({
+            "item_id": pa.array(out_ids, pa.int64()),
+            "frame_idx": pa.array(out_fidx, pa.int64()),
+            "frame": pa.array(out_frames, pa.binary()),
+        })
+
+
+def synth_binary_items(sf_dir: str, n_bytes: int = 4096) -> rd.Dataset:
+    """Deterministic binary-payload table derived from the documents table
+    (each doc's text bytes, repeated/truncated to n_bytes) — the stand-in
+    multimodal input used by tests and queries."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in df["text"]:
+            b = (t or "x").encode("utf-8")
+            payloads.append((b * (n_bytes // max(1, len(b)) + 1))[:n_bytes])
+        return pd.DataFrame({"item_id": df["doc_id"], "payload": payloads})
+
+    return ds.map_batches(kern, batch_format="pandas")
+
+
+def q_image_features(sf_dir: str) -> pd.DataFrame:
+    items = synth_binary_items(sf_dir)
+    out = items.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).to_pandas()
+    return (
+        out[["item_id", "feat_mean_e3"]]
+        .astype({"item_id": np.int64, "feat_mean_e3": np.int64})
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_frame_sample_counts(sf_dir: str) -> pd.DataFrame:
+    items = synth_binary_items(sf_dir)
+    frames = items.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    out = frames.groupby("item_id").count().to_pandas()
+    out.columns = ["item_id", "n_frames_sampled"]
+    return out.sort_values("item_id").reset_index(drop=True)

@@ -1,0 +1,225 @@
+"""Generic relational operators over the driver's TPC-H-ish parquet tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset/Table whose
+column names match the paired oracle SQL in ``__ray_entry__.oracle_sql``
+exactly.  Monetary/float aggregates are computed as integer cents/centi-units
+(both sides apply the same rounding before summation) so value-hash
+comparison is immune to floating-point summation-order differences.
+
+Reads prune columns at the source (``read_parquet(columns=[...])``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: np.ndarray, scale: int = 100) -> np.ndarray:
+    return np.round(np.asarray(arr, dtype=np.float64) * scale).astype(np.int64)
+
+
+# ---------------------------------------------------------------- filter/map
+def q_filter_project(sf_dir: str) -> rd.Dataset:
+    """Filter + computed column + projection (vectorized Arrow kernels)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def kern(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1998-01-01", "us")))
+        t = t.filter(keep)
+        price = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"], dtype=np.float64)
+        rev = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue_e4": pa.array(rev, pa.int64()),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- aggregation
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style grouped aggregate with per-batch partial aggregation
+    before the (tiny) groupby shuffle — the combiner pattern."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        keep = pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("2000-09-02", "us")))
+        t = t.filter(keep)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "sum_qty": np.asarray(t["l_quantity"], dtype=np.float64).astype(np.int64),
+            "sum_base_cents": _cents(np.asarray(t["l_extendedprice"])),
+            "sum_disc_e4": np.round(
+                np.asarray(t["l_extendedprice"], dtype=np.float64)
+                * (1.0 - np.asarray(t["l_discount"], dtype=np.float64)) * 10000.0
+            ).astype(np.int64),
+            "count_order": np.ones(len(t), dtype=np.int64),
+        })
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_base_cents", "sum_disc_e4", "count_order"])
+        .to_pandas()
+    )
+    out.columns = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+                   "sum_disc_e4", "count_order"]
+    return out
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate over the event stream table: per (user,
+    hour) count + value sum — windows as grouped aggregation over the
+    partitioned log (Ray Data has no event-time windows; this is the
+    documented batch expression of a tumbling window)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        hour = ts // (3600 * 1_000_000)
+        df = pd.DataFrame({
+            "user_id": np.asarray(t["user_id"]),
+            "hour_bucket": hour,
+            "n_events": np.ones(len(t), dtype=np.int64),
+            "sum_value_cents": _cents(np.asarray(t["value"])),
+        })
+        return df.groupby(["user_id", "hour_bucket"], as_index=False).sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .sum(["n_events", "sum_value_cents"])
+        .to_pandas()
+    )
+    out.columns = ["user_id", "hour_bucket", "n_events", "sum_value_cents"]
+    return out
+
+
+# --------------------------------------------------------------------- joins
+def q_join_broadcast(sf_dir: str) -> pd.DataFrame:
+    """orders ⨝ customer ⨝ nation with BROADCAST small sides: the dimension
+    maps ship once via ray.put and each batch does a vectorized lookup — no
+    shuffle at all (SURVEY.md §2.7 joins/lookups)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    ref = ray.put((c2n, n2name))
+
+    def kern(t: pa.Table) -> pd.DataFrame:
+        from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+        c2n_, n2name_ = maybe_get(ref)
+        cust_keys = np.asarray(t["o_custkey"])
+        names = np.array([n2name_.get(c2n_.get(int(k))) for k in cust_keys], dtype=object)
+        df = pd.DataFrame({
+            "n_name": names,
+            "n_orders": np.ones(len(t), dtype=np.int64),
+            "sum_total_cents": _cents(np.asarray(t["o_totalprice"])),
+        })
+        return df.groupby("n_name", as_index=False).sum()
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(kern, batch_format="pyarrow")
+        .groupby("n_name")
+        .sum(["n_orders", "sum_total_cents"])
+        .to_pandas()
+    )
+    out.columns = ["n_name", "n_orders", "sum_total_cents"]
+    return out
+
+
+def q_join_hash(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⨝ orders, both sides large → Dataset.join (hash shuffle on
+    the key), then grouped aggregate."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "n_lines": np.ones(len(t), dtype=np.int64),
+            "sum_qty": np.asarray(t["l_quantity"], dtype=np.float64).astype(np.int64),
+        })
+        return df.groupby("o_orderpriority", as_index=False).sum()
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["n_lines", "sum_qty"])
+        .to_pandas()
+    )
+    out.columns = ["o_orderpriority", "n_lines", "sum_qty"]
+    return out
+
+
+# --------------------------------------------------------- sort/limit/distinct
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-10 by price: per-batch local top-k, then one tiny final
+    sort — never a full global sort."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_orderkey": np.asarray(t["o_orderkey"]),
+            "total_cents": _cents(np.asarray(t["o_totalprice"])),
+        })
+        return df.sort_values(["total_cents", "o_orderkey"], ascending=[False, True]).head(10)
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["total_cents", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .count()
+        .to_pandas()[["l_returnflag", "l_linestatus"]]
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ exact dedup
+def q_exact_dedup_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: hash-partition by key, keep the first (minimum) row per
+    group — the ``groupby(key).first`` pattern over (partkey, suppkey)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_orderkey"])
+    out = (
+        ds.groupby(["l_partkey", "l_suppkey"])
+        .aggregate(
+            Min("l_orderkey", alias_name="first_orderkey"),
+            Count(alias_name="n_dups"),
+        )
+        .to_pandas()
+    )
+    return out[["l_partkey", "l_suppkey", "first_orderkey", "n_dups"]]

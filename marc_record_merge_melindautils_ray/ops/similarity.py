@@ -1,0 +1,131 @@
+"""Similarity search over the ``embeddings`` table (``list<float>`` column).
+
+* Brute-force cosine top-k — the baseline: broadcast the (small) query
+  matrix once via ``ray.put``, per-batch numpy matmul against candidates,
+  per-batch local top-k, tiny final merge.  Never materializes the candidate
+  side on the driver.
+* LSH-bucketed variant — the scale path: random-hyperplane bucket keys on
+  both sides; only same-bucket candidates are scored (documented recall
+  trade-off).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(t["vec_id"])
+    emb = t["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = np.asarray(emb.values, dtype=np.float64)
+    dim = len(flat) // max(1, len(ids))
+    return ids, flat.reshape(len(ids), dim)
+
+
+def brute_force_topk(
+    ds: rd.Dataset, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """Cosine top-k of each query against the full dataset (excl. self)."""
+    qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True)
+    ref = ray.put((query_ids, qn))
+
+    def local(t: pa.Table) -> pd.DataFrame:
+        q_ids, q = maybe_get(ref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = matn @ q.T  # (n_cand, n_query)
+        out = []
+        for qi in range(len(q_ids)):
+            s = sims[:, qi]
+            mask = ids != q_ids[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            top = np.lexsort((cand_ids, -cand_s))[:k]
+            out.append(pd.DataFrame({
+                "query_id": q_ids[qi], "neighbor_id": cand_ids[top], "sim": cand_s[top],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        rows.append(g[["query_id", "neighbor_id", "rank"]])
+    return (
+        pd.concat(rows, ignore_index=True)
+        .astype({"query_id": np.int64, "neighbor_id": np.int64, "rank": np.int64})
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-10 cosine neighbors for the first 5 vectors."""
+    ds = _emb(sf_dir)
+    q = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    q = q.sort_values("vec_id")
+    qm = np.array([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    return brute_force_topk(ds, q["vec_id"].to_numpy(), qm, k=10)
+
+
+def q_cosine_pairs(sf_dir: str, threshold_permille: int = 400) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold, among vec_id<200 —
+    all-pairs within the slice, vectorized; sim reported as integer permille
+    of the rounded similarity so the oracle hash is float-safe."""
+    ds = _emb(sf_dir)
+    sl = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 200)), batch_format="pyarrow"
+    ).to_pandas().sort_values("vec_id")
+    ids = sl["vec_id"].to_numpy()
+    m = np.array([np.asarray(v, dtype=np.float64) for v in sl["embedding"]])
+    mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    S = mn @ mn.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    keep = np.round(S[ii, jj] * 1000) >= threshold_permille
+    return pd.DataFrame({
+        "id_a": ids[ii[keep]].astype(np.int64),
+        "id_b": ids[jj[keep]].astype(np.int64),
+    }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+class HyperplaneLsh:
+    """Random-hyperplane bucket keys for the scale path: same-bucket
+    candidates only (stateful: projection matrix built once per actor)."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.powers = 1 << np.arange(n_planes)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        bits = (mat @ self.planes) > 0
+        bucket = (bits * self.powers).sum(axis=1).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids), "bucket": pa.array(bucket, pa.int64())})
+
+
+def lsh_bucket_counts(sf_dir: str) -> pd.DataFrame:
+    ds = _emb(sf_dir)
+    out = (
+        ds.map_batches(HyperplaneLsh, batch_format="pyarrow", concurrency=2)
+        .groupby("bucket")
+        .count()
+        .to_pandas()
+    )
+    out.columns = ["bucket", "n_vectors"]
+    return out.sort_values("bucket").reset_index(drop=True)

@@ -1,0 +1,120 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality signals, fingerprinting, language ID.
+
+All counting kernels are integer-valued so the DuckDB oracle hashes match
+exactly; ratios are integer permille (``1000 * a // b``) with identical
+integer division on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def q_token_counts(sf_dir: str) -> rd.Dataset:
+    """Whitespace token count + BPE-ish subword count (regex over words,
+    digits, punctuation runs — a tokenizer-shaped counting rule)."""
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": text.str.count(r"\S+").astype(np.int64),
+            "n_subwords": text.str.count(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]").astype(np.int64),
+        })
+
+    return _docs(sf_dir).map_batches(kern, batch_format="pandas")
+
+
+def q_quality_signals(sf_dir: str) -> rd.Dataset:
+    """Quality-scoring signals: char-class counts + integer-permille ratios
+    (length/punct/stopword heuristics a training-data pipeline filters on)."""
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len().astype(np.int64)
+        n_alpha = text.str.count(r"[A-Za-z]").astype(np.int64)
+        n_digit = text.str.count(r"[0-9]").astype(np.int64)
+        n_space = text.str.count(r"\s").astype(np.int64)
+        n_stop = text.str.count(r"\b(the|and|of|to|in|is|a)\b").astype(np.int64)
+        denom = n_chars.replace(0, 1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars_calc": n_chars,
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "n_space": n_space,
+            "n_stopword_hits": n_stop,
+            "alpha_permille": (1000 * n_alpha // denom).astype(np.int64),
+        })
+
+    return _docs(sf_dir).map_batches(kern, batch_format="pandas")
+
+
+def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Content fingerprint per document (md5 hex — oracle-checkable against
+    DuckDB's md5()); the rolling-hash shingle fingerprints live in the
+    MinHash path (ops.dedup_text)."""
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "fp_md5": [
+                hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in df["text"]
+            ],
+        })
+
+    return _docs(sf_dir).map_batches(kern, batch_format="pandas")
+
+
+# language-ID: stopword/charset heuristic (no SQL oracle — rows-only check)
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|was|that|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "fr": r"\b(le|la|les|est|et|une|dans|pour)\b",
+    "es": r"\b(el|los|las|es|y|una|por|como)\b",
+}
+_HAN = r"[一-鿿]"
+
+
+class LangId:
+    """Stateful actor stage: compiles the marker regexes once per actor."""
+
+    def __init__(self):
+        self.pats = {k: re.compile(v) for k, v in _LANG_MARKERS.items()}
+        self.han = re.compile(_HAN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        preds = []
+        for t in text:
+            if self.han.search(t):
+                preds.append("zh")
+                continue
+            scores = {k: len(p.findall(t)) for k, p in self.pats.items()}
+            best = max(sorted(scores), key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "unk")
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
+
+
+def q_lang_id(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def lang_id_accuracy(sf_dir: str) -> float:
+    """Convenience metric: predicted vs generator truth label."""
+    pred = q_lang_id(sf_dir).to_pandas()
+    truth = _docs(sf_dir, ("doc_id", "lang")).to_pandas()
+    m = pred.merge(truth, on="doc_id")
+    return float((m["lang_pred"] == m["lang"]).mean())

@@ -9,9 +9,10 @@ in Map-Reduce in Logarithmic Rounds") expressed purely as Ray Data
            emit (u, mn) for every u in group  and  (mn, u) for every u
 
 Converges to star graphs centered at each component's minimum id in
-O(log d) rounds (duplicate clusters are shallow, d is tiny).  Convergence is
-detected by a per-round label checksum (a tiny ``sum`` aggregate) — no
-full-dataset comparison, no driver materialization.
+O(log d) rounds (duplicate clusters are shallow, d is tiny).  Each round is
+exactly ONE shuffle + one tiny ``sum``: the per-group label checksum rides
+along as a column emitted on one row per group, so convergence detection
+costs no extra groupby pass.
 
 The reference has no clustering at all (it is handed one pair at a time,
 ``lib/marc-record-merge-melindautils.js:74``); this stage is the outer layer
@@ -33,30 +34,24 @@ def _h2m_round(g: pd.DataFrame) -> pd.DataFrame:
     node = g["node"].iloc[0]
     members = pd.unique(g["member"])
     mn = min(members.min(), node)
-    out_node: list[str] = []
-    out_member: list[str] = []
+    out_node: list[str] = [node]
+    out_member: list[str] = [mn]
     for u in members:
-        out_node.append(u)
-        out_member.append(mn)
+        if u != node:
+            out_node.append(u)
+            out_member.append(mn)
         if u != mn:
             out_node.append(mn)
             out_member.append(u)
-    if node != mn:
-        out_node.append(node)
-        out_member.append(mn)
-    df = pd.DataFrame({"node": out_node, "member": out_member})
-    return df.drop_duplicates()
-
-
-def _label_checksum(ds: rd.Dataset) -> int:
-    def chk(df: pd.DataFrame) -> pd.DataFrame:
-        h = splitmix64(
-            stable_str_hash(df["node"].to_numpy())
-            ^ stable_str_hash(df["label"].to_numpy())
-        )
-        return pd.DataFrame({"chk": (h % np.uint64(1 << 31)).astype(np.int64)})
-
-    return int(ds.map_batches(chk, batch_format="pandas").sum("chk") or 0)
+    df = pd.DataFrame({"node": out_node, "member": out_member}).drop_duplicates()
+    # label checksum contribution for THIS group: hash(node, label=mn),
+    # attached to the first emitted row only
+    chk = np.zeros(len(df), dtype=np.int64)
+    chk[0] = int(
+        splitmix64(stable_str_hash([node]) ^ stable_str_hash([mn]))[0] % np.uint64(1 << 31)
+    )
+    df["chk_part"] = chk
+    return df
 
 
 def connected_components(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
@@ -77,24 +72,17 @@ def connected_components(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     state = edges.map_batches(seed, batch_format="pandas")
     prev_chk = None
     for _ in range(cfg.max_cc_rounds):
-        state = state.groupby("node").map_groups(_h2m_round, batch_format="pandas")
-        labels = state.groupby("node").map_groups(
-            lambda g: pd.DataFrame(
-                {"node": [g["node"].iloc[0]],
-                 "label": [min(g["member"].min(), g["node"].iloc[0])]}
-            ),
-            batch_format="pandas",
-        )
-        labels = labels.materialize()  # small: one row per clustered node
-        chk = _label_checksum(labels)
+        state = state.groupby("node").map_groups(
+            _h2m_round, batch_format="pandas"
+        ).materialize()
+        chk = int(state.sum("chk_part") or 0)
         if chk == prev_chk:
             break
         prev_chk = chk
-        state = state.materialize()  # pin converged-so-far state for next round
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"clip_id": df["node"], "cluster_id": "cl-" + df["label"].astype(str)}
-        )
+    def labels(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].iloc[0]
+        mn = min(g["member"].min(), node)
+        return pd.DataFrame({"clip_id": [node], "cluster_id": [f"cl-{mn}"]})
 
-    return labels.map_batches(finalize, batch_format="pandas")
+    return state.groupby("node").map_groups(labels, batch_format="pandas")
