@@ -83,36 +83,83 @@ def compute_features(prepared: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     return ds.select_columns(FEATURE_COLS)
 
 
-def find_hot_band_keys(features: rd.Dataset, cfg: DedupConfig) -> np.ndarray:
-    counts = features.select_columns(["bands"]).map_batches(
-        cand.band_key_counts, batch_format="pyarrow"
+def find_candidate_key_sets(
+    features: rd.Dataset, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ONE pre-aggregated counting pass over both key spaces →
+    (multi_band_keys: count ≥ 2, hot_band_keys: count > bucket_cap,
+    useful_shingle_keys: 2 ≤ count ≤ bucket_cap).
+
+    Multi keys gate the candidate shuffle (singleton keys can't pair); hot
+    band keys get content-salted; over-cap shingle keys (too-common grams)
+    are dropped at the source.  Band and shingle keys ride one aggregate,
+    disambiguated by a kind bit mixed into the key column.
+    """
+    def both_counts(batch: pa.Table) -> pa.Table:
+        b = cand.band_key_counts(batch)
+        s = cand.shingle_key_counts(batch)
+        return pa.table({
+            "key": pa.concat_arrays([b["band_key"].combine_chunks() if isinstance(b["band_key"], pa.ChunkedArray) else b["band_key"],
+                                     s["sh"].combine_chunks() if isinstance(s["sh"], pa.ChunkedArray) else s["sh"]]),
+            "kind": pa.array(
+                np.concatenate([np.zeros(len(b), np.int8), np.ones(len(s), np.int8)])
+            ),
+            "cnt": pa.concat_arrays([b["cnt"].combine_chunks() if isinstance(b["cnt"], pa.ChunkedArray) else b["cnt"],
+                                     s["cnt"].combine_chunks() if isinstance(s["cnt"], pa.ChunkedArray) else s["cnt"]]),
+        })
+
+    counts = features.select_columns(["bands", "samp_shingles"]).map_batches(
+        both_counts, batch_format="pyarrow"
     )
-    agg = counts.groupby("band_key").sum("cnt")
-    cap = cfg.bucket_cap
+    agg = counts.groupby(["kind", "key"]).sum("cnt")
 
-    def over_cap(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["sum(cnt)"], cap))
+    def multi_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["sum(cnt)"], 2))
 
-    rows = agg.map_batches(over_cap, batch_format="pyarrow").take_all()
-    return np.array([r["band_key"] for r in rows], dtype=np.uint64)
+    rows = agg.map_batches(multi_only, batch_format="pyarrow").take_all()
+    keys = np.array([r["key"] for r in rows], dtype=np.int64).view(np.uint64)
+    kinds = np.array([r["kind"] for r in rows], dtype=np.int8)
+    cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    band_mask = kinds == 0
+    multi = keys[band_mask]
+    hot = keys[band_mask & (cnts > cfg.bucket_cap)]
+    useful = keys[(~band_mask) & (cnts <= cfg.bucket_cap)]
+    return multi, hot, useful
 
 
-def candidate_pairs(features: rd.Dataset, cfg: DedupConfig, hot_keys: np.ndarray) -> rd.Dataset:
+NUM_PAIR_PARTS = 64  # partition-then-vectorize fan-out (≈ cluster cores)
+
+
+def candidate_pairs(
+    features: rd.Dataset,
+    cfg: DedupConfig,
+    hot_keys: np.ndarray,
+    multi_keys: np.ndarray | None = None,
+    useful_shingles: np.ndarray | None = None,
+) -> rd.Dataset:
     band_rows = features.map_batches(
-        cand.make_expand_bands(cfg, hot_keys), batch_format="pyarrow"
+        cand.make_expand_bands(cfg, hot_keys, multi_keys), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: cand.add_partition_col(t, "band_key", NUM_PAIR_PARTS),
+        batch_format="pyarrow",
     )
-    band_pairs = band_rows.groupby("band_key").map_groups(
+    band_pairs = band_rows.groupby("part").map_groups(
         cand.make_band_pair_emitter(cfg), batch_format="pandas"
     )
     cont_rows = features.map_batches(
-        cand.make_expand_shingles(cfg), batch_format="pyarrow"
+        cand.make_expand_shingles(cfg, useful_shingles), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: cand.add_partition_col(t, "sh", NUM_PAIR_PARTS), batch_format="pyarrow"
     )
-    cont_pairs = cont_rows.groupby("sh").map_groups(
+    cont_pairs = cont_rows.groupby("part").map_groups(
         cand.make_containment_pair_emitter(cfg), batch_format="pandas"
     )
     pairs = band_pairs.union(cont_pairs)
-    pairs = pairs.map_batches(cand.add_pair_key, batch_format="pyarrow")
-    return pairs.groupby("pair_key").map_groups(cand.dedup_pair_group, batch_format="pandas")
+    pairs = pairs.map_batches(cand.add_pair_key, batch_format="pyarrow").map_batches(
+        lambda t: cand.add_partition_col(t, "pair_key", NUM_PAIR_PARTS),
+        batch_format="pyarrow",
+    )
+    return pairs.groupby("part").map_groups(cand.dedup_pair_group, batch_format="pandas")
 
 
 def fetch_payloads(prepared: rd.Dataset, ids: set[str]):
@@ -162,12 +209,14 @@ def run_dedup(
     prepared = prepared_clips(clips)
     features = ck.stage("features", lambda: compute_features(prepared, cfg))
 
-    hot_keys = find_hot_band_keys(features, cfg)
+    multi_keys, hot_keys, useful_shingles = find_candidate_key_sets(features, cfg)
     ck.metrics["hot_band_keys"] = int(len(hot_keys))
+    ck.metrics["multi_band_keys"] = int(len(multi_keys))
+    ck.metrics["useful_shingle_keys"] = int(len(useful_shingles))
 
     pairs = ck.stage(
         "pairs",
-        lambda: candidate_pairs(features, cfg, hot_keys),
+        lambda: candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles),
         input_fingerprint=ck.fingerprint("features"),
     )
 
@@ -187,13 +236,15 @@ def run_dedup(
 
     verified = ck.stage(
         "verified",
-        lambda: sv.map_batches(
+        lambda: sv.repartition(cfg.verify_concurrency * 4)
+        .map_batches(
             PairPcmVerify,
             fn_constructor_args=(cfg, payload_ref),
             batch_format="pandas",
-            batch_size=cfg.batch_size,
+            batch_size=cfg.verify_batch_size,
             concurrency=cfg.verify_concurrency,
-        ).map_batches(lambda df: df[df["ok"]], batch_format="pandas"),
+        )
+        .map_batches(lambda df: df[df["ok"]], batch_format="pandas"),
         input_fingerprint=ck.fingerprint("survivors"),
     )
 
@@ -233,14 +284,34 @@ def run_dedup(
     authority_ref = ray.put(authority or {})
     bc = BuildCanonical(cfg, authority_ref)
 
-    def build_canonical(g):
-        return bc(g)
+    def build_canonical_partition(g):
+        """Partition-then-vectorize: one UDF call per hash partition, looping
+        that partition's clusters (the per-cluster merge logic itself is
+        row-level by nature, like the reference's per-pair modifiers)."""
+        import pandas as pd
+
+        tables = [bc(grp) for _, grp in g.groupby("cluster_id", sort=True)]
+        return pa.concat_tables(tables)
+
+    def add_cluster_part(df):
+        from marc_record_merge_melindautils_ray.functions.hashing import (
+            splitmix64,
+            stable_str_hash,
+        )
+
+        df = df.copy()
+        with np.errstate(over="ignore"):
+            df["part"] = (
+                splitmix64(stable_str_hash(df["cluster_id"].to_numpy()))
+                % np.uint64(NUM_PAIR_PARTS)
+            ).astype(np.int64)
+        return df
 
     canonical = ck.stage(
         "canonical",
-        lambda: members.groupby("cluster_id").map_groups(
-            build_canonical, batch_format="pyarrow"
-        ),
+        lambda: members.map_batches(add_cluster_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(build_canonical_partition, batch_format="pandas"),
         input_fingerprint=ck.fingerprint("assignments"),
     )
 

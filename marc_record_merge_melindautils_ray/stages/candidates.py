@@ -57,16 +57,46 @@ def band_key_counts(batch: pa.Table) -> pa.Table:
                      "cnt": pa.array(cnt, pa.int64())})
 
 
-def make_expand_bands(cfg: DedupConfig, hot_keys: np.ndarray | None = None, nsalt: int = 16):
-    """Stateless task kernel: explode rows into (band_key, gate-cols) rows,
-    salting hot keys by content."""
+def _in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    if len(sorted_arr) == 0 or len(values) == 0:
+        return np.zeros(len(values), dtype=bool)
+    return sorted_arr[np.searchsorted(sorted_arr, values).clip(max=len(sorted_arr) - 1)] == values
+
+
+def make_expand_bands(
+    cfg: DedupConfig,
+    hot_keys: np.ndarray | None = None,
+    multi_keys: np.ndarray | None = None,
+    nsalt: int = 16,
+):
+    """Stateless task kernel: explode rows into (band_key, gate-cols) rows.
+
+    ``multi_keys`` (band keys seen on ≥2 rows, from the counting pass) acts
+    as a pre-shuffle filter: singleton band keys can never produce a pair, so
+    their rows never enter the groupby shuffle — at low dup rates this cuts
+    both shuffle volume and the per-group UDF count by orders of magnitude.
+    (The driver-side key array is the small-scale shortcut; the documented
+    scale path is a Bloom filter of multi keys broadcast via ray.put.)
+    ``hot_keys`` (count > bucket_cap) are salted by CONTENT so every
+    verifiable dup pair stays co-bucketed.
+    """
     hot = np.sort(hot_keys.astype(np.uint64)) if hot_keys is not None and len(hot_keys) else None
+    multi = (
+        np.sort(multi_keys.astype(np.uint64))
+        if multi_keys is not None and len(multi_keys)
+        else None
+    )
     nsalt_u = np.uint64(nsalt)
 
     def expand(batch: pa.Table) -> pa.Table:
         row_idx, keys = _flatten_bands(batch)
+        if multi is not None:
+            keep = _in_sorted(multi, keys)
+            row_idx, keys = row_idx[keep], keys[keep]
+        elif multi_keys is not None:  # empty multi set → no candidates at all
+            row_idx, keys = row_idx[:0], keys[:0]
         if hot is not None and len(keys):
-            is_hot = hot[np.searchsorted(hot, keys).clip(max=len(hot) - 1)] == keys
+            is_hot = _in_sorted(hot, keys)
             if is_hot.any():
                 fp = np.asarray(batch["fp"]).view(np.uint64)[row_idx]
                 nh0 = np.asarray(batch["nh0"]).view(np.uint64)[row_idx]
@@ -83,8 +113,27 @@ def make_expand_bands(cfg: DedupConfig, hot_keys: np.ndarray | None = None, nsal
     return expand
 
 
-def make_expand_shingles(cfg: DedupConfig):
-    """Stateless task kernel: explode sampled shingle hashes (containment pass)."""
+def shingle_key_counts(batch: pa.Table) -> pa.Table:
+    """Partial per-batch counts of containment index keys."""
+    samp = batch["samp_shingles"]
+    if isinstance(samp, pa.ChunkedArray):
+        samp = samp.combine_chunks()
+    vals = np.asarray(samp.values).view(np.uint64)
+    uniq, cnt = np.unique(vals, return_counts=True)
+    return pa.table({"sh": pa.array(uniq.view(np.int64), pa.int64()),
+                     "cnt": pa.array(cnt, pa.int64())})
+
+
+def make_expand_shingles(cfg: DedupConfig, useful_keys: np.ndarray | None = None):
+    """Stateless task kernel: explode sampled shingle hashes (containment
+    pass).  ``useful_keys`` = keys with 2 ≤ count ≤ bucket_cap from the
+    counting pass: singleton keys can't pair, over-cap keys are too-common
+    grams the emitter would drop anyway — neither enters the shuffle."""
+    useful = (
+        np.sort(useful_keys.astype(np.uint64))
+        if useful_keys is not None and len(useful_keys)
+        else None
+    )
 
     def expand(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -98,6 +147,10 @@ def make_expand_shingles(cfg: DedupConfig):
         flat_vals = np.asarray(samp.values)
         full_row_idx = np.repeat(np.arange(len(batch)), np.diff(offsets))
         keep_mask = ok_doc[full_row_idx]
+        if useful is not None:
+            keep_mask &= _in_sorted(useful, flat_vals.view(np.uint64))
+        elif useful_keys is not None:
+            keep_mask &= False
         values = flat_vals[keep_mask]
         row_idx = full_row_idx[keep_mask]
         idx = pa.array(row_idx, pa.int64())
@@ -111,49 +164,6 @@ def make_expand_shingles(cfg: DedupConfig):
     return expand
 
 
-def _pairs_from_group(g: pd.DataFrame, cfg: DedupConfig, rel: str) -> pd.DataFrame:
-    """All-pairs inside a bucket, sorted-neighborhood when oversized."""
-    g = g.drop_duplicates("clip_id")
-    n = len(g)
-    empty = _empty_pairs()
-    if n < 2:
-        return empty
-    if rel == "containment" and n > cfg.bucket_cap:
-        return empty  # too-common shingle: useless containment key (logged via metrics)
-    if n <= cfg.bucket_cap:
-        ii, jj = np.triu_indices(n, k=1)
-    else:
-        # sorted-neighborhood on the content key: verifiable dups share
-        # (nh0, fp) so they sort adjacently; window w bounds pairs at O(n·w)
-        order = np.lexsort((g["clip_id"].to_numpy(), g["fp"].to_numpy(), g["nh0"].to_numpy()))
-        g = g.iloc[order]
-        w = 4
-        base = np.arange(n)
-        ii = np.concatenate([base[:-d] for d in range(1, w + 1) if d < n])
-        jj = np.concatenate([base[d:] for d in range(1, w + 1) if d < n])
-        if len(ii) > cfg.max_pairs_per_bucket:
-            ii, jj = ii[: cfg.max_pairs_per_bucket], jj[: cfg.max_pairs_per_bucket]
-    ids = g["clip_id"].to_numpy()
-    swap = ids[ii] > ids[jj]
-    lo = np.where(swap, jj, ii)
-    hi = np.where(swap, ii, jj)
-    out = {"id_a": ids[lo], "id_b": ids[hi], "rel": np.full(len(lo), rel, dtype=object),
-           "bucket_n": np.full(len(lo), n, dtype=np.int32)}
-    for c in GATE_COLS + (["n_shingles"] if "n_shingles" in g.columns else []):
-        vals = g[c].to_numpy()
-        if c == "sources":
-            # arrow list<string> → pandas yields ndarray cells; keep plain
-            # Python lists so the pandas→Arrow round-trip stays a ListArray
-            # (explicit object array: np.array() would collapse equal-length
-            # lists into a 2-D array)
-            tmp = np.empty(len(vals), dtype=object)
-            tmp[:] = [list(v) if v is not None else None for v in vals]
-            vals = tmp
-        out[f"{c}_a"] = vals[lo]
-        out[f"{c}_b"] = vals[hi]
-    return pd.DataFrame(out)
-
-
 def _empty_pairs() -> pd.DataFrame:
     cols = {"id_a": [], "id_b": [], "rel": [], "bucket_n": []}
     for c in GATE_COLS + ["n_shingles"]:
@@ -162,24 +172,111 @@ def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
-def make_band_pair_emitter(cfg: DedupConfig):
+# ---------------------------------------------------------------------------
+# Partition-then-vectorize: Ray's map_groups costs ~ms per group, so
+# high-cardinality groupbys (one group per band key / pair key / node) are
+# re-keyed to `part = mix(key) % P` and each map_groups call processes ALL
+# keys of one partition with pandas/numpy — P UDF calls total instead of
+# millions.  Rows with equal keys land in equal partitions by construction,
+# so semantics are unchanged.  P scales with the cluster (cfg/pipeline).
+# ---------------------------------------------------------------------------
+def add_partition_col(batch: pa.Table, key_col: str, num_parts: int) -> pa.Table:
+    k = np.asarray(batch[key_col]).view(np.uint64)
+    part = (splitmix64(k) % np.uint64(num_parts)).astype(np.int64)
+    return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def _emit_pairs_vectorized(g: pd.DataFrame, cfg: DedupConfig, rel: str, key_col: str) -> pd.DataFrame:
+    """Emit intra-bucket pairs for EVERY key in a partition in one pass.
+
+    Groups are found by boundary scan on the sorted key column; all groups of
+    equal size share one ``triu_indices`` broadcast (≤ bucket_cap distinct
+    sizes), so cost is O(pairs) numpy work with no per-group Python.
+    Oversized buckets (already content-salted upstream) fall back to
+    sorted-neighborhood pairing per group — rare by construction.
+    """
+    g = g.sort_values([key_col, "clip_id"]).drop_duplicates([key_col, "clip_id"], keep="first")
+    g = g.reset_index(drop=True)
+    keys = g[key_col].to_numpy()
+    n = len(g)
+    if n < 2:
+        return _empty_pairs()
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    sizes = np.diff(np.r_[starts, n])
+
+    lo_list, hi_list, bn_list = [], [], []
+    normal = (sizes >= 2) & (sizes <= cfg.bucket_cap)
+    for sz in np.unique(sizes[normal]):
+        ii, jj = np.triu_indices(int(sz), k=1)
+        st = starts[normal & (sizes == sz)]
+        lo_list.append((st[:, None] + ii[None, :]).ravel())
+        hi_list.append((st[:, None] + jj[None, :]).ravel())
+        bn_list.append(np.full(len(st) * len(ii), sz, np.int32))
+    oversized = sizes > cfg.bucket_cap
+    for s, sz in zip(starts[oversized], sizes[oversized]):
+        sub = g.iloc[s : s + sz]
+        order = np.lexsort(
+            (sub["clip_id"].to_numpy(), sub["fp"].to_numpy(), sub["nh0"].to_numpy())
+        )
+        w = 4
+        base = np.arange(sz)
+        ii = np.concatenate([base[:-d] for d in range(1, w + 1) if d < sz])
+        jj = np.concatenate([base[d:] for d in range(1, w + 1) if d < sz])
+        if len(ii) > cfg.max_pairs_per_bucket:
+            ii, jj = ii[: cfg.max_pairs_per_bucket], jj[: cfg.max_pairs_per_bucket]
+        lo_list.append(s + order[ii])
+        hi_list.append(s + order[jj])
+        bn_list.append(np.full(len(ii), sz, np.int32))
+    if not lo_list:
+        return _empty_pairs()
+
+    lo = np.concatenate(lo_list)
+    hi = np.concatenate(hi_list)
+    bn = np.concatenate(bn_list)
+    ids = g["clip_id"].to_numpy()
+    swap = ids[lo] > ids[hi]
+    LO = np.where(swap, hi, lo)
+    HI = np.where(swap, lo, hi)
+    out = {
+        "id_a": ids[LO], "id_b": ids[HI],
+        "rel": np.full(len(LO), rel, dtype=object),
+        "bucket_n": bn,
+    }
+    for c in GATE_COLS + (["n_shingles"] if "n_shingles" in g.columns else []):
+        vals = g[c].to_numpy()
+        if c == "sources":
+            tmp = np.empty(len(vals), dtype=object)
+            tmp[:] = [list(v) if v is not None else None for v in vals]
+            vals = tmp
+        out[f"{c}_a"] = vals[LO]
+        out[f"{c}_b"] = vals[HI]
+    return pd.DataFrame(out)
+
+
+def make_band_pair_emitter(cfg: DedupConfig, key_col: str = "band_key"):
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        df = _pairs_from_group(g, cfg, "band")
-        return df.drop(columns=[c for c in df.columns if c.startswith("n_shingles")], errors="ignore")
+        return _strip_shingle_cols(_emit_pairs_vectorized(g, cfg, "band", key_col))
 
     return emit
 
 
-def make_containment_pair_emitter(cfg: DedupConfig):
+def make_containment_pair_emitter(cfg: DedupConfig, key_col: str = "sh"):
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        df = _pairs_from_group(g, cfg, "containment")
+        df = _emit_pairs_vectorized(g, cfg, "containment", key_col)
         if len(df):
             # containment needs a size asymmetry; equal-size pairs are the
             # band path's job (exact/near dups)
             df = df[df["n_shingles_a"] != df["n_shingles_b"]]
-        return df.drop(columns=[c for c in df.columns if c.startswith("n_shingles")], errors="ignore")
+        return _strip_shingle_cols(df)
 
     return emit
+
+
+def _strip_shingle_cols(df: pd.DataFrame) -> pd.DataFrame:
+    return df.drop(
+        columns=[c for c in df.columns if c.startswith("n_shingles") or c == "part"],
+        errors="ignore",
+    )
 
 
 def add_pair_key(batch: pa.Table) -> pa.Table:
@@ -192,6 +289,8 @@ def add_pair_key(batch: pa.Table) -> pa.Table:
 
 
 def dedup_pair_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition pair dedup (equal (id_a,id_b) ⇒ equal pair_key ⇒ equal
+    partition — one vectorized drop_duplicates per partition)."""
     from marc_record_merge_melindautils_ray.functions.util import sanitize_list_cols
 
     # sort by rel so 'band' (cheaper verify path) deterministically wins when
@@ -199,4 +298,5 @@ def dedup_pair_group(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values(["id_a", "id_b", "rel"]).drop_duplicates(
         subset=["id_a", "id_b"], keep="first"
     )
+    g = g.drop(columns=["part"], errors="ignore")
     return sanitize_list_cols(g, ["sources_a", "sources_b"])

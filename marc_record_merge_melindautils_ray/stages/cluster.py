@@ -1,18 +1,20 @@
 """Stage 5: distributed connected components over verified duplicate edges.
 
 Hash-to-min label propagation (Rastogi et al., "Finding Connected Components
-in Map-Reduce in Logarithmic Rounds") expressed purely as Ray Data
-``groupby().map_groups`` rounds — no driver-side union-find, no joins:
+in Map-Reduce in Logarithmic Rounds") expressed as Ray Data rounds:
 
-    state: rows (node, member) — initially each edge both ways + self-loops
-    round: per node group  mn = min(members ∪ {node})
-           emit (u, mn) for every u in group  and  (mn, u) for every u
+    state: rows (node, member) — initially each edge both ways
+    round: per node  mn = min(members ∪ {node})
+           emit (member, mn), (mn, member), (node, mn)
 
 Converges to star graphs centered at each component's minimum id in
-O(log d) rounds (duplicate clusters are shallow, d is tiny).  Each round is
-exactly ONE shuffle + one tiny ``sum``: the per-group label checksum rides
-along as a column emitted on one row per group, so convergence detection
-costs no extra groupby pass.
+O(log d) rounds (duplicate clusters are shallow, d is tiny).
+
+Physical shape: nodes are re-keyed to ``part = hash(node) % P`` and each
+round is ONE ``groupby('part').map_groups`` whose UDF handles every node of
+the partition with vectorized pandas (``transform('min')``), plus a tiny
+``sum`` for the convergence checksum — the partition-then-vectorize pattern
+(see stages.candidates), not a per-node UDF.
 
 The reference has no clustering at all (it is handed one pair at a time,
 ``lib/marc-record-merge-melindautils.js:74``); this stage is the outer layer
@@ -23,35 +25,52 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
 from marc_record_merge_melindautils_ray.config import DedupConfig
 from marc_record_merge_melindautils_ray.functions.hashing import splitmix64, stable_str_hash
 
+NUM_CC_PARTS = 64
 
-def _h2m_round(g: pd.DataFrame) -> pd.DataFrame:
-    node = g["node"].iloc[0]
-    members = pd.unique(g["member"])
-    mn = min(members.min(), node)
-    out_node: list[str] = [node]
-    out_member: list[str] = [mn]
-    for u in members:
-        if u != node:
-            out_node.append(u)
-            out_member.append(mn)
-        if u != mn:
-            out_node.append(mn)
-            out_member.append(u)
-    df = pd.DataFrame({"node": out_node, "member": out_member}).drop_duplicates()
-    # label checksum contribution for THIS group: hash(node, label=mn),
-    # attached to the first emitted row only
-    chk = np.zeros(len(df), dtype=np.int64)
-    chk[0] = int(
-        splitmix64(stable_str_hash([node]) ^ stable_str_hash([mn]))[0] % np.uint64(1 << 31)
-    )
-    df["chk_part"] = chk
+
+def _add_node_part(df: pd.DataFrame) -> pd.DataFrame:
+    with np.errstate(over="ignore"):
+        part = (splitmix64(stable_str_hash(df["node"].to_numpy())) % np.uint64(NUM_CC_PARTS))
+    df = df.copy()
+    df["part"] = part.astype(np.int64)
     return df
+
+
+def _h2m_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """One round over one partition: vectorized min per node + emissions."""
+    node = g["node"].to_numpy()
+    member = g["member"].to_numpy()
+    mn = np.minimum(g.groupby("node")["member"].transform("min").to_numpy(), node)
+    out = pd.DataFrame({
+        "node": np.concatenate([member, mn, node]),
+        "member": np.concatenate([mn, member, mn]),
+    }).drop_duplicates()
+    # convergence checksum: one contribution per (node, label) of this round
+    uniq = pd.DataFrame({"node": node, "mn": mn}).drop_duplicates("node")
+    with np.errstate(over="ignore"):
+        h = splitmix64(
+            stable_str_hash(uniq["node"].to_numpy()) ^ stable_str_hash(uniq["mn"].to_numpy())
+        ) % np.uint64(1 << 31)
+    chk = np.zeros(len(out), dtype=np.int64)
+    chk[0] = int(h.sum(dtype=np.uint64) & np.uint64((1 << 62) - 1))
+    out["chk_part"] = chk
+    return out
+
+
+def _labels_partition(g: pd.DataFrame) -> pd.DataFrame:
+    mn = np.minimum(g.groupby("node")["member"].transform("min").to_numpy(),
+                    g["node"].to_numpy())
+    out = pd.DataFrame({"clip_id": g["node"].to_numpy(), "cluster_id": mn})
+    out = out.drop_duplicates("clip_id")
+    out["cluster_id"] = "cl-" + out["cluster_id"]
+    return out
 
 
 def connected_components(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
@@ -72,17 +91,19 @@ def connected_components(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     state = edges.map_batches(seed, batch_format="pandas")
     prev_chk = None
     for _ in range(cfg.max_cc_rounds):
-        state = state.groupby("node").map_groups(
-            _h2m_round, batch_format="pandas"
-        ).materialize()
+        state = (
+            state.map_batches(_add_node_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(_h2m_partition, batch_format="pandas")
+            .materialize()
+        )
         chk = int(state.sum("chk_part") or 0)
         if chk == prev_chk:
             break
         prev_chk = chk
 
-    def labels(g: pd.DataFrame) -> pd.DataFrame:
-        node = g["node"].iloc[0]
-        mn = min(g["member"].min(), node)
-        return pd.DataFrame({"clip_id": [node], "cluster_id": [f"cl-{mn}"]})
-
-    return state.groupby("node").map_groups(labels, batch_format="pandas")
+    return (
+        state.map_batches(_add_node_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_labels_partition, batch_format="pandas")
+    )
