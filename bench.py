@@ -52,15 +52,16 @@ def run_bench() -> dict:
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth_scaled import generate_clips_ds
 
-    n_families = max(200, int(30000 * sf))
+    n_families = max(200, int(100000 * sf))
     cfg = DedupConfig(
         fingerprint_concurrency=max(2, num_cpus // 4),
         verify_concurrency=max(2, num_cpus // 4),
     )
 
     # materialize the corpus first (generation excluded from the timed run;
-    # also warms the object store so we measure the engine, not synthesis)
-    clips = generate_clips_ds(n_families).materialize()
+    # also warms the object store so we measure the engine, not synthesis);
+    # dur_scale=4 → 2-8 s clips so decode/fingerprint compute dominates
+    clips = generate_clips_ds(n_families, dur_scale=4).materialize()
     n_clips = clips.count()
 
     t0 = time.monotonic()

@@ -51,6 +51,7 @@ class DedupConfig:
     batch_size: int = 4096
     audio_batch_size: int = 256   # wide binary rows -> smaller batches
     verify_batch_size: int = 256  # pairs per phase-2 batch (keeps the actor pool busy)
+    payload_buckets: int = 64     # hash buckets for the survivor payload store
     verify_concurrency: int = 4
     fingerprint_concurrency: int = 4
     num_shuffle_partitions: int = 0   # 0 = let Ray decide

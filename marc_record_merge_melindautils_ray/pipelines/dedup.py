@@ -24,7 +24,10 @@ the only thing that ever enters a shuffle.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -45,9 +48,6 @@ FEATURE_COLS = [
     "is_segment_of",
 ]
 
-# broadcast-payload guard: above this many survivor ids the driver-side
-# broadcast dict would not fit comfortably; fall back to a partitioned join
-MAX_BROADCAST_IDS = 2_000_000
 
 
 def read_clips(path: str) -> rd.Dataset:
@@ -162,32 +162,104 @@ def candidate_pairs(
     return pairs.groupby("part").map_groups(cand.dedup_pair_group, batch_format="pandas")
 
 
-def fetch_payloads(prepared: rd.Dataset, ids: set[str]):
-    """Collect (bytes, codec, norm_transcript) for the survivor id set and
-    broadcast once via ``ray.put``.
+PAYLOAD_SCHEMA = pa.schema([
+    ("bucket", pa.int64()), ("pid", pa.string()), ("p_bytes", pa.binary()),
+    ("p_codec", pa.string()), ("p_norm", pa.string()),
+])
 
-    Scale path: phase-1 survivors are a small multiple of the true-dup count;
-    if they ever exceed MAX_BROADCAST_IDS the correct move is a
-    hash-partitioned join of pairs against the clip table (both sides bucketed
-    by ``hash(clip_id) % B``) — the broadcast here is the small-side fast path
-    the guard enforces.
+
+def _str_bucket(vals: np.ndarray, nbuckets: int) -> np.ndarray:
+    from marc_record_merge_melindautils_ray.functions.hashing import (
+        splitmix64,
+        stable_str_hash,
+    )
+
+    with np.errstate(over="ignore"):
+        return (splitmix64(stable_str_hash(vals)) % np.uint64(nbuckets)).astype(np.int64)
+
+
+_ATTACH_SCHEMA = pa.schema([
+    ("part", pa.int64()), ("kind", pa.int8()),
+    ("key", pa.string()),
+    ("p_bytes", pa.binary()), ("p_codec", pa.string()), ("p_norm", pa.string()),
+    ("id_a", pa.string()), ("id_b", pa.string()), ("rel", pa.string()),
+    ("side", pa.string()),
+])
+
+PAIR_PAYLOAD_SCHEMA = pa.schema([
+    ("id_a", pa.string()), ("id_b", pa.string()), ("rel", pa.string()),
+    ("bytes_a", pa.binary()), ("codec_a", pa.string()), ("norm_a", pa.string()),
+    ("bytes_b", pa.binary()), ("codec_b", pa.string()), ("norm_b", pa.string()),
+])
+
+
+def build_payload_blocks(clips: rd.Dataset, ids: set[str], cfg: DedupConfig):
+    """Materialize the survivor payload subset as Arrow blocks in the object
+    store and index clip id → (block, row).
+
+    Payload bytes are written once by the filtering tasks and then PULLED
+    zero-copy by verify actors via block ObjectRefs (plasma shared memory on
+    one node; locality-aware object transfer on a cluster) — no shuffle, no
+    driver transit.  Only id strings (broadcast filter set + the location
+    index) touch the driver; at larger scale the index itself becomes a
+    column attached during candidate generation.
     """
-    if len(ids) > MAX_BROADCAST_IDS:
-        raise NotImplementedError(
-            "survivor set exceeds broadcast guard; use partitioned-join payload fetch"
-        )
+    from marc_record_merge_melindautils_ray.functions.textnorm import (
+        normalize_transcript_array,
+    )
+
     id_arr = pa.array(sorted(ids), pa.string())
 
-    def filt(batch: pa.Table) -> pa.Table:
+    def pay_rows(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["clip_id"], value_set=id_arr)
-        return batch.filter(keep).select(["clip_id", "bytes", "codec", "norm_transcript"])
+        batch = batch.filter(keep)
+        tr = batch["transcript"]
+        if isinstance(tr, pa.ChunkedArray):
+            tr = tr.combine_chunks()
+        norm = normalize_transcript_array(pc.fill_null(tr, ""))
+        return pa.table({
+            "pid": batch["clip_id"], "p_bytes": batch["bytes"],
+            "p_codec": batch["codec"], "p_norm": norm,
+        })
 
-    small = prepared.map_batches(filt, batch_format="pyarrow")
-    payloads: dict[str, dict] = {}
-    for b in small.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            payloads[row["clip_id"]] = row
-    return ray.put(payloads)
+    pay = clips.map_batches(pay_rows, batch_format="pyarrow").materialize()
+    refs = pay.to_arrow_refs()
+
+    @ray.remote
+    def _pids(tbl: pa.Table):
+        return tbl["pid"].to_pylist()
+
+    loc: dict[str, tuple[int, int]] = {}
+    for bi, pids in enumerate(ray.get([_pids.remote(r) for r in refs])):
+        for ri, pid in enumerate(pids):
+            loc[pid] = (bi, ri)
+    return refs, loc
+
+
+def locate_pairs(sv: rd.Dataset, loc: dict, cfg: DedupConfig) -> rd.Dataset:
+    """Attach (block, row) payload locations to pair rows and sort by the
+    a-side block so each verify actor's batches hit few blocks."""
+    loc_ref = ray.put(loc)
+
+    class AddLoc:
+        def __init__(self, ref):
+            from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+            self.loc = maybe_get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            miss = (-1, -1)
+            la = [self.loc.get(x, miss) for x in t["id_a"].to_pylist()]
+            lb = [self.loc.get(x, miss) for x in t["id_b"].to_pylist()]
+            t = t.append_column("block_a", pa.array([x[0] for x in la], pa.int32()))
+            t = t.append_column("row_a", pa.array([x[1] for x in la], pa.int32()))
+            t = t.append_column("block_b", pa.array([x[0] for x in lb], pa.int32()))
+            t = t.append_column("row_b", pa.array([x[1] for x in lb], pa.int32()))
+            return t
+
+    return sv.map_batches(
+        AddLoc, fn_constructor_args=(loc_ref,), batch_format="pyarrow", concurrency=2
+    ).sort("block_a")
 
 
 def run_dedup(
@@ -220,33 +292,44 @@ def run_dedup(
         input_fingerprint=ck.fingerprint("features"),
     )
 
+    from marc_record_merge_melindautils_ray.stages.verify import survivors_to_table
+
     phase1 = pairs.map_batches(make_phase1_kernel(cfg), batch_format="pandas")
     survivors = ck.stage(
         "survivors",
-        lambda: phase1.map_batches(lambda df: df[df["ok1"]], batch_format="pandas"),
+        lambda: phase1.map_batches(survivors_to_table, batch_format="pandas"),
         input_fingerprint=ck.fingerprint("pairs"),
     )
 
-    sv = survivors.select_columns(["id_a", "id_b", "rel", "reasons"]).materialize()
+    sv = survivors.select_columns(["id_a", "id_b", "rel"]).materialize()
     ids: set[str] = set()
     for b in sv.iter_batches(batch_size=4096, batch_format="pyarrow"):
         ids.update(b["id_a"].to_pylist())
         ids.update(b["id_b"].to_pylist())
-    payload_ref = fetch_payloads(prepared, ids) if ids else None
 
-    verified = ck.stage(
-        "verified",
-        lambda: sv.repartition(cfg.verify_concurrency * 4)
-        .map_batches(
+    def run_phase2() -> rd.Dataset:
+        refs, loc = build_payload_blocks(clips, ids, cfg)
+        located = locate_pairs(sv, loc, cfg)
+        out = located.map_batches(
             PairPcmVerify,
-            fn_constructor_args=(cfg, payload_ref),
+            fn_constructor_args=(cfg, refs),
             batch_format="pandas",
             batch_size=cfg.verify_batch_size,
             concurrency=cfg.verify_concurrency,
         )
-        .map_batches(lambda df: df[df["ok"]], batch_format="pandas"),
-        input_fingerprint=ck.fingerprint("survivors"),
-    )
+        return out.map_batches(
+            lambda df: df[df["ok"]][["id_a", "id_b", "rel", "ok", "snr", "parent", "reasons"]],
+            batch_format="pandas",
+        )
+
+    if ids:
+        verified = ck.stage(
+            "verified", run_phase2, input_fingerprint=ck.fingerprint("survivors")
+        )
+    else:
+        verified = rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())})
+        )
 
     edges = verified.select_columns(["id_a", "id_b"])
     if verified.count() == 0:
@@ -268,17 +351,34 @@ def run_dedup(
     assign_ref = ray.put(assign_map)
 
     class TagClusters:
+        """Filter the RAW clip table down to cluster members, then derive the
+        normalization columns only for that small subset."""
+
         def __init__(self, ref):
             from marc_record_merge_melindautils_ray.functions.util import maybe_get
 
             self.amap = maybe_get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from marc_record_merge_melindautils_ray.functions.textnorm import (
+                normalize_transcript_array,
+            )
+            from marc_record_merge_melindautils_ray.stages.normalize import _with_derived
+
             cl = [self.amap.get(c) for c in batch["clip_id"].to_pylist()]
             batch = batch.append_column("cluster_id", pa.array(cl, pa.string()))
-            return batch.filter(pc.is_valid(batch["cluster_id"])).select(MEMBER_COLS)
+            batch = batch.filter(pc.is_valid(batch["cluster_id"]))
+            # derive normalization columns for the (small) member subset only;
+            # members came through the pipeline's pre-filters, so no row-filter
+            # is re-applied here (alignment with cluster_id is preserved)
+            tr = batch["transcript"]
+            if isinstance(tr, pa.ChunkedArray):
+                tr = tr.combine_chunks()
+            norm = normalize_transcript_array(pc.fill_null(tr, ""))
+            batch = _with_derived(batch, norm)
+            return batch.select(MEMBER_COLS)
 
-    members = prepared.map_batches(
+    members = clips.map_batches(
         TagClusters, fn_constructor_args=(assign_ref,), batch_format="pyarrow", concurrency=2
     )
     authority_ref = ray.put(authority or {})

@@ -29,12 +29,12 @@ from marc_record_merge_melindautils_ray.sources.synth import (
 KINDS = ["exact", "normtext", "transcode", "containment", "nearmiss", "singleton"]
 
 
-def _family_rows(fam_idx: int, seed: int) -> list[dict]:
+def _family_rows(fam_idx: int, seed: int, dur_scale: int = 1) -> list[dict]:
     kind = KINDS[fam_idx % len(KINDS)]
     tag = f"sc:{kind}:{fam_idx}"
     sr = 8000
     rng = _rng_for("fam:" + tag, seed)
-    n = int(rng.integers(4000, 16000))
+    n = int(rng.integers(4000, 16000)) * dur_scale
     pcm = _pcm(tag, seed, n, sr)
     text = _transcript(tag, seed)
     fam = f"fam-{fam_idx}" if kind not in ("nearmiss", "singleton") else None
@@ -87,7 +87,9 @@ def _family_rows(fam_idx: int, seed: int) -> list[dict]:
     return [row(0, pcm, codec, text, s0, None)]
 
 
-def generate_clips_ds(n_families: int, seed: int = 42, with_truth: bool = False) -> rd.Dataset:
+def generate_clips_ds(
+    n_families: int, seed: int = 42, with_truth: bool = False, dur_scale: int = 1
+) -> rd.Dataset:
     """Dataset of synthesized clips for ``n_families`` family slots (mix of
     dup kinds and singletons per KINDS cycle, ≈1.8 rows per slot)."""
     idx = rd.range(n_families)
@@ -98,7 +100,7 @@ def generate_clips_ds(n_families: int, seed: int = 42, with_truth: bool = False)
     def gen(batch: pd.DataFrame) -> pa.Table:
         rows = []
         for i in batch["id"]:
-            rows.extend(_family_rows(int(i), seed))
+            rows.extend(_family_rows(int(i), seed, dur_scale))
         if not with_truth:
             for r in rows:
                 r.pop("truth_cluster")

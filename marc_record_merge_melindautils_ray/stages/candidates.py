@@ -35,6 +35,29 @@ from marc_record_merge_melindautils_ray.functions.hashing import splitmix64, sta
 # gate columns every pair row carries for both sides (phase-1 verify needs no join)
 GATE_COLS = ["fp", "nh0", "nh1", "dur_ms", "codec_cls", "sources", "is_segment_of", "decode_ok"]
 
+_GATE_TYPES = {
+    "fp": pa.int64(), "nh0": pa.int64(), "nh1": pa.int64(), "dur_ms": pa.int32(),
+    "codec_cls": pa.string(), "sources": pa.list_(pa.string()),
+    "is_segment_of": pa.string(), "decode_ok": pa.bool_(),
+}
+
+# explicit pair schema: emitters on empty/all-null partitions would otherwise
+# infer null-typed columns, producing mixed-schema blocks that break joins
+# and unions downstream
+PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.string()), ("id_b", pa.string()), ("rel", pa.string()),
+     ("bucket_n", pa.int32())]
+    + [(f"{c}_{s}", _GATE_TYPES[c]) for c in GATE_COLS for s in ("a", "b")]
+)
+
+
+def pairs_df_to_table(df: pd.DataFrame) -> pa.Table:
+    cols = {}
+    for f in PAIR_SCHEMA:
+        vals = df[f.name].tolist() if f.name in df.columns else []
+        cols[f.name] = pa.array(vals, type=f.type)
+    return pa.table(cols)
+
 def _flatten_bands(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(row_idx, band_key) for all non-empty band slots, vectorized."""
     bands = batch["bands"]
@@ -254,20 +277,22 @@ def _emit_pairs_vectorized(g: pd.DataFrame, cfg: DedupConfig, rel: str, key_col:
 
 
 def make_band_pair_emitter(cfg: DedupConfig, key_col: str = "band_key"):
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        return _strip_shingle_cols(_emit_pairs_vectorized(g, cfg, "band", key_col))
+    def emit(g: pd.DataFrame) -> pa.Table:
+        return pairs_df_to_table(
+            _strip_shingle_cols(_emit_pairs_vectorized(g, cfg, "band", key_col))
+        )
 
     return emit
 
 
 def make_containment_pair_emitter(cfg: DedupConfig, key_col: str = "sh"):
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
+    def emit(g: pd.DataFrame) -> pa.Table:
         df = _emit_pairs_vectorized(g, cfg, "containment", key_col)
         if len(df):
             # containment needs a size asymmetry; equal-size pairs are the
             # band path's job (exact/near dups)
             df = df[df["n_shingles_a"] != df["n_shingles_b"]]
-        return _strip_shingle_cols(df)
+        return pairs_df_to_table(_strip_shingle_cols(df))
 
     return emit
 
@@ -288,7 +313,7 @@ def add_pair_key(batch: pa.Table) -> pa.Table:
     return batch.append_column("pair_key", pa.array(pk.view(np.int64), pa.int64()))
 
 
-def dedup_pair_group(g: pd.DataFrame) -> pd.DataFrame:
+def dedup_pair_group(g: pd.DataFrame) -> pa.Table:
     """Per-partition pair dedup (equal (id_a,id_b) ⇒ equal pair_key ⇒ equal
     partition — one vectorized drop_duplicates per partition)."""
     from marc_record_merge_melindautils_ray.functions.util import sanitize_list_cols
@@ -299,4 +324,4 @@ def dedup_pair_group(g: pd.DataFrame) -> pd.DataFrame:
         subset=["id_a", "id_b"], keep="first"
     )
     g = g.drop(columns=["part"], errors="ignore")
-    return sanitize_list_cols(g, ["sources_a", "sources_b"])
+    return pairs_df_to_table(sanitize_list_cols(g, ["sources_a", "sources_b"]))

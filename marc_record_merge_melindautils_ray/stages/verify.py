@@ -108,40 +108,76 @@ def make_phase1_kernel(cfg: DedupConfig):
     return phase1
 
 
+def survivors_to_table(df: pd.DataFrame):
+    """Filter phase-1 survivors and emit an explicitly-typed Arrow table
+    (empty pandas blocks would otherwise infer null-typed columns and poison
+    downstream joins/unions with mixed schemas)."""
+    import pyarrow as pa
+
+    df = df[df["ok1"]]
+    return pa.table({
+        "id_a": pa.array(df["id_a"].tolist(), pa.string()),
+        "id_b": pa.array(df["id_b"].tolist(), pa.string()),
+        "rel": pa.array(df["rel"].tolist(), pa.string()),
+        "bucket_n": pa.array(df["bucket_n"].tolist(), pa.int32()),
+    })
+
+
 class PairPcmVerify:
     """Phase-2 actor: decoded-PCM SNR / containment checks on survivors.
 
-    Payload lookup is an object-store broadcast (``ray.put`` once, ``ray.get``
-    in ``__init__`` — zero-copy per actor, never re-shipped per batch); a
-    per-actor LRU keeps decoded PCM across batches.
+    Payloads live as materialized Arrow blocks in the object store
+    (``pipelines.dedup.build_payload_blocks``); pair rows carry (block, row)
+    locations and arrive sorted by ``block_a``, so actors pull each block
+    ref at most a few times — ``ray.get`` of a plasma block is zero-copy on
+    the node that holds it and a locality-aware transfer otherwise.  The
+    actor LRU-caches blocks and decoded PCM across batches — all per-actor
+    state initialized once (``__init__``), the Ray analog of the reference's
+    constructor-held DB handles (``lib/marc-record-merge-melindautils.js:60``).
+    Rows may alternatively carry payloads inline (``bytes_a``/``bytes_b``
+    columns) for store-free unit use.
     """
 
-    def __init__(self, cfg: DedupConfig, payload_ref):
-        from marc_record_merge_melindautils_ray.functions.util import maybe_get
-
+    def __init__(self, cfg: DedupConfig, block_refs=None, max_blocks: int = 32):
         self.cfg = cfg
-        self.payloads = maybe_get(payload_ref) or {}
+        self.block_refs = block_refs or []
+        self.max_blocks = max_blocks
+        self._blocks: OrderedDict[int, object] = OrderedDict()
         self._pcm_cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
-    def _pcm(self, cid: str) -> np.ndarray | None:
+    def _block(self, bi: int):
+        if bi in self._blocks:
+            self._blocks.move_to_end(bi)
+            return self._blocks[bi]
+        import ray
+
+        tbl = ray.get(self.block_refs[bi])  # zero-copy from the object store
+        self._blocks[bi] = tbl
+        if len(self._blocks) > self.max_blocks:
+            self._blocks.popitem(last=False)
+        return tbl
+
+    def _rec(self, bi: int, ri: int):
+        if bi < 0:
+            return None
+        t = self._block(int(bi))
+        return (
+            t["p_bytes"][int(ri)].as_py(),
+            t["p_codec"][int(ri)].as_py(),
+            t["p_norm"][int(ri)].as_py(),
+        )
+
+    def _pcm(self, cid: str, payload, codec) -> np.ndarray | None:
         if cid in self._pcm_cache:
             self._pcm_cache.move_to_end(cid)
             return self._pcm_cache[cid]
-        rec = self.payloads.get(cid)
-        if rec is None:
-            return None
-        payload, codec = rec["bytes"], rec["codec"]
-        if payload is None or not au.is_decodable(codec):
+        if payload is None or codec is None or not au.is_decodable(codec):
             return None
         pcm = au.decode(payload, codec)
         self._pcm_cache[cid] = pcm
-        if len(self._pcm_cache) > 4096:
+        if len(self._pcm_cache) > 1024:
             self._pcm_cache.popitem(last=False)
         return pcm
-
-    def _norm(self, cid: str) -> str:
-        rec = self.payloads.get(cid)
-        return rec["norm_transcript"] if rec else ""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -149,9 +185,22 @@ class PairPcmVerify:
         snrs = np.full(n, -np.inf, dtype=np.float64)
         parents = np.full(n, None, dtype=object)
         extra: list[list[str]] = [[] for _ in range(n)]
+        inline = "bytes_a" in df.columns
         for i, row in enumerate(df.itertuples(index=False)):
             a, b, rel = row.id_a, row.id_b, row.rel
-            pa_, pb = self._pcm(a), self._pcm(b)
+            if inline:
+                bytes_a, codec_a, norm_a = row.bytes_a, row.codec_a, row.norm_a
+                bytes_b, codec_b, norm_b = row.bytes_b, row.codec_b, row.norm_b
+            else:
+                ra = self._rec(row.block_a, row.row_a)
+                rb = self._rec(row.block_b, row.row_b)
+                if ra is None or rb is None:
+                    extra[i].append("undecodable")
+                    continue
+                bytes_a, codec_a, norm_a = ra
+                bytes_b, codec_b, norm_b = rb
+            pa_ = self._pcm(a, bytes_a, codec_a)
+            pb = self._pcm(b, bytes_b, codec_b)
             if pa_ is None or pb is None:
                 extra[i].append("undecodable")
                 continue
@@ -167,7 +216,7 @@ class PairPcmVerify:
                 else:
                     extra[i].append("pcm-snr-below-threshold")
             else:  # containment
-                na, nb = self._norm(a), self._norm(b)
+                na, nb = norm_a or "", norm_b or ""
                 if len(pa_) <= len(pb):
                     short_id, long_id, ps, pl, ns, nl = a, b, pa_, pb, na, nb
                 else:
@@ -185,10 +234,13 @@ class PairPcmVerify:
         out["ok"] = oks
         out["snr"] = snrs
         out["parent"] = parents
-        out["reasons"] = [
-            (list(r0) if r0 is not None else []) + r1
-            for r0, r1 in zip(out["reasons"], extra)
-        ]
+        if "reasons" in out.columns:
+            out["reasons"] = [
+                (list(r0) if r0 is not None else []) + r1
+                for r0, r1 in zip(out["reasons"], extra)
+            ]
+        else:
+            out["reasons"] = extra
         return out
 
 
