@@ -52,7 +52,7 @@ def run_bench() -> dict:
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth_scaled import generate_clips_ds
 
-    n_families = max(200, int(100000 * sf))
+    n_families = max(200, int(200000 * sf))
     cfg = DedupConfig(
         fingerprint_concurrency=max(2, num_cpus // 4),
         verify_concurrency=max(2, num_cpus // 4),

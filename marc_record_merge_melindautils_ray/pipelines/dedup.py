@@ -267,11 +267,16 @@ def run_dedup(
     cfg: DedupConfig | None = None,
     *,
     authority: dict[str, str] | None = None,
+    host_ids: frozenset[str] | None = None,
     checkpoint_dir: str | None = None,
 ) -> dict:
     """Full pipeline. Returns dict of Datasets + metrics:
     ``edges`` (verified dup pairs), ``assignments`` (clip_id → cluster_id),
     ``canonical`` (one merged preferred record per cluster), ``metrics``.
+
+    ``authority`` and ``host_ids`` are the two injected side tables — the
+    engine's analog of the reference's constructor-injected auth/bib DB
+    handles (``lib/marc-record-merge-melindautils.js:60``).
     """
     from marc_record_merge_melindautils_ray.state.checkpoint import Checkpointer
 
@@ -294,7 +299,7 @@ def run_dedup(
 
     from marc_record_merge_melindautils_ray.stages.verify import survivors_to_table
 
-    phase1 = pairs.map_batches(make_phase1_kernel(cfg), batch_format="pandas")
+    phase1 = pairs.map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pandas")
     survivors = ck.stage(
         "survivors",
         lambda: phase1.map_batches(survivors_to_table, batch_format="pandas"),

@@ -63,7 +63,14 @@ def _sources_overlap(sa, sb) -> bool:
     return bool(set(sa) & set(sb))
 
 
-def make_phase1_kernel(cfg: DedupConfig):
+def make_phase1_kernel(cfg: DedupConfig, host_ids: frozenset[str] | None = None):
+    """``host_ids`` is the V11 ``notHostRecord`` side input — the reference
+    queries an external bibliographic DB per pair
+    (``lib/mergeability-validators.js:180-236``); the engine takes the host
+    id set as an injected broadcast side table (the sinon-stub analog,
+    ``test/MergeUtilsMelinda.spec.js:74-84``)."""
+    hosts = host_ids or frozenset()
+
     def phase1(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         if n == 0:
@@ -97,6 +104,9 @@ def make_phase1_kernel(cfg: DedupConfig):
             dtype=bool, count=n,
         )
         add(overlap, "same-source")
+        if hosts:
+            add(df["id_a"].isin(hosts).to_numpy() | df["id_b"].isin(hosts).to_numpy(),
+                "host-record")  # V11
 
         from marc_record_merge_melindautils_ray.functions.util import sanitize_list_cols
 
@@ -251,7 +261,11 @@ class PairPcmVerify:
 # lib/marc-record-merge-melindautils.js:74).
 # --------------------------------------------------------------------------
 def verify_oriented_pairs(
-    clips: pa.Table, pairs: pa.Table, cfg: DedupConfig
+    clips: pa.Table,
+    pairs: pa.Table,
+    cfg: DedupConfig,
+    host_ids: frozenset[str] | None = None,
+    field_rules: dict | None = None,
 ) -> pd.DataFrame:
     """Returns (case, id_other, id_preferred, ok, reasons) for each pair.
 
@@ -294,8 +308,23 @@ def verify_oriented_pairs(
             reasons.append("diacritics-loss")   # V7
         if o["is_segment_of"] or pref["is_segment_of"]:
             reasons.append("segment-of")        # V12
+        if host_ids and (p["id_other"] in host_ids or p["id_preferred"] in host_ids):
+            reasons.append("host-record")       # V11 (side-table analog)
         if _dur_mismatch(np.array([o["dur_ms"]]), np.array([pref["dur_ms"]]))[0]:
             reasons.append("duration-mismatch")  # V10 analog
+        if field_rules:
+            # F1 declarative per-column rules (lib/validate-fields.js:32-94)
+            from marc_record_merge_melindautils_ray.functions.field_rules import (
+                validate_fields,
+            )
+
+            def _cols(side):
+                return {
+                    col: ([side[col]] if side.get(col) else [])
+                    for col in field_rules
+                }
+
+            reasons.extend(validate_fields(field_rules, _cols(o), _cols(pref)))
         if normalize_transcript(ot) != normalize_transcript(pt):
             reasons.append("transcript-mismatch")
         if au.is_decodable(o["codec"]) and au.is_decodable(pref["codec"]):

@@ -1,0 +1,51 @@
+"""Checkpoint/resume semantics (M7): crash mid-stage → rerun skips completed
+stages, rebuilds the broken one, output identical."""
+
+import json
+import os
+import shutil
+
+
+def _run(corpus, cfg, ck):
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+
+    clips, _, _ = corpus
+    return run_dedup(rd.from_arrow(clips), cfg, checkpoint_dir=ck)
+
+
+def test_resume_after_mid_stage_crash(ray_session, corpus, small_cfg, tmp_path):
+    ck = str(tmp_path / "ck")
+    r1 = _run(corpus, small_cfg, ck)
+    canon1 = r1["canonical"].to_pandas().sort_values("cluster_id").reset_index(drop=True)
+
+    # simulate a crash mid-canonical-write: completed stage dir gone, a stale
+    # .tmp left behind
+    shutil.rmtree(os.path.join(ck, "canonical"))
+    os.makedirs(os.path.join(ck, "canonical.tmp", "data"), exist_ok=True)
+    with open(os.path.join(ck, "canonical.tmp", "data", "junk"), "w") as f:
+        f.write("partial garbage")
+
+    r2 = _run(corpus, small_cfg, ck)
+    canon2 = r2["canonical"].to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    assert canon1[["cluster_id", "canonical_id", "preferred_member"]].equals(
+        canon2[["cluster_id", "canonical_id", "preferred_member"]]
+    )
+    # upstream stages were skipped, only the broken stage rebuilt
+    assert r2["metrics"]["features"]["cached"] is True
+    assert r2["metrics"]["pairs"]["cached"] is True
+    assert r2["metrics"]["canonical"]["cached"] is False
+    assert not os.path.exists(os.path.join(ck, "canonical.tmp"))
+
+
+def test_manifest_lineage_contents(ray_session, corpus, small_cfg, tmp_path):
+    ck = str(tmp_path / "ck2")
+    _run(corpus, small_cfg, ck)
+    with open(os.path.join(ck, "pairs", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["complete"] is True
+    assert m["config_hash"] == small_cfg.config_hash()
+    assert m["input_fingerprint"].startswith("features:")
+    assert m["num_rows"] == sum(m["partitions"].values())  # per-partition lineage
+    assert os.path.exists(os.path.join(ck, "metrics.json"))
