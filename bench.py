@@ -54,8 +54,8 @@ def run_bench() -> dict:
 
     n_families = max(200, int(200000 * sf))
     cfg = DedupConfig(
-        fingerprint_concurrency=max(2, num_cpus // 4),
-        verify_concurrency=max(2, num_cpus // 4),
+        fingerprint_concurrency=max(2, num_cpus // 2),
+        verify_concurrency=max(2, num_cpus // 2),
     )
 
     # materialize the corpus first (generation excluded from the timed run;

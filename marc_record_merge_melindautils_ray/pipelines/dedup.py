@@ -78,7 +78,7 @@ def compute_features(prepared: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=2,
+        concurrency=cfg.fingerprint_concurrency,
     )
     return ds.select_columns(FEATURE_COLS)
 
@@ -125,6 +125,38 @@ def find_candidate_key_sets(
     hot = keys[band_mask & (cnts > cfg.bucket_cap)]
     useful = keys[(~band_mask) & (cnts <= cfg.bucket_cap)]
     return multi, hot, useful
+
+
+def find_hot_band_keys_sampled(
+    features: rd.Dataset, cfg: DedupConfig, sample: float = 0.1
+) -> np.ndarray:
+    """Sampled hot-key detector (skew pass): counts band keys over a row
+    sample and flags keys whose sampled count crosses ~half the scaled
+    bucket cap.  Borderline keys a sample misses are ≤ ~2× cap and are
+    absorbed by the emitter's sorted-neighborhood fallback, so this pass can
+    be O(sample) instead of an exact full aggregate.  (The exact pass,
+    ``find_candidate_key_sets``, remains available; the pipeline uses the
+    sampled detector because singleton groups cost ~nothing since pair
+    emission went vectorized.)"""
+    step = max(1, int(round(1.0 / sample)))
+
+    def sampled_counts(batch: pa.Table) -> pa.Table:
+        sub = batch.take(pa.array(np.arange(0, len(batch), step), pa.int64()))
+        return cand.band_key_counts(sub)
+
+    agg = (
+        features.select_columns(["bands"])
+        .map_batches(sampled_counts, batch_format="pyarrow")
+        .groupby("band_key")
+        .sum("cnt")
+    )
+    thresh = max(2, int(cfg.bucket_cap * sample * 0.5))
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["sum(cnt)"], thresh))
+
+    rows = agg.map_batches(hot_only, batch_format="pyarrow").take_all()
+    return np.array([r["band_key"] for r in rows], dtype=np.int64).view(np.uint64)
 
 
 NUM_PAIR_PARTS = 64  # partition-then-vectorize fan-out (≈ cluster cores)
@@ -258,7 +290,10 @@ def locate_pairs(sv: rd.Dataset, loc: dict, cfg: DedupConfig) -> rd.Dataset:
             return t
 
     return sv.map_batches(
-        AddLoc, fn_constructor_args=(loc_ref,), batch_format="pyarrow", concurrency=2
+        AddLoc,
+        fn_constructor_args=(loc_ref,),
+        batch_format="pyarrow",
+        concurrency=max(2, cfg.verify_concurrency // 2),
     ).sort("block_a")
 
 
@@ -280,20 +315,26 @@ def run_dedup(
     """
     from marc_record_merge_melindautils_ray.state.checkpoint import Checkpointer
 
+    import time as _time
+
     cfg = cfg or DedupConfig()
     ck = Checkpointer(checkpoint_dir, cfg.config_hash())
+
+    def _lap(name, t0):
+        ck.metrics[f"driver_{name}_sec"] = round(_time.monotonic() - t0, 3)
+        return _time.monotonic()
 
     prepared = prepared_clips(clips)
     features = ck.stage("features", lambda: compute_features(prepared, cfg))
 
-    multi_keys, hot_keys, useful_shingles = find_candidate_key_sets(features, cfg)
+    _t = _time.monotonic()
+    hot_keys = find_hot_band_keys_sampled(features, cfg)
+    _t = _lap("keysets", _t)
     ck.metrics["hot_band_keys"] = int(len(hot_keys))
-    ck.metrics["multi_band_keys"] = int(len(multi_keys))
-    ck.metrics["useful_shingle_keys"] = int(len(useful_shingles))
 
     pairs = ck.stage(
         "pairs",
-        lambda: candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles),
+        lambda: candidate_pairs(features, cfg, hot_keys),
         input_fingerprint=ck.fingerprint("features"),
     )
 
@@ -306,11 +347,13 @@ def run_dedup(
         input_fingerprint=ck.fingerprint("pairs"),
     )
 
+    _t = _time.monotonic()
     sv = survivors.select_columns(["id_a", "id_b", "rel"]).materialize()
     ids: set[str] = set()
     for b in sv.iter_batches(batch_size=4096, batch_format="pyarrow"):
         ids.update(b["id_a"].to_pylist())
         ids.update(b["id_b"].to_pylist())
+    _t = _lap("collect_ids", _t)
 
     def run_phase2() -> rd.Dataset:
         refs, loc = build_payload_blocks(clips, ids, cfg)
@@ -350,10 +393,12 @@ def run_dedup(
         )
 
     # tag cluster ids onto member rows (assignments ≪ input: broadcast map)
+    _t = _time.monotonic()
     assign_map: dict[str, str] = {}
     for b in assignments.iter_batches(batch_size=8192, batch_format="pyarrow"):
         assign_map.update(zip(b["clip_id"].to_pylist(), b["cluster_id"].to_pylist()))
     assign_ref = ray.put(assign_map)
+    _t = _lap("collect_assignments", _t)
 
     class TagClusters:
         """Filter the RAW clip table down to cluster members, then derive the
@@ -384,7 +429,10 @@ def run_dedup(
             return batch.select(MEMBER_COLS)
 
     members = clips.map_batches(
-        TagClusters, fn_constructor_args=(assign_ref,), batch_format="pyarrow", concurrency=2
+        TagClusters,
+        fn_constructor_args=(assign_ref,),
+        batch_format="pyarrow",
+        concurrency=max(2, cfg.fingerprint_concurrency // 2),
     )
     authority_ref = ray.put(authority or {})
     bc = BuildCanonical(cfg, authority_ref)
