@@ -356,7 +356,9 @@ def run_dedup(
     _t = _lap("collect_ids", _t)
 
     def run_phase2() -> rd.Dataset:
+        _t2 = _time.monotonic()
         refs, loc = build_payload_blocks(clips, ids, cfg)
+        _t2 = _lap("payload_blocks", _t2)
         located = locate_pairs(sv, loc, cfg)
         out = located.map_batches(
             PairPcmVerify,
@@ -438,13 +440,11 @@ def run_dedup(
     bc = BuildCanonical(cfg, authority_ref)
 
     def build_canonical_partition(g):
-        """Partition-then-vectorize: one UDF call per hash partition, looping
-        that partition's clusters (the per-cluster merge logic itself is
-        row-level by nature, like the reference's per-pair modifiers)."""
-        import pandas as pd
-
-        tables = [bc(grp) for _, grp in g.groupby("cluster_id", sort=True)]
-        return pa.concat_tables(tables)
+        """Partition-then-vectorize: one UDF call per hash partition,
+        boundary-scanning that partition's clusters (the per-cluster merge
+        logic itself is row-level by nature, like the reference's per-pair
+        modifiers)."""
+        return bc.build_partition(g)
 
     def add_cluster_part(df):
         from marc_record_merge_melindautils_ray.functions.hashing import (

@@ -26,7 +26,13 @@ from marc_record_merge_melindautils_ray.sources.synth import (
     _transcript,
 )
 
-KINDS = ["exact", "normtext", "transcode", "containment", "nearmiss", "singleton"]
+# kind cycle tuned to a realistic dup density (~25% of rows in dup families;
+# real-world dedup corpora are mostly singletons)
+KINDS = [
+    "exact", "singleton", "singleton", "normtext", "singleton", "singleton",
+    "transcode", "singleton", "singleton", "containment", "singleton",
+    "nearmiss", "singleton", "singleton",
+]
 
 
 def _family_rows(fam_idx: int, seed: int, dur_scale: int = 1) -> list[dict]:

@@ -88,69 +88,101 @@ class BuildCanonical:
             return None
         return self.authority.get(normalize_author_key(label).lower())
 
-    def __call__(self, g) -> pa.Table:
+    def build_row(self, cols: dict[str, list]) -> dict:
+        """Core P1-P8 merge over one cluster's column slices (plain lists —
+        no per-cluster DataFrame/Table construction)."""
         cfg = self.cfg
-        if isinstance(g, pa.Table):  # map_groups(batch_format="pyarrow")
-            g = g.to_pandas()
-        g = g.sort_values("clip_id").reset_index(drop=True)
-        cluster_id = g["cluster_id"].iloc[0]
-        ranks = sorted(range(len(g)), key=lambda i: preferred_rank_key(g.iloc[i], cfg))
-        pref = g.iloc[ranks[0]]
+        n = len(cols["clip_id"])
+        cluster_id = cols["cluster_id"][0]
+        srcs = [list(s) if s is not None else [] for s in cols["sources"]]
 
-        member_ids = sorted(g["clip_id"])                             # P2
-        sources = sorted({s for row in g["sources"] for s in (row or [])})  # P1 union
+        def rank_key(i: int):
+            return (
+                0 if cfg.priority_source in srcs[i] else 1,        # V4
+                0 if cols["has_diacritics"][i] else 1,             # V7
+                -len(cols["norm_transcript"][i] or ""),            # superset
+                -len(srcs[i]),
+                cols["clip_id"][i],
+            )
+
+        ranks = sorted(range(n), key=rank_key)
+        pi = ranks[0]
+
+        member_ids = sorted(cols["clip_id"])                           # P2
+        sources = sorted({s for row in srcs for s in row})             # P1 union
 
         links: set[tuple[str, str]] = set()
-        for _, row in g.iterrows():
-            own = {(d["sys"], d["id"]) for d in (row["source_links"] or [])}
+        for i in range(n):
+            own = {
+                (d["sys"], d["id"]) for d in (cols["source_links"][i] or [])
+            }
             links |= own
             have_sys = {s for s, _ in own}
-            for src in row["sources"] or []:
+            for src in srcs[i]:
                 sys_l = src.lower()
                 if sys_l not in have_sys:                              # P1 synthesis
-                    links.add((sys_l, f"FCC{row['clip_id']}"))
-        source_links = [
-            {"sys": s, "id": i} for s, i in sorted(links)              # P8 ordering
-        ]
+                    links.add((sys_l, f"FCC{cols['clip_id'][i]}"))
+        source_links = [{"sys": s, "id": i} for s, i in sorted(links)]  # P8
 
         # P6 reprint notes: non-preferred members' distinct edition notes
         notes: list[str] = []
         seen_keys = set()
-        if pref["edition_note"]:
-            seen_keys.add(normalize_note(pref["edition_note"]))
+        if cols["edition_note"][pi]:
+            seen_keys.add(normalize_note(cols["edition_note"][pi]))
         for i in ranks[1:]:
-            note = g.iloc[i]["edition_note"]
+            note = cols["edition_note"][i]
             if not note:
                 continue
             text = f"Lisäpainokset: {note}."
             key = normalize_note(text)
-            alt_key = normalize_note(note)
-            if key in seen_keys or alt_key in seen_keys:
+            if key in seen_keys or normalize_note(note) in seen_keys:
                 continue
             seen_keys.add(key)
             notes.append(text)
         notes.sort()
 
-        # P7 authority normalization: if member headings differ, and exactly
-        # one is in authorized form, it wins; ties keep the preferred's.
-        labels = [x for x in g["author_label"] if x]
-        author = pref["author_label"]
+        # P7 authority normalization
+        labels = [x for x in cols["author_label"] if x]
+        author = cols["author_label"][pi]
         if labels and len({normalize_author_key(x) for x in labels}) > 1:
             authorized = [x for x in dict.fromkeys(labels) if self._authorized(x)]
             if len(authorized) == 1 and not self._authorized(author):
                 author = authorized[0]
 
-        out = {
+        return {
             "cluster_id": cluster_id,
             "canonical_id": f"canon-{cluster_id}",                     # P3 fresh id
-            "preferred_member": pref["clip_id"],
+            "preferred_member": cols["clip_id"][pi],
             "merged_from": member_ids,
             "sources": sources,
             "source_links": source_links,
             "notes": notes,
             "author_label": author,
-            "transcript": pref["transcript"],
+            "transcript": cols["transcript"][pi],
             "audit_agent": cfg.merge_agent,                            # P4
             "audit_at": cfg.audit_clock,                               # injected clock
         }
-        return pa.Table.from_pylist([out], schema=CANONICAL_SCHEMA)
+
+    def __call__(self, g) -> pa.Table:
+        """Single-cluster convenience entry (tests / small use)."""
+        if isinstance(g, pa.Table):
+            g = g.to_pandas()
+        g = g.sort_values("clip_id").reset_index(drop=True)
+        cols = {c: g[c].tolist() for c in MEMBER_COLS if c in g.columns}
+        return pa.Table.from_pylist([self.build_row(cols)], schema=CANONICAL_SCHEMA)
+
+    def build_partition(self, g) -> pa.Table:
+        """Partition-then-vectorize entry: boundary-scan the partition's
+        clusters once, one output Table per partition."""
+        g = g.sort_values(["cluster_id", "clip_id"])
+        cols = {c: g[c].tolist() for c in MEMBER_COLS if c in g.columns}
+        cl = cols["cluster_id"]
+        rows = []
+        start = 0
+        for i in range(1, len(cl) + 1):
+            if i == len(cl) or cl[i] != cl[start]:
+                rows.append(
+                    self.build_row({c: v[start:i] for c, v in cols.items()})
+                )
+                start = i
+        return pa.Table.from_pylist(rows, schema=CANONICAL_SCHEMA)
