@@ -194,12 +194,6 @@ def candidate_pairs(
     return pairs.groupby("part").map_groups(cand.dedup_pair_group, batch_format="pandas")
 
 
-PAYLOAD_SCHEMA = pa.schema([
-    ("bucket", pa.int64()), ("pid", pa.string()), ("p_bytes", pa.binary()),
-    ("p_codec", pa.string()), ("p_norm", pa.string()),
-])
-
-
 def _str_bucket(vals: np.ndarray, nbuckets: int) -> np.ndarray:
     from marc_record_merge_melindautils_ray.functions.hashing import (
         splitmix64,
@@ -208,21 +202,6 @@ def _str_bucket(vals: np.ndarray, nbuckets: int) -> np.ndarray:
 
     with np.errstate(over="ignore"):
         return (splitmix64(stable_str_hash(vals)) % np.uint64(nbuckets)).astype(np.int64)
-
-
-_ATTACH_SCHEMA = pa.schema([
-    ("part", pa.int64()), ("kind", pa.int8()),
-    ("key", pa.string()),
-    ("p_bytes", pa.binary()), ("p_codec", pa.string()), ("p_norm", pa.string()),
-    ("id_a", pa.string()), ("id_b", pa.string()), ("rel", pa.string()),
-    ("side", pa.string()),
-])
-
-PAIR_PAYLOAD_SCHEMA = pa.schema([
-    ("id_a", pa.string()), ("id_b", pa.string()), ("rel", pa.string()),
-    ("bytes_a", pa.binary()), ("codec_a", pa.string()), ("norm_a", pa.string()),
-    ("bytes_b", pa.binary()), ("codec_b", pa.string()), ("norm_b", pa.string()),
-])
 
 
 def build_payload_blocks(clips: rd.Dataset, ids: set[str], cfg: DedupConfig):
@@ -254,7 +233,14 @@ def build_payload_blocks(clips: rd.Dataset, ids: set[str], cfg: DedupConfig):
             "p_codec": batch["codec"], "p_norm": norm,
         })
 
-    pay = clips.map_batches(pay_rows, batch_format="pyarrow").materialize()
+    # coalesce to a handful of blocks: every verify actor can then hold the
+    # whole store in its (zero-copy) block cache instead of thrashing an LRU
+    # over hundreds of source-shaped blocks
+    pay = (
+        clips.map_batches(pay_rows, batch_format="pyarrow")
+        .repartition(max(4, cfg.verify_concurrency))
+        .materialize()
+    )
     refs = pay.to_arrow_refs()
 
     @ray.remote
@@ -289,12 +275,15 @@ def locate_pairs(sv: rd.Dataset, loc: dict, cfg: DedupConfig) -> rd.Dataset:
             t = t.append_column("row_b", pa.array([x[1] for x in lb], pa.int32()))
             return t
 
+    # NOTE: at this block count actors cache every payload block, so no
+    # locality sort is needed; at much larger scale, sort («block_a») here to
+    # keep each actor's working set to a few blocks.
     return sv.map_batches(
         AddLoc,
         fn_constructor_args=(loc_ref,),
         batch_format="pyarrow",
         concurrency=max(2, cfg.verify_concurrency // 2),
-    ).sort("block_a")
+    )
 
 
 def run_dedup(
@@ -332,23 +321,37 @@ def run_dedup(
     _t = _lap("keysets", _t)
     ck.metrics["hot_band_keys"] = int(len(hot_keys))
 
-    pairs = ck.stage(
-        "pairs",
-        lambda: candidate_pairs(features, cfg, hot_keys),
-        input_fingerprint=ck.fingerprint("features"),
-    )
-
     from marc_record_merge_melindautils_ray.stages.verify import survivors_to_table
 
-    phase1 = pairs.map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pandas")
-    survivors = ck.stage(
-        "survivors",
-        lambda: phase1.map_batches(survivors_to_table, batch_format="pandas"),
-        input_fingerprint=ck.fingerprint("pairs"),
-    )
+    if checkpoint_dir:
+        # checkpointed mode: pairs and survivors are separate resumable stages
+        pairs = ck.stage(
+            "pairs",
+            lambda: candidate_pairs(features, cfg, hot_keys),
+            input_fingerprint=ck.fingerprint("features"),
+        )
+        phase1 = pairs.map_batches(
+            make_phase1_kernel(cfg, host_ids), batch_format="pandas"
+        )
+        survivors = ck.stage(
+            "survivors",
+            lambda: phase1.map_batches(survivors_to_table, batch_format="pandas"),
+            input_fingerprint=ck.fingerprint("pairs"),
+        )
+    else:
+        # streaming mode: candidate gen → phase-1 → survivors is ONE lazy
+        # chain with a single materialization (fewer barriers; the streaming
+        # executor pipelines the stages)
+        survivors = (
+            candidate_pairs(features, cfg, hot_keys)
+            .map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pandas")
+            .map_batches(survivors_to_table, batch_format="pandas")
+        )
 
     _t = _time.monotonic()
     sv = survivors.select_columns(["id_a", "id_b", "rel"]).materialize()
+    if not checkpoint_dir:
+        ck.metrics["survivors"] = {"num_rows": sv.count(), "cached": False}
     ids: set[str] = set()
     for b in sv.iter_batches(batch_size=4096, batch_format="pyarrow"):
         ids.update(b["id_a"].to_pylist())
@@ -359,18 +362,20 @@ def run_dedup(
         _t2 = _time.monotonic()
         refs, loc = build_payload_blocks(clips, ids, cfg)
         _t2 = _lap("payload_blocks", _t2)
-        located = locate_pairs(sv, loc, cfg)
+        located = locate_pairs(sv, loc, cfg).materialize()
+        _t2 = _lap("locate_pairs", _t2)
         out = located.map_batches(
             PairPcmVerify,
             fn_constructor_args=(cfg, refs),
             batch_format="pandas",
             batch_size=cfg.verify_batch_size,
             concurrency=cfg.verify_concurrency,
-        )
-        return out.map_batches(
+        ).map_batches(
             lambda df: df[df["ok"]][["id_a", "id_b", "rel", "ok", "snr", "parent", "reasons"]],
             batch_format="pandas",
-        )
+        ).materialize()
+        _lap("verify_actors", _t2)
+        return out
 
     if ids:
         verified = ck.stage(

@@ -30,13 +30,31 @@ import pyarrow as pa
 from marc_record_merge_melindautils_ray.functions import audio as au
 from marc_record_merge_melindautils_ray.schema import CLIPS_SCHEMA
 
-_WORDS = (
+_BASE_WORDS = (
     "talvi kesä järvi metsä saari kaupunki kirja laulu tarina runo "
     "historia suomen kansallinen aika vuosi päivä ilta aamu yö tuuli "
     "meri ranta polku vuori joki silta katu talo ovi ikkuna valo "
     "pimeä lumi sade pilvi aurinko kuu tähti lintu kala karhu "
     "äiti isä lapsi ystävä opettaja kirjailija säveltäjä painos osa nide"
 ).split()
+
+# extend to a realistic vocabulary size with deterministic Finnish-flavored
+# pseudo-words: a 50-word vocabulary makes random transcripts share word
+# n-grams at rates no real corpus exhibits (flooding the containment pass
+# with unrelated candidates)
+_SYLLABLES = (
+    "ka ki ko ku la li lo lu ma mi mo mu na ni no nu pa pi po pu "
+    "ra ri ro ru sa si so su ta ti to tu va vi vo vu jä jo ly ny "
+    "hä hy kä ky lä mä my nä pä py rä ry sä sy tä ty vä vy"
+).split()
+_WORDS = list(_BASE_WORDS)
+for _i in range(2000):
+    _s = []
+    _x = _i
+    for _ in range(3):
+        _s.append(_SYLLABLES[_x % len(_SYLLABLES)])
+        _x //= len(_SYLLABLES)
+    _WORDS.append("".join(_s))
 
 _SOURCES = ["FENNI", "OULA", "TESTI", "HELKA", "JYKDOK", "TAMK"]
 _AUTHORS = [

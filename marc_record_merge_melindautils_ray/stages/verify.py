@@ -167,15 +167,19 @@ class PairPcmVerify:
             self._blocks.popitem(last=False)
         return tbl
 
-    def _rec(self, bi: int, ri: int):
+    def _norm_of(self, bi: int, ri: int) -> str | None:
+        """Fetch only the normalized transcript — cheap column access; the
+        (large) payload bytes are touched only after the text gates pass."""
         if bi < 0:
             return None
         t = self._block(int(bi))
-        return (
-            t["p_bytes"][int(ri)].as_py(),
-            t["p_codec"][int(ri)].as_py(),
-            t["p_norm"][int(ri)].as_py(),
-        )
+        return t["p_norm"][int(ri)].as_py()
+
+    def _payload_of(self, bi: int, ri: int):
+        if bi < 0:
+            return None, None
+        t = self._block(int(bi))
+        return t["p_bytes"][int(ri)].as_py(), t["p_codec"][int(ri)].as_py()
 
     def _pcm(self, cid: str, payload, codec) -> np.ndarray | None:
         if cid in self._pcm_cache:
@@ -202,13 +206,22 @@ class PairPcmVerify:
                 bytes_a, codec_a, norm_a = row.bytes_a, row.codec_a, row.norm_a
                 bytes_b, codec_b, norm_b = row.bytes_b, row.codec_b, row.norm_b
             else:
-                ra = self._rec(row.block_a, row.row_a)
-                rb = self._rec(row.block_b, row.row_b)
-                if ra is None or rb is None:
+                norm_a = self._norm_of(row.block_a, row.row_a)
+                norm_b = self._norm_of(row.block_b, row.row_b)
+                if norm_a is None or norm_b is None:
                     extra[i].append("undecodable")
                     continue
-                bytes_a, codec_a, norm_a = ra
-                bytes_b, codec_b, norm_b = rb
+                # containment text gate BEFORE any payload access: the LSH
+                # gram pass can propose unrelated pairs; rejecting them here
+                # costs a string containment check, not two payload copies
+                if rel == "containment" and (
+                    not norm_a or not norm_b
+                    or (norm_a not in norm_b and norm_b not in norm_a)
+                ):
+                    extra[i].append("transcript-mismatch")
+                    continue
+                bytes_a, codec_a = self._payload_of(row.block_a, row.row_a)
+                bytes_b, codec_b = self._payload_of(row.block_b, row.row_b)
             pa_ = self._pcm(a, bytes_a, codec_a)
             pb = self._pcm(b, bytes_b, codec_b)
             if pa_ is None or pb is None:
