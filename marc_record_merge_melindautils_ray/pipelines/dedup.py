@@ -219,25 +219,38 @@ def build_payload_blocks(clips: rd.Dataset, ids: set[str], cfg: DedupConfig):
         normalize_transcript_array,
     )
 
-    id_arr = pa.array(sorted(ids), pa.string())
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
 
-    def pay_rows(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(batch["clip_id"], value_set=id_arr)
-        batch = batch.filter(keep)
-        tr = batch["transcript"]
-        if isinstance(tr, pa.ChunkedArray):
-            tr = tr.combine_chunks()
-        norm = normalize_transcript_array(pc.fill_null(tr, ""))
-        return pa.table({
-            "pid": batch["clip_id"], "p_bytes": batch["bytes"],
-            "p_codec": batch["codec"], "p_norm": norm,
-        })
+    # broadcast the survivor id set ONCE via ray.put — as a closure capture
+    # it would be re-serialized into every task submission
+    id_ref = ray.put(pa.array(sorted(ids), pa.string()))
+
+    class PayRows:
+        def __init__(self, ref):
+            self.id_arr = maybe_get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = pc.is_in(batch["clip_id"], value_set=self.id_arr)
+            batch = batch.filter(keep)
+            tr = batch["transcript"]
+            if isinstance(tr, pa.ChunkedArray):
+                tr = tr.combine_chunks()
+            norm = normalize_transcript_array(pc.fill_null(tr, ""))
+            return pa.table({
+                "pid": batch["clip_id"], "p_bytes": batch["bytes"],
+                "p_codec": batch["codec"], "p_norm": norm,
+            })
 
     # coalesce to a handful of blocks: every verify actor can then hold the
     # whole store in its (zero-copy) block cache instead of thrashing an LRU
     # over hundreds of source-shaped blocks
     pay = (
-        clips.map_batches(pay_rows, batch_format="pyarrow")
+        clips.map_batches(
+            PayRows,
+            fn_constructor_args=(id_ref,),
+            batch_format="pyarrow",
+            concurrency=max(4, cfg.verify_concurrency),
+        )
         .repartition(max(4, cfg.verify_concurrency))
         .materialize()
     )

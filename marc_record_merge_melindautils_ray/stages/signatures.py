@@ -126,4 +126,9 @@ class AudioFingerprint:
             ok[i] = True
         batch = batch.append_column("fp", pa.array(fps.view(np.int64), pa.int64()))
         batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
-        return batch
+        # payload columns end HERE: downstream stages are signature-only, and
+        # keeping bytes in the inter-stage blocks multiplies object-store
+        # footprint by the payload size (spill cliff at large corpora)
+        return batch.drop_columns(
+            [c for c in ("bytes", "transcript") if c in batch.column_names]
+        )
