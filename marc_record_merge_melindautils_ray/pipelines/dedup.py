@@ -140,23 +140,26 @@ def find_hot_band_keys_sampled(
     emission went vectorized.)"""
     step = max(1, int(round(1.0 / sample)))
 
-    def sampled_counts(batch: pa.Table) -> pa.Table:
+    def sampled_keys(batch: pa.Table) -> pa.Table:
         sub = batch.take(pa.array(np.arange(0, len(batch), step), pa.int64()))
         return cand.band_key_counts(sub)
 
-    agg = (
-        features.select_columns(["bands"])
-        .map_batches(sampled_counts, batch_format="pyarrow")
-        .groupby("band_key")
-        .sum("cnt")
-    )
+    # driver-side count of the (bounded) sample — no aggregate shuffle; at
+    # 10% sampling the sampled partial-count rows are a few MB even for
+    # multi-100k-row corpora, and the sample budget bounds it at any scale
+    parts = features.select_columns(["bands"]).map_batches(
+        sampled_keys, batch_format="pyarrow"
+    ).take_all()
+    if not parts:
+        return np.empty(0, np.uint64)
+    keys = np.array([r["band_key"] for r in parts], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in parts], dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys, cnts = keys[order], cnts[order]
+    uniq_starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    sums = np.add.reduceat(cnts, uniq_starts)
     thresh = max(2, int(cfg.bucket_cap * sample * 0.5))
-
-    def hot_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["sum(cnt)"], thresh))
-
-    rows = agg.map_batches(hot_only, batch_format="pyarrow").take_all()
-    return np.array([r["band_key"] for r in rows], dtype=np.int64).view(np.uint64)
+    return keys[uniq_starts[sums > thresh]].view(np.uint64)
 
 
 NUM_PAIR_PARTS = 64  # partition-then-vectorize fan-out (≈ cluster cores)
@@ -241,19 +244,15 @@ def build_payload_blocks(clips: rd.Dataset, ids: set[str], cfg: DedupConfig):
                 "p_codec": batch["codec"], "p_norm": norm,
             })
 
-    # coalesce to a handful of blocks: every verify actor can then hold the
-    # whole store in its (zero-copy) block cache instead of thrashing an LRU
-    # over hundreds of source-shaped blocks
-    pay = (
-        clips.map_batches(
-            PayRows,
-            fn_constructor_args=(id_ref,),
-            batch_format="pyarrow",
-            concurrency=max(4, cfg.verify_concurrency),
-        )
-        .repartition(max(4, cfg.verify_concurrency))
-        .materialize()
-    )
+    # blocks stay source-shaped; verify actors hold the whole store in a
+    # roomy zero-copy block cache (ray.get of plasma blocks is shared-memory
+    # on the holding node), so no coalescing repartition is needed
+    pay = clips.map_batches(
+        PayRows,
+        fn_constructor_args=(id_ref,),
+        batch_format="pyarrow",
+        concurrency=max(4, cfg.verify_concurrency),
+    ).materialize()
     refs = pay.to_arrow_refs()
 
     @ray.remote

@@ -148,7 +148,7 @@ class PairPcmVerify:
     columns) for store-free unit use.
     """
 
-    def __init__(self, cfg: DedupConfig, block_refs=None, max_blocks: int = 32):
+    def __init__(self, cfg: DedupConfig, block_refs=None, max_blocks: int = 512):
         self.cfg = cfg
         self.block_refs = block_refs or []
         self.max_blocks = max_blocks
