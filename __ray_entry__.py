@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.q_events_hourly,
         "join_broadcast": relational.q_join_broadcast,
         "join_hash": relational.q_join_hash,
+        "anti_join": relational.q_anti_join,
         "top_orders": relational.q_top_orders,
         "distinct_flags": relational.q_distinct_flags,
         "exact_dedup_lineitem": relational.q_exact_dedup_lineitem,
@@ -146,6 +147,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            ORDER BY c_custkey
         """,
         "top_orders": """
             SELECT o_orderkey,

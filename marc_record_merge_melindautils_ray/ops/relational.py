@@ -176,6 +176,38 @@ def q_join_hash(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Customers with no finished ('F') orders — ANTI-join as a broadcast key-set filter
+    (ship the key set once via ray.put; Bloom filter at scale), no shuffle
+    (SURVEY.md §2.7 semi/anti joins)."""
+    import ray
+
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).to_pandas()
+    keys = orders.loc[orders["o_orderstatus"] == "F", "o_custkey"].unique()
+    ref = ray.put(pa.array(np.sort(keys)))
+
+    class AntiFilter:
+        def __init__(self, r):
+            self.keys = maybe_get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys))
+            return t.filter(keep).select(["c_custkey", "c_name"])
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     concurrency=2)
+        .to_pandas()
+    )
+    if out.empty:  # all keys matched: empty result still needs its schema
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                            "c_name": pd.Series([], dtype=object)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 # --------------------------------------------------------- sort/limit/distinct
 def q_top_orders(sf_dir: str) -> pd.DataFrame:
     """Global top-10 by price: per-batch local top-k, then one tiny final
