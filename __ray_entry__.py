@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup_text.q_ngram_jaccard_pairs,
         # similarity search
         "ann_topk": similarity.q_ann_topk,
+        "ann_lsh": similarity.q_ann_lsh,
         "cosine_pairs": similarity.q_cosine_pairs,
         "lsh_bucket_counts": similarity.lsh_bucket_counts,
         # text analysis

@@ -119,6 +119,69 @@ class HyperplaneLsh:
         return pa.table({"vec_id": pa.array(ids), "bucket": pa.array(bucket, pa.int64())})
 
 
+def q_ann_lsh(sf_dir: str, k: int = 10, n_tables: int = 12) -> pd.DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH — the scale path:
+    each query probes only its bucket in each of ``n_tables`` hash tables, so
+    the scored candidate set is a small fraction of the corpus (the recall
+    trade-off is measured against brute force in tests)."""
+    ds = _emb(sf_dir)
+    q = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas().sort_values("vec_id")
+    q_ids = q["vec_id"].to_numpy()
+    qm = np.array([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    hashers = [HyperplaneLsh(dim=qm.shape[1], n_planes=4, seed=100 + t) for t in range(n_tables)]
+    q_buckets = np.stack(
+        [((qm @ h.planes) > 0) @ h.powers for h in hashers]
+    )  # (n_tables, n_query)
+    ref = ray.put((q_ids, qn, q_buckets, [h.planes for h in hashers],
+                   [h.powers for h in hashers]))
+
+    def local(t: pa.Table) -> pd.DataFrame:
+        q_ids_, qn_, qb, planes, powers = maybe_get(ref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        cand_mask = np.zeros((len(ids), len(q_ids_)), dtype=bool)
+        for ti in range(len(planes)):
+            cb = ((mat @ planes[ti]) > 0) @ powers[ti]
+            cand_mask |= cb[:, None] == qb[ti][None, :]
+        out = []
+        for qi in range(len(q_ids_)):
+            mask = cand_mask[:, qi] & (ids != q_ids_[qi])
+            if not mask.any():
+                continue
+            sims = matn[mask] @ qn_[qi]
+            cid = ids[mask]
+            top = np.lexsort((cid, -sims))[: 2 * 10]
+            out.append(pd.DataFrame({
+                "query_id": q_ids_[qi], "neighbor_id": cid[top], "sim": sims[top],
+            }))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        rows.append(g[["query_id", "neighbor_id", "rank"]])
+    if not rows:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64)})
+    return (
+        pd.concat(rows, ignore_index=True)
+        .astype({"query_id": np.int64, "neighbor_id": np.int64, "rank": np.int64})
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
 def lsh_bucket_counts(sf_dir: str) -> pd.DataFrame:
     ds = _emb(sf_dir)
     out = (

@@ -1,0 +1,27 @@
+"""Similarity search: brute-force top-k vs LSH-bucketed approximate top-k."""
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ann_lsh_recall_vs_brute_force(ray_session):
+    from marc_record_merge_melindautils_ray.ops.similarity import q_ann_lsh, q_ann_topk
+
+    exact = q_ann_topk(SF)
+    approx = q_ann_lsh(SF)
+    # recall@10 of the approximate result against exact top-10, per query
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls  # multi-probe LSH on
+    # random 64-d vectors: candidates are a small corpus fraction, recall
+    # necessarily approximate — the scale/recall trade-off under test
+
+
+def test_ann_lsh_deterministic(ray_session):
+    from marc_record_merge_melindautils_ray.ops.similarity import q_ann_lsh
+
+    a = q_ann_lsh(SF)
+    b = q_ann_lsh(SF)
+    assert a.equals(b)
