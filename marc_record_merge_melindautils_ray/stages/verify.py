@@ -137,48 +137,36 @@ class PairPcmVerify:
     """Phase-2 actor: decoded-PCM SNR / containment checks on survivors.
 
     Payloads live as materialized Arrow blocks in the object store
-    (``pipelines.dedup.build_payload_blocks``); pair rows carry (block, row)
-    locations and arrive sorted by ``block_a``, so actors pull each block
-    ref at most a few times — ``ray.get`` of a plasma block is zero-copy on
-    the node that holds it and a locality-aware transfer otherwise.  The
-    actor LRU-caches blocks and decoded PCM across batches — all per-actor
-    state initialized once (``__init__``), the Ray analog of the reference's
+    (``pipelines.dedup.build_payload_blocks``).  Each actor builds a
+    clip_id → (block, row) ``ArrowBlockIndex`` ONCE in ``__init__`` from the
+    block refs — ``ray.get`` of a plasma block is zero-copy on the node that
+    holds it and a locality-aware transfer otherwise — then resolves pair
+    locations itself per batch (vectorized searchsorted), so the driver never
+    builds a location dict and no separate "locate" pipeline stage exists.
+    Per-actor state initialized once is the Ray analog of the reference's
     constructor-held DB handles (``lib/marc-record-merge-melindautils.js:60``).
     Rows may alternatively carry payloads inline (``bytes_a``/``bytes_b``
     columns) for store-free unit use.
     """
 
-    def __init__(self, cfg: DedupConfig, block_refs=None, max_blocks: int = 512):
+    def __init__(self, cfg: DedupConfig, block_refs=None):
+        from marc_record_merge_melindautils_ray.state.broadcast_index import ArrowBlockIndex
+
         self.cfg = cfg
-        self.block_refs = block_refs or []
-        self.max_blocks = max_blocks
-        self._blocks: OrderedDict[int, object] = OrderedDict()
+        self._index = ArrowBlockIndex(block_refs, "pid") if block_refs else None
         self._pcm_cache: OrderedDict[str, np.ndarray] = OrderedDict()
-
-    def _block(self, bi: int):
-        if bi in self._blocks:
-            self._blocks.move_to_end(bi)
-            return self._blocks[bi]
-        import ray
-
-        tbl = ray.get(self.block_refs[bi])  # zero-copy from the object store
-        self._blocks[bi] = tbl
-        if len(self._blocks) > self.max_blocks:
-            self._blocks.popitem(last=False)
-        return tbl
 
     def _norm_of(self, bi: int, ri: int) -> str | None:
         """Fetch only the normalized transcript — cheap column access; the
         (large) payload bytes are touched only after the text gates pass."""
         if bi < 0:
             return None
-        t = self._block(int(bi))
-        return t["p_norm"][int(ri)].as_py()
+        return self._index.tables[int(bi)]["p_norm"][int(ri)].as_py()
 
     def _payload_of(self, bi: int, ri: int):
         if bi < 0:
             return None, None
-        t = self._block(int(bi))
+        t = self._index.tables[int(bi)]
         return t["p_bytes"][int(ri)].as_py(), t["p_codec"][int(ri)].as_py()
 
     def _pcm(self, cid: str, payload, codec) -> np.ndarray | None:
@@ -200,6 +188,14 @@ class PairPcmVerify:
         parents = np.full(n, None, dtype=object)
         extra: list[list[str]] = [[] for _ in range(n)]
         inline = "bytes_a" in df.columns
+        if not inline and self._index is not None:
+            # vectorized id → (block, row) resolution against the actor-local
+            # index; a miss surfaces as block -1 → "undecodable" below
+            ba, ra, _ = self._index.lookup(df["id_a"].to_numpy())
+            bb, rb, _ = self._index.lookup(df["id_b"].to_numpy())
+            df = df.copy()
+            df["block_a"], df["row_a"] = ba, ra
+            df["block_b"], df["row_b"] = bb, rb
         for i, row in enumerate(df.itertuples(index=False)):
             a, b, rel = row.id_a, row.id_b, row.rel
             if inline:
