@@ -205,6 +205,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(coalesce(text, '')) AS fp_md5 FROM documents
         """,
+        "ngram_jaccard_pairs": """
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            ), grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   (1000 * i.c) // (sa.n + sb.n - i.c) AS jaccard_permille
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 200
+            ORDER BY id_a, id_b
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings WHERE vec_id < 5),
@@ -232,6 +255,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY item_id
         """,
         # no oracle (non-SQL-expressible; driver records rows-only checks):
-        # minhash_lsh_docs, simhash_docs, ngram_jaccard_pairs, lang_id,
+        # minhash_lsh_docs, simhash_docs, lang_id,
         # lsh_bucket_counts, image_features, clips_dedup, clips_canonical
     }

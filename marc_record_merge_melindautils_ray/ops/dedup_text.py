@@ -42,12 +42,31 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out[["keep_doc_id", "n_copies"]].sort_values("keep_doc_id").reset_index(drop=True)
 
 
+NUM_DOC_PARTS = 64  # partition-then-vectorize fan-out (see stages.candidates)
+
+
+def _add_int_part(t: pa.Table, key_col: str, num_parts: int = NUM_DOC_PARTS) -> pa.Table:
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    k = np.asarray(t[key_col]).view(np.uint64)
+    part = (splitmix64(k) % np.uint64(num_parts)).astype(np.int64)
+    return t.append_column("part", pa.array(part, pa.int64()))
+
+
 def minhash_lsh_clusters(
     ds: rd.Dataset, id_col: str, text_col: str, cfg: DedupConfig | None = None
 ) -> rd.Dataset:
     """MinHash+LSH near-dup clustering over any (id, text) dataset:
-    normalize → shingle → MinHash → band explode → groupby(band) → pairs →
-    exact-Jaccard verify → connected components.  Returns (id, cluster_id)."""
+    normalize → shingle → MinHash → band explode → re-key to
+    ``part = hash(band_key) % P`` → ONE vectorized pair emission per
+    partition (boundary scan + shared ``triu`` broadcast, the
+    ``stages.candidates`` pattern — never a ~ms-cost UDF per band key) →
+    exact-signature-Jaccard verify → connected components.
+    Returns (id, cluster_id).
+
+    Oversized band buckets (> ``cfg.bucket_cap``) fall back to
+    sorted-neighborhood pairing and every emitted pair carries its
+    ``bucket_n`` — capped work is visible, never a silent row drop."""
     from marc_record_merge_melindautils_ray.stages.cluster import connected_components
 
     cfg = cfg or DedupConfig()
@@ -78,24 +97,58 @@ def minhash_lsh_clusters(
                 "sig": sig_list,
             })
 
-    band_rows = ds.map_batches(Sig, batch_format="pyarrow", concurrency=2)
+    band_rows = ds.map_batches(Sig, batch_format="pyarrow", concurrency=2).map_batches(
+        lambda t: _add_int_part(t, "band_key"), batch_format="pyarrow"
+    )
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("id")
+    def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """All band keys of one partition in one pass: boundary scan on the
+        sorted key column; equal-size groups share one triu broadcast."""
+        g = g.sort_values(["band_key", "id"]).drop_duplicates(["band_key", "id"])
+        g = g.reset_index(drop=True)
+        keys = g["band_key"].to_numpy()
         n = len(g)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "bucket_n": pd.Series([], dtype=np.int32),
+        })
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        n = min(n, cfg.bucket_cap)
-        g = g.sort_values("id").head(n)
-        ii, jj = np.triu_indices(n, k=1)
+            return empty
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        lo_list, hi_list, bn_list = [], [], []
+        normal = (sizes >= 2) & (sizes <= cfg.bucket_cap)
+        for sz in np.unique(sizes[normal]):
+            ii, jj = np.triu_indices(int(sz), k=1)
+            st = starts[normal & (sizes == sz)]
+            lo_list.append((st[:, None] + ii[None, :]).ravel())
+            hi_list.append((st[:, None] + jj[None, :]).ravel())
+            bn_list.append(np.full(len(st) * len(ii), sz, np.int32))
+        # oversized buckets: sorted-neighborhood fallback, bucket_n visible
+        for s, sz in zip(starts[sizes > cfg.bucket_cap], sizes[sizes > cfg.bucket_cap]):
+            w = 4
+            base = np.arange(sz)
+            ii = np.concatenate([base[:-d] for d in range(1, w + 1) if d < sz])
+            jj = np.concatenate([base[d:] for d in range(1, w + 1) if d < sz])
+            lo_list.append(s + ii)
+            hi_list.append(s + jj)
+            bn_list.append(np.full(len(ii), sz, np.int32))
+        if not lo_list:
+            return empty
+        lo = np.concatenate(lo_list)
+        hi = np.concatenate(hi_list)
+        bn = np.concatenate(bn_list)
         sigs = np.stack(g["sig"].to_numpy()).view(np.uint64)
-        jac = (sigs[ii] == sigs[jj]).mean(axis=1)
+        jac = (sigs[lo] == sigs[hi]).mean(axis=1)
         keep = jac >= cfg.jaccard_threshold
         ids = g["id"].to_numpy()
-        return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]})
+        return pd.DataFrame({
+            "id_a": ids[lo[keep]], "id_b": ids[hi[keep]], "bucket_n": bn[keep],
+        })
 
-    pairs = band_rows.groupby("band_key").map_groups(
-        emit_pairs, batch_format="pandas"
+    pairs = band_rows.groupby("part").map_groups(
+        emit_partition, batch_format="pandas"
     ).materialize()
     if pairs.count() == 0:
         return rd.from_arrow(
@@ -154,28 +207,130 @@ def q_simhash_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("id").reset_index(drop=True)
 
 
+NGRAM_MIN_PERMILLE = 200  # report-pair threshold (mirrored in the SQL oracle)
+
+
 def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    """Exact word-3-gram Jaccard over LSH candidate pairs (candidates from
-    band collisions, verified with the true gram sets — the classic
-    two-stage near-dup check).  Output: (id_a, id_b, jaccard_permille)."""
-    cfg = DedupConfig(jaccard_threshold=0.0)  # keep all candidates, report exact J
-    docs = _docs(sf_dir).to_pandas()
-    texts = {int(r.doc_id): (r.text or "") for r in docs.itertuples()}
-    clusters = minhash_lsh_clusters(_docs(sf_dir), "doc_id", "text", cfg)
-    pairs = []
-    cl = clusters.to_pandas().groupby("cluster_id")["id"].apply(sorted)
-    import itertools
+    """Exact word-3-gram Jaccard near-dup pairs, fully distributed:
 
-    for ids in cl:
-        for a, b in itertools.combinations(ids, 2):
-            def grams(s):
-                w = s.lower().split()
-                return {" ".join(w[i : i + 3]) for i in range(max(0, len(w) - 2))}
+    1. ``map_batches``: per-doc DISTINCT gram hashes → rows
+       (gram int64, doc_id, n = |gram set|) — gram sets computed ONCE per doc.
+    2. gram-hash partition → vectorized co-occurrence pair emission
+       (every pair of docs sharing that gram, boundary scan + triu).
+    3. pair-key partition → vectorized shared-gram count per pair →
+       ``j‰ = 1000·|∩| // (n_a + n_b − |∩|)``, keep ``j‰ ≥ 200``.
 
-            ga, gb = grams(texts[a]), grams(texts[b])
-            if ga or gb:
-                j = 1000 * len(ga & gb) // len(ga | gb)
-                pairs.append({"id_a": a, "id_b": b, "jaccard_permille": j})
-    return pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard_permille"]).astype(
-        {"id_a": np.int64, "id_b": np.int64, "jaccard_permille": np.int64}
+    Exact-join semantics (no LSH candidate loss), so it is SQL-expressible —
+    see ``oracle_sql()['ngram_jaccard_pairs']``.  Grams ride as 64-bit hashes;
+    a hash collision would merge two gram identities (negligible at 2^-64,
+    documented trade for not shuffling gram strings).
+    Output: (id_a, id_b, jaccard_permille), sorted."""
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        texts = [x or "" for x in t["text"].to_pylist()]
+        counts = np.zeros(len(texts), dtype=np.int64)
+        all_grams: list[str] = []
+        for i, s in enumerate(texts):
+            w = s.lower().split()
+            g = [" ".join(w[j : j + 3]) for j in range(max(0, len(w) - 2))]
+            all_grams.append(g)
+            counts[i] = len(g)
+        flat = [x for g in all_grams for x in g]
+        h = stable_str_hash(flat) if flat else np.empty(0, np.uint64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        gs, idxs, ns = [], [], []
+        for i in range(len(texts)):
+            hh = np.unique(h[starts[i] : ends[i]])
+            gs.append(hh)
+            idxs.append(np.full(len(hh), i, np.int64))
+            ns.append(np.full(len(hh), len(hh), np.int64))
+        gcat = np.concatenate(gs) if gs else np.empty(0, np.uint64)
+        icat = np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+        ncat = np.concatenate(ns) if ns else np.empty(0, np.int64)
+        return pa.table({
+            "gram": pa.array(gcat.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[icat], pa.int64()),
+            "n": pa.array(ncat, pa.int64()),
+        })
+
+    grams = (
+        _docs(sf_dir)
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .map_batches(lambda t: _add_int_part(t, "gram"), batch_format="pyarrow")
     )
+
+    def cooccur_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Pairs of docs sharing each gram of this partition (exact join —
+        hub grams emit all their pairs by definition of the query)."""
+        g = g.sort_values(["gram", "doc_id"]).reset_index(drop=True)
+        keys = g["gram"].to_numpy()
+        n = len(g)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64),
+            "n_a": pd.Series([], dtype=np.int64), "n_b": pd.Series([], dtype=np.int64),
+        })
+        if n < 2:
+            return empty
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        lo_list, hi_list = [], []
+        for sz in np.unique(sizes[sizes >= 2]):
+            ii, jj = np.triu_indices(int(sz), k=1)
+            st = starts[sizes == sz]
+            lo_list.append((st[:, None] + ii[None, :]).ravel())
+            hi_list.append((st[:, None] + jj[None, :]).ravel())
+        if not lo_list:
+            return empty
+        lo = np.concatenate(lo_list)
+        hi = np.concatenate(hi_list)
+        ids = g["doc_id"].to_numpy()
+        ns = g["n"].to_numpy()
+        return pd.DataFrame({
+            "id_a": ids[lo], "id_b": ids[hi], "n_a": ns[lo], "n_b": ns[hi],
+        })
+
+    pair_rows = (
+        grams.groupby("part")
+        .map_groups(cooccur_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: _add_int_part(
+                t.append_column(
+                    "pk",
+                    pa.array(
+                        (np.asarray(t["id_a"], np.int64) << 32)
+                        ^ np.asarray(t["id_b"], np.int64),
+                        pa.int64(),
+                    ),
+                ),
+                "pk",
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def score_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """|∩| per pair = row count (one row per shared gram); vectorized."""
+        agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
+            c=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        j = (1000 * agg["c"].to_numpy()) // (
+            agg["n_a"].to_numpy() + agg["n_b"].to_numpy() - agg["c"].to_numpy()
+        )
+        agg["jaccard_permille"] = j
+        agg = agg[j >= NGRAM_MIN_PERMILLE]
+        return agg[["id_a", "id_b", "jaccard_permille"]].astype(np.int64)
+
+    out = (
+        pair_rows.groupby("part")
+        .map_groups(score_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "jaccard_permille": pd.Series([], dtype=np.int64),
+        })
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -113,23 +113,33 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
 
 # --------------------------------------------------------------------- joins
 def q_join_broadcast(sf_dir: str) -> pd.DataFrame:
-    """orders ⨝ customer ⨝ nation with BROADCAST small sides: the dimension
-    maps ship once via ray.put and each batch does a vectorized lookup — no
-    shuffle at all (SURVEY.md §2.7 joins/lookups)."""
+    """orders ⨝ customer (hash join — customer scales with sf, so it is NOT
+    broadcast) ⨝ nation (25 rows — the legitimate broadcast side, shipped
+    once via ray.put), then per-batch partial aggregation before the tiny
+    final groupby (SURVEY.md §2.7 joins/lookups).
+
+    Scale shape: only the genuinely-bounded dimension table is a driver-side
+    broadcast; the fact⨝dimension join on the growing side is a distributed
+    ``Dataset.join`` hash shuffle."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    ref = ray.put((c2n, n2name))
+    ref = ray.put(n2name)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
 
     def kern(t: pa.Table) -> pd.DataFrame:
         from marc_record_merge_melindautils_ray.functions.util import maybe_get
 
-        c2n_, n2name_ = maybe_get(ref)
-        cust_keys = np.asarray(t["o_custkey"])
-        names = np.array([n2name_.get(c2n_.get(int(k))) for k in cust_keys], dtype=object)
+        n2name_ = maybe_get(ref)
+        nk = np.asarray(t["c_nationkey"])
+        names = np.array([n2name_.get(int(k)) for k in nk], dtype=object)
         df = pd.DataFrame({
             "n_name": names,
             "n_orders": np.ones(len(t), dtype=np.int64),
@@ -137,9 +147,8 @@ def q_join_broadcast(sf_dir: str) -> pd.DataFrame:
         })
         return df.groupby("n_name", as_index=False).sum()
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
-        orders.map_batches(kern, batch_format="pyarrow")
+        joined.map_batches(kern, batch_format="pyarrow")
         .groupby("n_name")
         .sum(["n_orders", "sum_total_cents"])
         .to_pandas()
@@ -184,13 +193,30 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
 
     from marc_record_merge_melindautils_ray.functions.util import maybe_get
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).to_pandas()
-    keys = orders.loc[orders["o_orderstatus"] == "F", "o_custkey"].unique()
-    ref = ray.put(pa.array(np.sort(keys)))
+    # distinct 'F' customer keys computed IN RAY (per-batch filter+unique →
+    # tiny distinct groupby); the fact table never lands on the driver —
+    # the driver only holds the materialized key blocks' ObjectRefs
+    def f_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderstatus"], "F")
+        return pa.table({"k": pc.unique(t.filter(keep)["o_custkey"].combine_chunks())})
+
+    keys_ds = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(f_keys, batch_format="pyarrow")
+        .groupby("k")
+        .count()
+        .materialize()
+    )
+    key_refs = keys_ds.to_arrow_refs()
 
     class AntiFilter:
-        def __init__(self, r):
-            self.keys = maybe_get(r)
+        def __init__(self, refs):
+            parts = []
+            for r in refs:
+                t = maybe_get(r)
+                if len(t) and "k" in t.column_names:
+                    parts.append(t["k"].combine_chunks() if isinstance(t["k"], pa.ChunkedArray) else t["k"])
+            self.keys = pa.concat_arrays(parts) if parts else pa.array([], pa.int64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keep = pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys))
@@ -198,7 +224,7 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
 
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(AntiFilter, fn_constructor_args=(ref,), batch_format="pyarrow",
+        .map_batches(AntiFilter, fn_constructor_args=(key_refs,), batch_format="pyarrow",
                      concurrency=2)
         .to_pandas()
     )
