@@ -7,12 +7,15 @@ gate is just one config instance (``lib/mergeability-validators.js:95-107``).
 Rules, with the reference's exact quirks preserved:
 
 * ``identical`` — multiset-equal value sets short-circuit OK (``:41-45``)
-* ``preferredIsSuperset`` — other ⊆ preferred required; preferred ⊊ other
-  forbidden (``:47-55``)
-* ``preferredIsSupersetExceptIfEmpty`` — same, vacuous when preferred has
-  none (``:56-65``)
-* ``neitherHas`` — any occurrence on either side fails (``:74-82``)
-* ``onlyPreferredHas`` — other must have none (``:84-88``)
+* ``preferredIsSuperset`` — TWO accumulating checks (``:47-55``): preferred ⊆
+  other is an error (so EQUAL multisets without an ``identical`` rule fail —
+  the reference's quirk), and other ⊄ preferred is an error
+* ``preferredIsSupersetExceptIfEmpty`` — the same pair, each vacuous when
+  preferred has none (``:56-65``)
+* ``neitherHas`` / ``onlyPreferredHas`` — nested under the ELSE of the
+  both-have-differing check (``:72-90``): when both sides have differing
+  values only the differing error fires; otherwise any occurrence on the
+  forbidden side(s) fails
 * ``otherHas`` — NO branch exists in the reference (``:99`` config names it,
   the interpreter falls through): behaves as the generic
   both-have-differing ⇒ error check (``:68-71``).  Preserved verbatim.
@@ -58,30 +61,44 @@ def validate_fields(
         o = list(other.get(col) or [])
         p = list(preferred.get(col) or [])
 
-        if "neitherHas" in rules:
-            if o or p:
-                errors.append(f"Neither record may have column {col}")
-            continue
-        if "onlyPreferredHas" in rules:
-            if o:
-                errors.append(f"Only preferred record may have column {col}")
-            continue
-
         if "identical" in rules and multisets_identical(o, p, key):
             continue  # short-circuit OK (lib/validate-fields.js:41-45)
-        if "preferredIsSuperset" in rules or (
-            "preferredIsSupersetExceptIfEmpty" in rules and p
-        ):
+
+        if "preferredIsSuperset" in rules:
+            # TWO accumulating checks, exactly as lib/validate-fields.js:47-55:
+            # equal multisets without an 'identical' rule FAIL (preferred is a
+            # subset of other) — the reference's quirk, preserved.
+            if multiset_is_subset(p, o, key):
+                errors.append(
+                    f"Preferred record has {col} values that are a subset of other"
+                )
             if not multiset_is_subset(o, p, key):
                 errors.append(f"Preferred record is missing {col} values present in other")
-            continue
-        if "preferredIsSupersetExceptIfEmpty" in rules and not p:
-            continue  # vacuous (lib/validate-fields.js:56-65)
-        # generic fall-through — including the reference's branchless
-        # 'otherHas' rule (lib/validate-fields.js:68-71, config at
-        # lib/mergeability-validators.js:99)
-        if o and p and not multisets_identical(o, p, key):
+        elif "preferredIsSupersetExceptIfEmpty" in rules:
+            # same pair of checks, each vacuous when preferred has none
+            # (lib/validate-fields.js:56-65)
+            if p and multiset_is_subset(p, o, key):
+                errors.append(
+                    f"Preferred record has {col} values that are a subset of other"
+                )
+            if p and not multiset_is_subset(o, p, key):
+                errors.append(f"Preferred record is missing {col} values present in other")
+        elif o and p and not multisets_identical(o, p, key):
+            # generic both-have-differing check — including the reference's
+            # branchless 'otherHas' rule (lib/validate-fields.js:68-71, config
+            # at lib/mergeability-validators.js:99)
             errors.append(f"Records have differing {col} values")
+        else:
+            # neitherHas / onlyPreferredHas are NESTED under the else of the
+            # differing check (lib/validate-fields.js:72-90): when both sides
+            # have differing values only the differing error fires
+            if "neitherHas" in rules:
+                if o:
+                    errors.append(f"Other record may not have column {col}")
+                if p:
+                    errors.append(f"Preferred record may not have column {col}")
+            if "onlyPreferredHas" in rules and o:
+                errors.append(f"Only preferred record may have column {col}")
     return errors
 
 

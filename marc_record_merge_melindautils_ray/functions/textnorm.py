@@ -26,9 +26,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _NORM_RE = re.compile(r"[^a-z0-9åäö]+")
-# anyDiacritics: /[^ -~,'öäå']/ — any char outside printable ASCII or öäå
-# (the reference's char class also lists , ' which are already in ' '-'~').
-_DIACRITICS_RE = re.compile(r"[^ -~öäå]")
+# anyDiacritics: /[^\x00-~,'öäå']/ — any char outside the FULL ASCII
+# range U+0000–U+007E (controls included: tab/newline are NOT diacritics) or
+# öäå.  The , ' in the reference class are already inside \x00-\x7e.
+_DIACRITICS_RE = re.compile(r"[^\x00-~öäå]")
 _NOTE_NORM_RE = re.compile(r"\W", re.UNICODE)
 _AUTHOR_PUNCT_RE = re.compile(r"[.,:-]")
 
@@ -50,7 +51,7 @@ def has_diacritics(text: str) -> bool:
 
 
 def has_diacritics_array(arr: pa.Array) -> pa.Array:
-    return pc.match_substring_regex(arr, r"[^ -~öäå]")
+    return pc.match_substring_regex(arr, r"[^\x00-~öäå]")
 
 
 def normalize_note(text: str) -> str:

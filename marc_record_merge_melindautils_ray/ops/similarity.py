@@ -154,7 +154,7 @@ def q_ann_lsh(sf_dir: str, k: int = 10, n_tables: int = 12) -> pd.DataFrame:
                 continue
             sims = matn[mask] @ qn_[qi]
             cid = ids[mask]
-            top = np.lexsort((cid, -sims))[: 2 * 10]
+            top = np.lexsort((cid, -sims))[: 2 * k]  # per-batch retention scales with k
             out.append(pd.DataFrame({
                 "query_id": q_ids_[qi], "neighbor_id": cid[top], "sim": sims[top],
             }))

@@ -298,7 +298,20 @@ def run_dedup(
         return _time.monotonic()
 
     prepared = prepared_clips(clips)
-    features = ck.stage("features", lambda: compute_features(prepared, cfg))
+    if checkpoint_dir:
+        # root-stage lineage: a changed input corpus (paths/sizes/mtimes, or
+        # a content head-sample for in-memory datasets) invalidates every
+        # downstream checkpoint (ADVICE r1)
+        from marc_record_merge_melindautils_ray.state.checkpoint import (
+            dataset_input_fingerprint,
+        )
+
+        input_fp = dataset_input_fingerprint(clips)
+    else:
+        input_fp = ""
+    features = ck.stage(
+        "features", lambda: compute_features(prepared, cfg), input_fingerprint=input_fp
+    )
 
     _t = _time.monotonic()
     hot_keys = find_hot_band_keys_sampled(features, cfg)

@@ -59,13 +59,15 @@ class Checkpointer:
 
     def fingerprint(self, stage: str) -> str:
         """Lineage fingerprint of a completed stage's output (feeds the next
-        stage's input_fingerprint)."""
+        stage's input_fingerprint).  Uses the content digest (per-file sizes +
+        row counts), not just the row count, so content changes that preserve
+        cardinality still invalidate downstream stages."""
         if not self.root:
             return ""
         try:
             with open(self._manifest_path(stage)) as f:
                 m = json.load(f)
-            return f"{stage}:{m['config_hash']}:{m['num_rows']}"
+            return f"{stage}:{m['config_hash']}:{m.get('content_digest', m['num_rows'])}"
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
             return ""
 
@@ -102,12 +104,19 @@ class Checkpointer:
             f: pq.ParquetFile(os.path.join(tmp, "data", f)).metadata.num_rows
             for f in files
         }
+        import hashlib
+
+        dig = hashlib.blake2b(digest_size=8)
+        for f in files:
+            sz = os.path.getsize(os.path.join(tmp, "data", f))
+            dig.update(f"{f}:{sz}:{per_file[f]}".encode())
         manifest = {
             "stage": name,
             "complete": True,
             "config_hash": self.config_hash,
             "input_fingerprint": input_fingerprint,
             "num_rows": sum(per_file.values()),
+            "content_digest": dig.hexdigest(),
             "partitions": per_file,
             "sec": round(time.monotonic() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -126,3 +135,43 @@ class Checkpointer:
         if self.root:
             with open(os.path.join(self.root, "metrics.json"), "w") as f:
                 json.dump(self.metrics, f, indent=1)
+
+
+def dataset_input_fingerprint(ds: rd.Dataset, sample_rows: int = 1024) -> str:
+    """Fingerprint of a pipeline's ROOT input so resuming with a changed
+    corpus invalidates everything (ADVICE r1: an empty root fingerprint let a
+    changed input silently reuse stale checkpoints).
+
+    File-backed datasets: digest of sorted (path, size, mtime) — cheap and
+    content-sensitive for immutable file layouts.  In-memory datasets: digest
+    of the row count plus a bounded deterministic head sample of the first
+    string/binary-ish columns (full-content hashing would defeat streaming)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    files = []
+    try:
+        files = ds.input_files()
+    except Exception:
+        files = []
+    if files:
+        for f in sorted(files):
+            try:
+                st = os.stat(f)
+                h.update(f"{f}:{st.st_size}:{int(st.st_mtime)}".encode())
+            except OSError:
+                h.update(f.encode())
+        return "files:" + h.hexdigest()
+    h.update(str(ds.count()).encode())
+    head = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    import pyarrow as pa
+
+    tbl = head if isinstance(head, pa.Table) else pa.table(head)
+    for name in tbl.column_names[:6]:
+        col = tbl[name]
+        try:
+            h.update(name.encode())
+            h.update(str(col.to_pylist()).encode()[:1 << 20])
+        except Exception:
+            continue
+    return "mem:" + h.hexdigest()

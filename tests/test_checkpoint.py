@@ -49,3 +49,28 @@ def test_manifest_lineage_contents(ray_session, corpus, small_cfg, tmp_path):
     assert m["input_fingerprint"].startswith("features:")
     assert m["num_rows"] == sum(m["partitions"].values())  # per-partition lineage
     assert os.path.exists(os.path.join(ck, "metrics.json"))
+
+
+def test_changed_input_invalidates_root_stage(ray_session, corpus, small_cfg, tmp_path):
+    """ADVICE r1: resuming with a CHANGED input corpus (same config) must
+    rebuild from the root features stage, not return stale checkpoints."""
+    import pyarrow as pa
+
+    ck = str(tmp_path / "ck2")
+    r1 = _run(corpus, small_cfg, ck)
+    assert r1["metrics"]["features"]["cached"] is False
+
+    # unchanged input → full cache
+    r2 = _run(corpus, small_cfg, ck)
+    assert r2["metrics"]["features"]["cached"] is True
+
+    # perturb one transcript (row count preserved!) → features rebuilt
+    clips, truth, golden = corpus
+    tr = clips["transcript"].to_pylist()
+    tr[0] = (tr[0] or "") + " perturbed"
+    clips2 = clips.set_column(
+        clips.schema.get_field_index("transcript"), "transcript",
+        pa.array(tr, pa.string()),
+    )
+    r3 = _run((clips2, truth, golden), small_cfg, ck)
+    assert r3["metrics"]["features"]["cached"] is False

@@ -62,3 +62,25 @@ def test_multiset_kernels():
     assert not multiset_is_subset(["a", "a"], ["a", "b"])
     assert multisets_identical(["a", "b", "b"], ["b", "a", "b"])
     assert not multisets_identical(["a", "b"], ["a", "b", "b"])
+
+
+def test_preferred_subset_of_other_fails_even_when_equal():
+    """lib/validate-fields.js:48-51: isSubset(preferred, other) is an error,
+    so EQUAL multisets under preferredIsSuperset (no 'identical' rule) FAIL."""
+    assert _run(["preferredIsSuperset"], ["a"], ["a"]) != []
+    # with 'identical' present the short-circuit wins
+    assert _run(["identical", "preferredIsSuperset"], ["a"], ["a"]) == []
+    # ExceptIfEmpty variant: vacuous when preferred empty, same quirk otherwise
+    assert _run(["preferredIsSupersetExceptIfEmpty"], ["a"], []) == []
+    assert _run(["preferredIsSupersetExceptIfEmpty"], ["a"], ["a"]) != []
+
+
+def test_neither_has_nested_under_differing_check():
+    """lib/validate-fields.js:69-90: when both sides have differing values,
+    only the differing error fires — the neitherHas errors are nested in the
+    else branch."""
+    errs = _run(["neitherHas"], ["a"], ["b"])
+    assert errs == ["Records have differing x values"]
+    # both sides same value (no differing): two per-side neitherHas errors
+    errs = _run(["neitherHas"], ["a"], ["a"])
+    assert len(errs) == 2

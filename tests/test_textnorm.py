@@ -65,3 +65,19 @@ def test_author_key():
         "Kivi Aleksis 1834 1872"
     )
     assert normalize_author_key("A.B: C-D") == "A B C D"
+
+
+def test_control_chars_are_not_diacritics():
+    """Reference char class is [^\x00-\x7e'öäå'] — tab/newline/CR are inside
+    the ASCII range and must NOT count as diacritics (ADVICE r1)."""
+    from marc_record_merge_melindautils_ray.functions.textnorm import (
+        has_diacritics,
+        has_diacritics_array,
+    )
+    import pyarrow as pa
+
+    assert not has_diacritics("line one\nline two\ttabbed\r")
+    assert has_diacritics("café")
+    assert not has_diacritics("plain öäå ok")
+    arr = has_diacritics_array(pa.array(["a\nb", "café", "öäå"]))
+    assert arr.to_pylist() == [False, True, False]
