@@ -45,7 +45,7 @@ from marc_record_merge_melindautils_ray.stages.verify import PairPcmVerify, make
 FEATURE_COLS = [
     "clip_id", "bands", "samp_shingles", "n_shingles", "norm_transcript",
     "nh0", "nh1", "fp", "decode_ok", "dur_ms", "codec_cls", "sources",
-    "is_segment_of",
+    "is_segment_of", "author_type",
 ]
 
 
@@ -441,7 +441,7 @@ def run_dedup(
 
     member_src_cols = [
         "clip_id", "transcript", "sources", "source_links", "edition_note",
-        "author_label", "codec",
+        "author_label", "author_type", "codec",
     ]
     members = clips.select_columns(member_src_cols).map_batches(
         TagClusters,
@@ -481,10 +481,23 @@ def run_dedup(
         input_fingerprint=ck.fingerprint("assignments"),
     )
 
+    # P0 output invariant gate (the 041a refusal analog,
+    # lib/marc-record-merge-melindautils.js:124-129): violating rows never
+    # reach the canonical output — they are split into a visible reject
+    # channel and counted, not silently dropped.
+    canonical_ok = canonical.map_batches(
+        lambda t: t.filter(pc.is_null(t["invariant_error"])), batch_format="pyarrow"
+    )
+    canonical_rejected = canonical.map_batches(
+        lambda t: t.filter(pc.is_valid(t["invariant_error"])), batch_format="pyarrow"
+    )
+    ck.metrics["canonical_rejected"] = canonical_rejected.count()
+
     ck.write_metrics()
     return {
         "edges": edges,
         "assignments": assignments,
-        "canonical": canonical,
+        "canonical": canonical_ok,
+        "canonical_rejected": canonical_rejected,
         "metrics": ck.metrics,
     }

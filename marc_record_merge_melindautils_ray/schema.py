@@ -32,6 +32,10 @@ CLIPS_SCHEMA = pa.schema(
         ("source_links", pa.list_(SOURCE_LINK)),
         ("is_segment_of", pa.string()),
         ("author_label", pa.string()),
+        # author heading type — the 100(person)/110(org)/111(meeting) tag
+        # analog; V8 sameAuthorType requires per-tag field-count equality
+        # (lib/mergeability-validators.js:117-133)
+        ("author_type", pa.string()),
         ("edition_note", pa.string()),
     ]
 )
@@ -50,6 +54,14 @@ CANONICAL_SCHEMA = pa.schema(
         ("source_links", pa.list_(SOURCE_LINK)),
         ("notes", pa.list_(pa.string())),
         ("author_label", pa.string()),
+        # P7 outcome surface: None = clean; "author-type-mismatch" /
+        # "both-authorized" mirror the reference's mergeError throws
+        # (lib/post-merge-modifiers.js:214-223)
+        ("author_conflict", pa.string()),
+        # P0 output invariant: None = clean; set when the merged row violates
+        # a write invariant (the 041a length gate analog,
+        # lib/marc-record-merge-melindautils.js:124-129)
+        ("invariant_error", pa.string()),
         ("transcript", pa.string()),
         ("audit_agent", pa.string()),
         ("audit_at", pa.string()),

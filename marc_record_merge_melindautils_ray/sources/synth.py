@@ -133,6 +133,7 @@ class CorpusBuilder:
         source_links: list[dict] | None = None,
         is_segment_of: str | None = None,
         author_label: str | None = None,
+        author_type: str | None = None,
         edition_note: str | None = None,
         payload: bytes | None = None,
     ) -> str:
@@ -153,6 +154,7 @@ class CorpusBuilder:
                 "source_links": source_links or [],
                 "is_segment_of": is_segment_of,
                 "author_label": author_label,
+                "author_type": author_type if author_type or not author_label else "person",
                 "edition_note": edition_note,
             }
         )
@@ -243,7 +245,10 @@ class CorpusBuilder:
         text = _transcript(tag, self.seed)
         kw_a: dict = {}
         kw_b: dict = {}
-        reason = {"duration": "duration-mismatch"}.get(gate, gate)
+        reason = {
+            "duration": "duration-mismatch",
+            "author-type": "author-type-mismatch",
+        }.get(gate, gate)
         if gate == "deleted":         # V1: isDeleted (lib/record-utils.js:372-387)
             kw_b["status"] = "deleted"
         elif gate == "suppressed":    # V2: recordsNotSuppressed (lib/record-utils.js:364-370)
@@ -260,6 +265,12 @@ class CorpusBuilder:
             pass  # transcript prefixed below
         elif gate == "duration":      # V10: same300TypeAndCount (lib/mergeability-validators.js:152-178)
             pass  # second row gets different duration below
+        elif gate == "author-type":   # V8: sameAuthorType 100/110/111 count equality
+            #                           (lib/mergeability-validators.js:117-133)
+            kw_a["author_label"] = "Testaaja, Tiina"
+            kw_a["author_type"] = "person"
+            kw_b["author_label"] = "Testiorganisaatio"
+            kw_b["author_type"] = "org"
         else:
             raise ValueError(gate)
 
@@ -328,7 +339,7 @@ def make_corpus(
     b.family("hotkey", n_families)
     if with_poison:
         for i, gate in enumerate(
-            ["deleted", "suppressed", "same-source", "codec-class", "segment-of", "malformed", "duration"]
+            ["deleted", "suppressed", "same-source", "codec-class", "segment-of", "malformed", "duration", "author-type"]
         ):
             b.poison(gate, i)
     b.singletons(n_singletons)

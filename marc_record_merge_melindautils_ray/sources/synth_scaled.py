@@ -59,6 +59,7 @@ def _family_rows(fam_idx: int, seed: int, dur_scale: int = 1) -> list[dict]:
             "source_links": [],
             "is_segment_of": None,
             "author_label": None,
+            "author_type": None,
             "edition_note": None,
             "truth_cluster": truth,
         }

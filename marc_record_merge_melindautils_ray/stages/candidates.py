@@ -33,12 +33,13 @@ from marc_record_merge_melindautils_ray.config import DedupConfig
 from marc_record_merge_melindautils_ray.functions.hashing import splitmix64, stable_str_hash
 
 # gate columns every pair row carries for both sides (phase-1 verify needs no join)
-GATE_COLS = ["fp", "nh0", "nh1", "dur_ms", "codec_cls", "sources", "is_segment_of", "decode_ok"]
+GATE_COLS = ["fp", "nh0", "nh1", "dur_ms", "codec_cls", "sources", "is_segment_of",
+             "decode_ok", "author_type"]
 
 _GATE_TYPES = {
     "fp": pa.int64(), "nh0": pa.int64(), "nh1": pa.int64(), "dur_ms": pa.int32(),
     "codec_cls": pa.string(), "sources": pa.list_(pa.string()),
-    "is_segment_of": pa.string(), "decode_ok": pa.bool_(),
+    "is_segment_of": pa.string(), "decode_ok": pa.bool_(), "author_type": pa.string(),
 }
 
 # explicit pair schema: emitters on empty/all-null partitions would otherwise

@@ -48,7 +48,7 @@ from marc_record_merge_melindautils_ray.schema import CANONICAL_SCHEMA
 # columns build_canonical needs on each member row
 MEMBER_COLS = [
     "clip_id", "cluster_id", "transcript", "norm_transcript", "has_diacritics",
-    "sources", "source_links", "edition_note", "author_label",
+    "sources", "source_links", "edition_note", "author_label", "author_type",
 ]
 
 
@@ -141,13 +141,37 @@ class BuildCanonical:
             notes.append(text)
         notes.sort()
 
-        # P7 authority normalization
+        # P7 authority normalization with the reference's FULL outcome set
+        # (lib/post-merge-modifiers.js:203-240): names differ →
+        #   * author types differ        → 'Author type mismatch.'  throw
+        #   * ≥2 distinct names authorized → 'Both records are in authorized
+        #     format.' throw
+        #   * exactly one authorized (and preferred's isn't) → adopt it
+        # The throws surface as the ``author_conflict`` column (the canonical
+        # row keeps the preferred label, flagged, instead of silently passing).
+        author_types = cols.get("author_type", [None] * n)
         labels = [x for x in cols["author_label"] if x]
+        typed = {t for l, t in zip(cols["author_label"], author_types) if l and t}
         author = cols["author_label"][pi]
+        author_conflict = None
         if labels and len({normalize_author_key(x) for x in labels}) > 1:
-            authorized = [x for x in dict.fromkeys(labels) if self._authorized(x)]
-            if len(authorized) == 1 and not self._authorized(author):
-                author = authorized[0]
+            if len(typed) > 1:
+                author_conflict = "author-type-mismatch"
+            else:
+                authorized = [x for x in dict.fromkeys(labels) if self._authorized(x)]
+                if len(authorized) > 1:
+                    author_conflict = "both-authorized"
+                elif len(authorized) == 1 and not self._authorized(author):
+                    author = authorized[0]
+
+        # P0 output invariant — the 041a length gate analog
+        # (lib/marc-record-merge-melindautils.js:124-129): the reference
+        # refuses to emit a merged record whose language subfield is shorter
+        # than the downstream system requires; the analog is a source-system
+        # code on a merged link too short to be a valid library code.
+        invariant_error = None
+        if any(len(s) < 3 for s, _ in sorted(links)):
+            invariant_error = "short-source-code"
 
         return {
             "cluster_id": cluster_id,
@@ -158,6 +182,8 @@ class BuildCanonical:
             "source_links": source_links,
             "notes": notes,
             "author_label": author,
+            "author_conflict": author_conflict,
+            "invariant_error": invariant_error,
             "transcript": cols["transcript"][pi],
             "audit_agent": cfg.merge_agent,                            # P4
             "audit_at": cfg.audit_clock,                               # injected clock

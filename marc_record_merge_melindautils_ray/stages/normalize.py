@@ -68,6 +68,10 @@ def prepare_batch(batch: pa.Table) -> pa.Table:
 
 
 def _with_derived(batch: pa.Table, norm: pa.Array) -> pa.Table:
+    # optional metadata columns a user corpus may omit (null = absent)
+    for opt in ("author_type", "author_label", "is_segment_of"):
+        if opt not in batch.column_names:
+            batch = batch.append_column(opt, pa.nulls(len(batch), pa.string()))
     texts = norm.to_pylist() if len(batch) else []
     nh0 = stable_str_hash(texts, seed=0) if texts else np.empty(0, np.uint64)
     nh1 = stable_str_hash(texts, seed=0xD1CE) if texts else np.empty(0, np.uint64)

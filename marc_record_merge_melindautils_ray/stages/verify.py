@@ -104,6 +104,12 @@ def make_phase1_kernel(cfg: DedupConfig, host_ids: frozenset[str] | None = None)
             dtype=bool, count=n,
         )
         add(overlap, "same-source")
+        # V8 sameAuthorType: per-tag (person/org/meeting) author-field count
+        # equality (lib/mergeability-validators.js:117-133).  One author slot
+        # per clip ⇒ counts match iff the (possibly absent) types match.
+        at_a = df["author_type_a"].fillna("").to_numpy() if "author_type_a" in df.columns else np.full(n, "")
+        at_b = df["author_type_b"].fillna("").to_numpy() if "author_type_b" in df.columns else np.full(n, "")
+        add(at_a != at_b, "author-type-mismatch")
         if hosts:
             add(df["id_a"].isin(hosts).to_numpy() | df["id_b"].isin(hosts).to_numpy(),
                 "host-record")  # V11
@@ -315,6 +321,8 @@ def verify_oriented_pairs(
         ot, pt = o["transcript"] or "", pref["transcript"] or ""
         if has_diacritics(ot) and not has_diacritics(pt):
             reasons.append("diacritics-loss")   # V7
+        if (o.get("author_type") or "") != (pref.get("author_type") or ""):
+            reasons.append("author-type-mismatch")  # V8 count-equality analog
         if o["is_segment_of"] or pref["is_segment_of"]:
             reasons.append("segment-of")        # V12
         if host_ids and (p["id_other"] in host_ids or p["id_preferred"] in host_ids):
@@ -336,6 +344,31 @@ def verify_oriented_pairs(
             reasons.extend(validate_fields(field_rules, _cols(o), _cols(pref)))
         if normalize_transcript(ot) != normalize_transcript(pt):
             reasons.append("transcript-mismatch")
+        # U16 checkForDiacritics — DIAGNOSTIC ONLY, never gates the merge:
+        # the reference logs these as debug STAT lines
+        # (lib/marc-record-merge-melindautils.js:106-114,
+        #  lib/record-utils.js:325-347); the analog is a metrics column.
+        diagnostics: list[str] = []
+        od, pd_ = has_diacritics(ot), has_diacritics(pt)
+        if od and pd_:
+            diagnostics.append("diacritics-both")
+        else:
+            if pd_:
+                diagnostics.append("diacritics-preferred")
+            if od:
+                diagnostics.append("diacritics-other")
+        # the 245-superset STAT line analog (diagnostic preferredIsSuperset
+        # over the title/transcript column)
+        from marc_record_merge_melindautils_ray.functions.field_rules import (
+            validate_fields as _vf,
+        )
+
+        for msg in _vf(
+            {"transcript": {"validate": ["preferredIsSuperset"], "key": normalize_transcript}},
+            {"transcript": [ot] if ot else []},
+            {"transcript": [pt] if pt else []},
+        ):
+            diagnostics.append(f"stat-245: {msg}")
         if au.is_decodable(o["codec"]) and au.is_decodable(pref["codec"]):
             x, y = au.decode(o["bytes"], o["codec"]), au.decode(pref["bytes"], pref["codec"])
             m = min(len(x), len(y))
@@ -348,6 +381,6 @@ def verify_oriented_pairs(
             reasons.append("undecodable")
         rows.append(
             {"case": p.get("case"), "id_other": p["id_other"], "id_preferred": p["id_preferred"],
-             "ok": not reasons, "reasons": reasons}
+             "ok": not reasons, "reasons": reasons, "diagnostics": diagnostics}
         )
     return pd.DataFrame(rows)

@@ -92,3 +92,60 @@ def test_audit_injected_clock():
     out = _build([{"clip_id": "a"}, {"clip_id": "b"}], cfg=cfg)
     assert out["audit_at"] == "2000-01-01T00:00:00Z"  # P4 determinism
     assert out["audit_agent"] == "X"
+
+
+def test_author_type_mismatch_flagged():
+    """P7 'Author type mismatch.' (lib/post-merge-modifiers.js:214-216):
+    differing names with differing author types → conflict flag, preferred
+    label kept."""
+    out = _build([
+        {"clip_id": "a", "author_label": "Testaaja, Tiina", "author_type": "person"},
+        {"clip_id": "b", "author_label": "Testiorganisaatio", "author_type": "org"},
+    ])
+    assert out["author_conflict"] == "author-type-mismatch"
+    assert out["author_label"] == out["author_label"]  # kept, not dropped
+
+
+def test_both_authorized_flagged():
+    """P7 'Both records are in authorized format.'
+    (lib/post-merge-modifiers.js:218-223)."""
+    auth = {"meikalainen matti": "Meikäläinen, Matti",
+            "sukunimi etunimi": "Sukunimi, Etunimi"}
+    out = _build(
+        [
+            {"clip_id": "a", "author_label": "Meikalainen. Matti", "author_type": "person"},
+            {"clip_id": "b", "author_label": "Sukunimi, Etunimi", "author_type": "person"},
+        ],
+        authority=auth,
+    )
+    assert out["author_conflict"] == "both-authorized"
+
+
+def test_single_authorized_adopted_no_conflict():
+    auth = {"meikalainen matti": "Meikäläinen, Matti"}
+    out = _build(
+        [
+            {"clip_id": "a", "author_label": "Meikalainen. Matti", "author_type": "person"},
+            {"clip_id": "b", "author_label": "Joku, Muu", "author_type": "person",
+             "sources": ["FENNI"]},  # preferred, unauthorized
+        ],
+        authority=auth,
+    )
+    assert out["author_conflict"] is None
+    assert out["author_label"] == "Meikalainen. Matti"
+
+
+def test_p0_short_source_code_invariant():
+    """P0 041a-analog (lib/marc-record-merge-melindautils.js:124-129): a
+    merged link whose source-system code is shorter than 3 chars marks the
+    row as an invariant violation."""
+    out = _build([
+        {"clip_id": "a", "sources": ["AB"]},  # synthesizes link sys 'ab'
+        {"clip_id": "b", "sources": ["HELKA"]},
+    ])
+    assert out["invariant_error"] == "short-source-code"
+    out2 = _build([
+        {"clip_id": "a", "sources": ["OULA"]},
+        {"clip_id": "b", "sources": ["HELKA"]},
+    ])
+    assert out2["invariant_error"] is None

@@ -51,3 +51,33 @@ def test_orientation_asymmetry(corpus, small_cfg):
     )
     out2 = verify_oriented_pairs(clips, rev, small_cfg)
     assert "priority-source-orientation" not in out2.iloc[0]["reasons"]
+
+
+def test_diagnostics_column(corpus, small_cfg):
+    """U16 checkForDiacritics + 245-superset STAT: diagnostic-only channel —
+    present on every pair, never a merge gate
+    (lib/marc-record-merge-melindautils.js:106-114, lib/record-utils.js:325-347)."""
+    import pyarrow as pa
+
+    clips, _, golden = corpus
+    out = verify_oriented_pairs(clips, golden, small_cfg)
+    assert "diagnostics" in out.columns
+    # diagnostics never flip a verdict: an OK pair stays OK whatever they say
+    for _, row in out.iterrows():
+        assert row["ok"] == (len(row["reasons"]) == 0)
+    # a pair where other has diacritics and preferred doesn't must report it
+    df = clips.to_pandas()
+    plain = df[df["transcript"].fillna("").map(
+        lambda t: t != "" and not any(ord(c) > 126 and c not in "öäåÖÄÅ" for c in t))]
+    a = plain.iloc[0]["clip_id"]
+    pairs = pa.Table.from_pylist([{"case": "diag", "id_other": a, "id_preferred": a}])
+    clips2 = clips.to_pandas()
+    # synthesize: other transcript with diacritics vs preferred without
+    row_a = clips2[clips2["clip_id"] == a].iloc[0].to_dict()
+    row_b = dict(row_a, clip_id="diacritic-side", transcript=(row_a["transcript"] or "") + " café")
+    both = pa.Table.from_pylist([row_a, row_b], schema=clips.schema)
+    pairs = pa.Table.from_pylist(
+        [{"case": "diag", "id_other": "diacritic-side", "id_preferred": a}]
+    )
+    out2 = verify_oriented_pairs(both, pairs, small_cfg)
+    assert "diacritics-other" in list(out2.iloc[0]["diagnostics"])
