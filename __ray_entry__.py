@@ -228,6 +228,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 200
             ORDER BY id_a, id_b
         """,
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_matches(coalesce(text, ''), '[一-鿿]') AS han,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS c_de,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '\\b(the|and|of|to|is|was|that|with)\\b')) AS c_en,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '\\b(el|los|las|es|y|una|por|como)\\b')) AS c_es,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '\\b(le|la|les|est|et|une|dans|pour)\\b')) AS c_fr
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN han THEN 'zh'
+                        WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'unk'
+                        -- alphabetically-first language wins ties, matching
+                        -- the Ray kernel's max(sorted(scores)) rule
+                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings WHERE vec_id < 5),
@@ -254,7 +279,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS item_id, CAST(4 AS BIGINT) AS n_frames_sampled
             FROM documents ORDER BY item_id
         """,
-        # no oracle (non-SQL-expressible; driver records rows-only checks):
-        # minhash_lsh_docs, simhash_docs, lang_id,
-        # lsh_bucket_counts, image_features, clips_dedup, clips_canonical
+        # no oracle (non-SQL-expressible; driver records rows-only checks,
+        # each covered by a pytest-side exactness/recall check instead):
+        # minhash_lsh_docs (recall vs planted truth), simhash_docs
+        # (independent scalar recompute test), lsh_bucket_counts,
+        # ann_lsh (recall@10 vs brute force), image_features (declared fake,
+        # schema/plumbing tests), clips_dedup / clips_canonical (golden +
+        # recall tests)
     }

@@ -56,9 +56,11 @@ def run_bench() -> dict:
     from marc_record_merge_melindautils_ray.sources.synth_scaled import generate_clips_ds
 
     n_families = max(200, int(800000 * sf))
+    # the fused feature pool and the phase-2 verify pool each dominate their
+    # phase, so size them to (nearly) the whole node; nothing else competes
     cfg = DedupConfig(
-        fingerprint_concurrency=max(2, num_cpus // 2),
-        verify_concurrency=max(2, num_cpus // 2),
+        fingerprint_concurrency=max(2, num_cpus - 2),
+        verify_concurrency=max(2, num_cpus - 2),
     )
 
     # materialize the corpus first (generation excluded from the timed run;

@@ -46,6 +46,11 @@ class DedupConfig:
 
     # --- clustering -------------------------------------------------------
     max_cc_rounds: int = 12       # hash-to-min converges in O(log d); dup clusters are shallow
+    cc_local_max_edges: int = 2_000_000  # below this the edge set runs as ONE
+                                         # in-memory union-find task (per-round
+                                         # shuffles are pure latency at small
+                                         # sizes); above it: distributed
+                                         # hash-to-min rounds
 
     # --- execution --------------------------------------------------------
     batch_size: int = 4096

@@ -150,7 +150,8 @@ def minhash_lsh_clusters(
     pairs = band_rows.groupby("part").map_groups(
         emit_partition, batch_format="pandas"
     ).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(
             pa.table({"id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.string())})
         )
@@ -160,6 +161,7 @@ def minhash_lsh_clusters(
             batch_format="pandas",
         ),
         cfg,
+        n_edges=n_pairs,
     )
     return cc.map_batches(
         lambda df: pd.DataFrame(

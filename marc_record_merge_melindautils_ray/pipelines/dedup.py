@@ -3,23 +3,27 @@
 Lifecycle (SURVEY.md §3.4):
 
     read clips (Lance table; parquet in this environment — no lance wheel)
-    → prepare            map_batches  (V1/V2/V9 filters + U8 normalize)
-    → fingerprint        actor pool   (decode bytes → PCM → SimHash)
-    → text signatures    map_batches  (shingles → MinHash → LSH bands)
+    → features           ONE fused actor pool (prepare V1/V2/V9 filters +
+                         U8 normalize → PCM decode → SimHash → MinHash/LSH)
     → [features checkpoint: signatures only, bytes/transcripts projected away]
-    → hot-key counts     pre-aggregated groupby (skew detection)
+    → hot-key counts     sampled partial counts → tiny partitioned aggregate
     → band expansion     map_batches  (salted for hot keys)
-    → groupby(band_key)  SHUFFLE      → intra-bucket pair emission
-    → containment pass   groupby(sampled shingle) → asymmetric pairs
-    → pair dedup         groupby(pair_key)
+    → groupby(part)      SHUFFLE      → vectorized intra-bucket pair emission
+    → containment pass   groupby(part over sampled shingle) → asymmetric pairs
+    → pair dedup         groupby(part over pair_key)
     → phase-1 verify     vectorized gates, no payloads
-    → payload fetch      broadcast (survivor ids only; bytes never shuffle)
-    → phase-2 verify     actor pool   (PCM SNR ≥ 30 dB / segment search)
-    → connected components  iterative groupby rounds (hash-to-min)
-    → canonicalize       groupby(cluster_id).map_groups(BuildCanonical)
+    → payload fetch      survivor-id blocks broadcast as ObjectRefs;
+                         bytes never shuffle, never touch the driver
+    → phase-2 verify     actor pool   (per-actor ArrowBlockIndex resolves
+                         payload locations; PCM SNR ≥ 30 dB / segment search)
+    → connected components  local union-find under cc_local_max_edges,
+                         else iterative hash-to-min groupby rounds
+    → canonicalize       groupby(part).map_groups(BuildCanonical)
+    → P0 invariant gate  violating canonical rows → counted reject channel
 
 Every wide step's key is listed in SURVEY.md §7; signatures (~100 B/row) are
-the only thing that ever enters a shuffle.
+the only thing that ever enters a shuffle, and no driver-side structure grows
+with the row count (side lookups are ArrowBlockIndex over plasma blocks).
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ from marc_record_merge_melindautils_ray.stages import candidates as cand
 from marc_record_merge_melindautils_ray.stages.canonical import MEMBER_COLS, BuildCanonical
 from marc_record_merge_melindautils_ray.stages.cluster import connected_components
 from marc_record_merge_melindautils_ray.stages.normalize import prepare_batch
-from marc_record_merge_melindautils_ray.stages.signatures import AudioFingerprint, TextSignatures
+from marc_record_merge_melindautils_ray.stages.signatures import ClipFeatures
 from marc_record_merge_melindautils_ray.stages.verify import PairPcmVerify, make_phase1_kernel
 
 FEATURE_COLS = [
@@ -63,21 +67,17 @@ def prepared_clips(clips: rd.Dataset) -> rd.Dataset:
     return clips.map_batches(prepare_batch, batch_format="pyarrow")
 
 
-def compute_features(prepared: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
-    """Fingerprint + text signatures, then project to the slim feature set
-    (bytes and raw transcripts never leave this stage)."""
-    ds = prepared.map_batches(
-        AudioFingerprint,
+def compute_features(clips: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """Prepare + fingerprint + text signatures as ONE fused actor pool
+    (``ClipFeatures``), then project to the slim feature set (bytes and raw
+    transcripts never leave this stage).  One object-store hop instead of
+    three — the chained-pool handoffs were fixed latency that ate scaling
+    efficiency (round-1 verdict item 2)."""
+    ds = clips.map_batches(
+        ClipFeatures,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.audio_batch_size,
-        concurrency=cfg.fingerprint_concurrency,
-    )
-    ds = ds.map_batches(
-        TextSignatures,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
         concurrency=cfg.fingerprint_concurrency,
     )
     return ds.select_columns(FEATURE_COLS)
@@ -128,7 +128,8 @@ def find_candidate_key_sets(
 
 
 def find_hot_band_keys_sampled(
-    features: rd.Dataset, cfg: DedupConfig, sample: float = 0.1
+    features: rd.Dataset, cfg: DedupConfig, sample: float = 0.1,
+    n_rows: int | None = None, driver_combine_max_rows: int = 5_000_000,
 ) -> np.ndarray:
     """Sampled hot-key detector (skew pass): counts band keys over a row
     sample and flags keys whose sampled count crosses ~half the scaled
@@ -144,22 +145,46 @@ def find_hot_band_keys_sampled(
         sub = batch.take(pa.array(np.arange(0, len(batch), step), pa.int64()))
         return cand.band_key_counts(sub)
 
-    # driver-side count of the (bounded) sample — no aggregate shuffle; at
-    # 10% sampling the sampled partial-count rows are a few MB even for
-    # multi-100k-row corpora, and the sample budget bounds it at any scale
-    parts = features.select_columns(["bands"]).map_batches(
-        sampled_keys, batch_format="pyarrow"
-    ).take_all()
-    if not parts:
-        return np.empty(0, np.uint64)
-    keys = np.array([r["band_key"] for r in parts], dtype=np.int64)
-    cnts = np.array([r["cnt"] for r in parts], dtype=np.int64)
-    order = np.argsort(keys, kind="stable")
-    keys, cnts = keys[order], cnts[order]
-    uniq_starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-    sums = np.add.reduceat(cnts, uniq_starts)
     thresh = max(2, int(cfg.bucket_cap * sample * 0.5))
-    return keys[uniq_starts[sums > thresh]].view(np.uint64)
+    counts = features.select_columns(["bands"]).map_batches(
+        sampled_keys, batch_format="pyarrow"
+    )
+
+    if n_rows is not None and n_rows <= driver_combine_max_rows:
+        # SMALL-SIDE FAST PATH (explicit, size-guarded): below the threshold
+        # the per-batch partial counts are a few MB — one driver combine
+        # beats a shuffle's latency.  Above it, the distributed aggregate
+        # below is the scale path (partial counts grow with distinct keys).
+        parts = counts.take_all()
+        if not parts:
+            return np.empty(0, np.uint64)
+        keys = np.array([r["band_key"] for r in parts], dtype=np.int64)
+        cnts = np.array([r["cnt"] for r in parts], dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
+        uniq_starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sums = np.add.reduceat(cnts, uniq_starts)
+        return keys[uniq_starts[sums > thresh]].view(np.uint64)
+
+    # distributed fallback: sum the sampled partial counts in Ray
+    # (partition-then-vectorize); only keys crossing the hot threshold —
+    # few by definition of skew — ever reach the driver
+    def hot_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("band_key")["cnt"].sum()
+        hot = s[s > thresh]
+        return pd.DataFrame({"band_key": hot.index.to_numpy().astype(np.int64)})
+
+    hot_rows = (
+        counts.map_batches(
+            lambda t: cand.add_partition_col(t, "band_key", 64), batch_format="pyarrow"
+        )
+        .groupby("part")
+        .map_groups(hot_in_part, batch_format="pandas")
+        .take_all()
+    )
+    if not hot_rows:
+        return np.empty(0, np.uint64)
+    return np.array([r["band_key"] for r in hot_rows], dtype=np.int64).view(np.uint64)
 
 
 NUM_PAIR_PARTS = 64  # partition-then-vectorize fan-out (≈ cluster cores)
@@ -297,7 +322,6 @@ def run_dedup(
         ck.metrics[f"driver_{name}_sec"] = round(_time.monotonic() - t0, 3)
         return _time.monotonic()
 
-    prepared = prepared_clips(clips)
     if checkpoint_dir:
         # root-stage lineage: a changed input corpus (paths/sizes/mtimes, or
         # a content head-sample for in-memory datasets) invalidates every
@@ -310,11 +334,13 @@ def run_dedup(
     else:
         input_fp = ""
     features = ck.stage(
-        "features", lambda: compute_features(prepared, cfg), input_fingerprint=input_fp
+        "features", lambda: compute_features(clips, cfg), input_fingerprint=input_fp
     )
 
     _t = _time.monotonic()
-    hot_keys = find_hot_band_keys_sampled(features, cfg)
+    # row count is metadata-cheap (materialized blocks / parquet footer) and
+    # selects the hot-key detector's small-vs-distributed combine path
+    hot_keys = find_hot_band_keys_sampled(features, cfg, n_rows=features.count())
     _t = _lap("keysets", _t)
     ck.metrics["hot_band_keys"] = int(len(hot_keys))
 
@@ -386,7 +412,8 @@ def run_dedup(
         )
 
     edges = verified.select_columns(["id_a", "id_b"])
-    if verified.count() == 0:
+    n_edges = verified.count()
+    if n_edges == 0:
         assignments = rd.from_arrow(
             pa.table({"clip_id": pa.array([], pa.string()),
                       "cluster_id": pa.array([], pa.string())})
@@ -394,7 +421,7 @@ def run_dedup(
     else:
         assignments = ck.stage(
             "assignments",
-            lambda: connected_components(edges, cfg),
+            lambda: connected_components(edges, cfg, n_edges=n_edges),
             input_fingerprint=ck.fingerprint("verified"),
         )
 
@@ -443,14 +470,23 @@ def run_dedup(
         "clip_id", "transcript", "sources", "source_links", "edition_note",
         "author_label", "author_type", "codec",
     ]
+    # small stage on a small subset: a big actor pool here is pure spin-up
+    # cost (each actor re-builds the assignment index), measured slower at
+    # MORE cpus — cap it
     members = clips.select_columns(member_src_cols).map_batches(
         TagClusters,
         fn_constructor_args=(assign_refs,),
         batch_format="pyarrow",
-        concurrency=max(2, cfg.fingerprint_concurrency // 2),
+        concurrency=max(2, min(8, cfg.fingerprint_concurrency // 2)),
     )
     authority_ref = ray.put(authority or {})
     bc = BuildCanonical(cfg, authority_ref)
+    n_assigned = assignments.count()
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    # canonical build is Python-per-cluster work, so size partitions to keep
+    # every core busy (small rows_per_part), not to minimize shuffle overhead
+    canon_parts = adaptive_parts(n_assigned, rows_per_part=1000, lo=16)
 
     def build_canonical_partition(g):
         """Partition-then-vectorize: one UDF call per hash partition,
@@ -469,7 +505,7 @@ def run_dedup(
         with np.errstate(over="ignore"):
             df["part"] = (
                 splitmix64(stable_str_hash(df["cluster_id"].to_numpy()))
-                % np.uint64(NUM_PAIR_PARTS)
+                % np.uint64(canon_parts)
             ).astype(np.int64)
         return df
 

@@ -35,33 +35,50 @@ from marc_record_merge_melindautils_ray.functions.hashing import splitmix64, sta
 NUM_CC_PARTS = 64
 
 
-def _add_node_part(df: pd.DataFrame) -> pd.DataFrame:
+def adaptive_parts(n_rows: int, rows_per_part: int = 20000, lo: int = 8, hi: int = 256) -> int:
+    """Partition count sized to the data: tiny inputs get few partitions (a
+    64-way shuffle of 45k rows is pure overhead — measured slower at MORE
+    cpus), huge inputs scale up to ``hi`` (cluster-core order)."""
+    return int(min(hi, max(lo, n_rows // rows_per_part)))
+
+
+def _add_node_part(df: pd.DataFrame, num_parts: int = NUM_CC_PARTS) -> pd.DataFrame:
     with np.errstate(over="ignore"):
-        part = (splitmix64(stable_str_hash(df["node"].to_numpy())) % np.uint64(NUM_CC_PARTS))
+        part = (splitmix64(stable_str_hash(df["node"].to_numpy())) % np.uint64(num_parts))
     df = df.copy()
     df["part"] = part.astype(np.int64)
     return df
 
 
-def _h2m_partition(g: pd.DataFrame) -> pd.DataFrame:
-    """One round over one partition: vectorized min per node + emissions."""
-    node = g["node"].to_numpy()
-    member = g["member"].to_numpy()
-    mn = np.minimum(g.groupby("node")["member"].transform("min").to_numpy(), node)
-    out = pd.DataFrame({
-        "node": np.concatenate([member, mn, node]),
-        "member": np.concatenate([mn, member, mn]),
-    }).drop_duplicates()
-    # convergence checksum: one contribution per (node, label) of this round
-    uniq = pd.DataFrame({"node": node, "mn": mn}).drop_duplicates("node")
-    with np.errstate(over="ignore"):
-        h = splitmix64(
-            stable_str_hash(uniq["node"].to_numpy()) ^ stable_str_hash(uniq["mn"].to_numpy())
-        ) % np.uint64(1 << 31)
-    chk = np.zeros(len(out), dtype=np.int64)
-    chk[0] = int(h.sum(dtype=np.uint64) & np.uint64((1 << 62) - 1))
-    out["chk_part"] = chk
-    return out
+def _make_h2m(num_parts: int):
+    def h2m_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """One round over one partition: vectorized min per node + emissions.
+        The NEXT round's partition key is computed here too — fusing it saves
+        a separate map stage (a barrier's worth of task latency) per round."""
+        node = g["node"].to_numpy()
+        member = g["member"].to_numpy()
+        mn = np.minimum(g.groupby("node")["member"].transform("min").to_numpy(), node)
+        out = pd.DataFrame({
+            "node": np.concatenate([member, mn, node]),
+            "member": np.concatenate([mn, member, mn]),
+        }).drop_duplicates()
+        with np.errstate(over="ignore"):
+            out["part"] = (
+                splitmix64(stable_str_hash(out["node"].to_numpy()))
+                % np.uint64(num_parts)
+            ).astype(np.int64)
+        # convergence checksum: one contribution per (node, label) of this round
+        uniq = pd.DataFrame({"node": node, "mn": mn}).drop_duplicates("node")
+        with np.errstate(over="ignore"):
+            h = splitmix64(
+                stable_str_hash(uniq["node"].to_numpy()) ^ stable_str_hash(uniq["mn"].to_numpy())
+            ) % np.uint64(1 << 31)
+        chk = np.zeros(len(out), dtype=np.int64)
+        chk[0] = int(h.sum(dtype=np.uint64) & np.uint64((1 << 62) - 1))
+        out["chk_part"] = chk
+        return out
+
+    return h2m_partition
 
 
 def _labels_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -73,27 +90,75 @@ def _labels_partition(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def connected_components(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+def _local_cc_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """In-memory union-find (path halving) over one edge batch — the
+    small-side fast path of ``connected_components``.  Same label contract:
+    cluster_id = ``cl-<minimum member id>``."""
+    ids = pd.concat([df["id_a"], df["id_b"]], ignore_index=True)
+    uniq = np.unique(ids.to_numpy())
+    index = {v: i for i, v in enumerate(uniq)}
+    parent = np.arange(len(uniq), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    a = df["id_a"].map(index).to_numpy()
+    b = df["id_b"].map(index).to_numpy()
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)  # uniq is sorted: min idx = min id
+    roots = np.array([find(i) for i in range(len(uniq))])
+    return pd.DataFrame({"clip_id": uniq, "cluster_id": "cl-" + pd.Series(uniq[roots])})
+
+
+def connected_components(
+    edges: rd.Dataset, cfg: DedupConfig, n_edges: int | None = None
+) -> rd.Dataset:
     """edges: Dataset with string columns (id_a, id_b) — verified dup pairs.
 
     Returns Dataset (clip_id, cluster_id) covering every node that appears in
     an edge; cluster_id = ``cl-<minimum member id>`` (deterministic).
+    ``n_edges`` (if the caller already knows it) sizes the round partition
+    count adaptively.
     """
+    # SMALL-SIDE FAST PATH (explicit, size-guarded — the CC analog of
+    # broadcast-vs-shuffle join selection): below the threshold the whole
+    # edge set fits one task, where per-round groupby shuffles are pure
+    # latency (measured 4-6 s for 45 k edges vs <1 s local).  The
+    # distributed hash-to-min path below is the documented scale fallback
+    # and produces identical labels.
+    if n_edges is not None and 0 < n_edges <= cfg.cc_local_max_edges:
+        return (
+            edges.repartition(1)
+            .map_batches(_local_cc_batch, batch_format="pandas", batch_size=None)
+        )
+
+    num_parts = adaptive_parts(2 * n_edges) if n_edges else NUM_CC_PARTS
+    _h2m_partition = _make_h2m(num_parts)
 
     def seed(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
-                "member": pd.concat([df["id_b"], df["id_a"]], ignore_index=True),
-            }
+        return _add_node_part(
+            pd.DataFrame(
+                {
+                    "node": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+                    "member": pd.concat([df["id_b"], df["id_a"]], ignore_index=True),
+                }
+            ),
+            num_parts,
         )
 
     state = edges.map_batches(seed, batch_format="pandas")
     prev_chk = None
     for _ in range(cfg.max_cc_rounds):
+        # rounds carry their own next-round part column, so each round is
+        # exactly one groupby+map_groups execution plus the (block-metadata
+        # cheap) checksum aggregate over the materialized output
         state = (
-            state.map_batches(_add_node_part, batch_format="pandas")
-            .groupby("part")
+            state.groupby("part")
             .map_groups(_h2m_partition, batch_format="pandas")
             .materialize()
         )
@@ -102,8 +167,4 @@ def connected_components(edges: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
             break
         prev_chk = chk
 
-    return (
-        state.map_batches(_add_node_part, batch_format="pandas")
-        .groupby("part")
-        .map_groups(_labels_partition, batch_format="pandas")
-    )
+    return state.groupby("part").map_groups(_labels_partition, batch_format="pandas")

@@ -99,6 +99,29 @@ class TextSignatures:
         )
 
 
+class ClipFeatures:
+    """FUSED feature stage: prepare → audio fingerprint → text signatures in
+    ONE actor pool.
+
+    Three chained pools (task prepare → fingerprint actors → signature
+    actors) cost two full inter-stage block handoffs through the object
+    store plus an extra pool spin-up — fixed latency that does not shrink
+    with cluster size and therefore eats scaling efficiency.  Fusing them
+    means raw clip blocks enter, slim feature rows leave, one hop total.
+    All kernel state (decoder tables, MinHash permutations) still
+    initializes once per actor in ``__init__``.
+    """
+
+    def __init__(self, cfg: DedupConfig):
+        self.fp = AudioFingerprint(cfg)
+        self.txt = TextSignatures(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from marc_record_merge_melindautils_ray.stages.normalize import prepare_batch
+
+        return self.txt(self.fp(prepare_batch(batch)))
+
+
 class AudioFingerprint:
     """Actor-pool stage: bytes → PCM → SimHash fingerprint.
 

@@ -282,7 +282,7 @@ def verify_oriented_pairs(
     host_ids: frozenset[str] | None = None,
     field_rules: dict | None = None,
 ) -> pd.DataFrame:
-    """Returns (case, id_other, id_preferred, ok, reasons) for each pair.
+    """Returns (case, id_other, id_preferred, ok, reasons, diagnostics).
 
     Includes the direction-sensitive gates the unordered pipeline resolves by
     orientation instead:
@@ -290,6 +290,12 @@ def verify_oriented_pairs(
       preferred doesn't (lib/mergeability-validators.js:69-81)
     * V7 checkDiacriticsFromTitle — other's transcript has diacritics and
       preferred's doesn't (lib/mergeability-validators.js:109-114)
+    * V8 sameAuthorType — 100/110/111 count equality via the author_type
+      column (lib/mergeability-validators.js:117-133)
+
+    ``diagnostics`` is the U16 non-gating channel: the two-sided
+    checkForDiacritics report + the 245-superset STAT messages
+    (lib/marc-record-merge-melindautils.js:106-114).
     """
     df = clips.to_pandas().set_index("clip_id")
     rows = []
