@@ -84,7 +84,7 @@ def compute_features(clips: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
 
 
 def find_candidate_key_sets(
-    features: rd.Dataset, cfg: DedupConfig
+    features: rd.Dataset, cfg: DedupConfig, max_driver_keys: int = 50_000_000
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """ONE pre-aggregated counting pass over both key spaces →
     (multi_band_keys: count ≥ 2, hot_band_keys: count > bucket_cap,
@@ -94,6 +94,13 @@ def find_candidate_key_sets(
     band keys get content-salted; over-cap shingle keys (too-common grams)
     are dropped at the source.  Band and shingle keys ride one aggregate,
     disambiguated by a kind bit mixed into the key column.
+
+    EXACT pass with a driver-side key-array sink, guarded by
+    ``max_driver_keys`` (raises instead of silently materializing an
+    unbounded key set).  The pipeline's default detector is the sampled
+    ``find_hot_band_keys_sampled``; at corpus sizes where the exact multi-key
+    set exceeds the guard, the documented scale path is a Bloom filter of
+    multi keys broadcast via ``ray.put`` (see ``make_expand_bands``).
     """
     def both_counts(batch: pa.Table) -> pa.Table:
         b = cand.band_key_counts(batch)
@@ -116,7 +123,15 @@ def find_candidate_key_sets(
     def multi_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["sum(cnt)"], 2))
 
-    rows = agg.map_batches(multi_only, batch_format="pyarrow").take_all()
+    multi_ds = agg.map_batches(multi_only, batch_format="pyarrow").materialize()
+    n_keys = multi_ds.count()
+    if n_keys > max_driver_keys:
+        raise ValueError(
+            f"exact keyset pass would pull {n_keys} keys to the driver "
+            f"(> guard {max_driver_keys}); use find_hot_band_keys_sampled or "
+            "a broadcast Bloom filter at this scale"
+        )
+    rows = multi_ds.take_all()
     keys = np.array([r["key"] for r in rows], dtype=np.int64).view(np.uint64)
     kinds = np.array([r["kind"] for r in rows], dtype=np.int8)
     cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
