@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": relational.q_anti_join,
         "top_orders": relational.q_top_orders,
         "distinct_flags": relational.q_distinct_flags,
+        "sessionize": relational.q_sessionize,
         "exact_dedup_lineitem": relational.q_exact_dedup_lineitem,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
@@ -95,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_counts": text_analysis.q_token_counts,
         "quality_signals": text_analysis.q_quality_signals,
+        "top_terms": text_analysis.q_top_terms,
+        "quality_filter": text_analysis.q_quality_filter,
         "doc_fingerprint": text_analysis.q_doc_fingerprint,
         "lang_id": text_analysis.q_lang_id,
         # multimodal plumbing
@@ -204,6 +207,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(coalesce(text, '')) AS fp_md5 FROM documents
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+              FROM e
+            )
+            SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS start_us
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_idx
+        """,
+        "top_terms": """
+            WITH t AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            )
+            SELECT term, count(*) AS n FROM t
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "quality_filter": """
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r]+'))
+                         AS BIGINT) AS n_tokens,
+                     CAST((1000 * len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')))
+                         // greatest(length(coalesce(text, '')), 1) AS BIGINT)
+                         AS alpha_permille
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, alpha_permille FROM q
+            WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
+            ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": """
             WITH words AS (

@@ -111,6 +111,55 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """Sessionization (30-min-gap sessions per user) — the stateful windowed
+    operator Ray Data lacks natively, expressed as hash-partition-by-user →
+    ONE vectorized kernel per partition (sort, gap scan, cumsum session ids).
+    The partitioning invariant it relies on: all events of a user land in one
+    partition (hash on user_id)."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64).view(np.uint64)
+        part = (splitmix64(u) % np.uint64(64)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def sess_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "session_idx": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "start_us": pd.Series([], dtype=np.int64),
+            })
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[np.int64(0), us[1:] - us[:-1]]
+        brk = new_user | (gap > gap_us)
+        sess_global = np.cumsum(brk)
+        first_idx = np.flatnonzero(new_user)
+        base = np.repeat(
+            sess_global[first_idx], np.diff(np.r_[first_idx, len(uid)])
+        )
+        sidx = (sess_global - base + 1).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid, "session_idx": sidx, "us": us})
+        return df.groupby(["user_id", "session_idx"], as_index=False).agg(
+            n_events=("us", "size"), start_us=("us", "min")
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sess_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------- joins
 def q_join_broadcast(sf_dir: str) -> pd.DataFrame:
     """orders ⨝ customer (hash join — customer scales with sf, so it is NOT

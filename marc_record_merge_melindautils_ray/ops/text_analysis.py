@@ -78,6 +78,58 @@ def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(kern, batch_format="pandas")
 
 
+def q_top_terms(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus vocabulary top-k (the wordcount combiner pattern): per-batch
+    partial term counts → ``groupby(term).sum`` shuffle of partials only →
+    per-partition local top-k (safe: global top-k under (n DESC, term ASC)
+    is a subset of the union of partition top-ks) → tiny driver merge."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.strip().str.lower().str.split()
+        vc = words.explode().dropna().value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(), "n": vc.to_numpy().astype(np.int64)})
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("term")
+        .sum("n")
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        return df.sort_values(["n", "term"], ascending=[False, True]).head(k)
+
+    parts = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["n", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def q_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Quality-gate filter (the training-data cleaning step): keep documents
+    inside the alpha-ratio band with enough tokens — one fused kernel, no
+    second pass over rejected rows."""
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len().astype(np.int64)
+        n_alpha = text.str.count(r"[A-Za-z]").astype(np.int64)
+        n_tokens = text.str.count(r"\S+").astype(np.int64)
+        alpha_permille = (1000 * n_alpha // n_chars.replace(0, 1)).astype(np.int64)
+        keep = (alpha_permille >= 800) & (alpha_permille <= 900) & (n_tokens >= 30)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"][keep],
+            "n_tokens": n_tokens[keep],
+            "alpha_permille": alpha_permille[keep],
+        })
+
+    out = _docs(sf_dir).map_batches(kern, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # language-ID: stopword/charset heuristic (no SQL oracle — rows-only check)
 _LANG_MARKERS = {
     "en": r"\b(the|and|of|to|is|was|that|with)\b",
