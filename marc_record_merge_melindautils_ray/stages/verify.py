@@ -56,6 +56,13 @@ def _dur_mismatch(da: np.ndarray, db: np.ndarray) -> np.ndarray:
     return diff > tol
 
 
+def _payload_eq(a, b) -> bool:
+    """memcmp of two payloads that may be pa.Buffer views or bytes."""
+    if isinstance(a, pa.Buffer) and isinstance(b, pa.Buffer):
+        return a.equals(b)
+    return bytes(a) == bytes(b)
+
+
 def _sources_overlap(sa, sb) -> bool:
     """V3 noSameLOWTags (lib/mergeability-validators.js:52-67)."""
     if sa is None or sb is None:
@@ -170,10 +177,14 @@ class PairPcmVerify:
         return self._index.tables[int(bi)]["p_norm"][int(ri)].as_py()
 
     def _payload_of(self, bi: int, ri: int):
+        """Payload as a zero-copy ``pa.Buffer`` view into the plasma block
+        (``as_py`` would copy every payload out of shared memory);
+        ``np.frombuffer`` in the decoder accepts it directly."""
         if bi < 0:
             return None, None
         t = self._index.tables[int(bi)]
-        return t["p_bytes"][int(ri)].as_py(), t["p_codec"][int(ri)].as_py()
+        s = t["p_bytes"][int(ri)]
+        return (s.as_buffer() if s.is_valid else None), t["p_codec"][int(ri)].as_py()
 
     def _pcm(self, cid: str, payload, codec) -> np.ndarray | None:
         if cid in self._pcm_cache:
@@ -224,6 +235,22 @@ class PairPcmVerify:
                     continue
                 bytes_a, codec_a = self._payload_of(row.block_a, row.row_a)
                 bytes_b, codec_b = self._payload_of(row.block_b, row.row_b)
+            # byte-identical fast path BEFORE any decode: same decodable
+            # codec + equal payload bytes decode to identical PCM, so SNR is
+            # +inf by construction — a memcmp replaces two decodes + the
+            # float SNR kernel for exact-duplicate pairs (the common case)
+            if (
+                rel == "band"
+                and codec_a == codec_b
+                and bytes_a is not None
+                and bytes_b is not None
+                and codec_a is not None
+                and au.is_decodable(codec_a)
+                and _payload_eq(bytes_a, bytes_b)
+            ):
+                oks[i] = True
+                snrs[i] = float("inf")
+                continue
             pa_ = self._pcm(a, bytes_a, codec_a)
             pb = self._pcm(b, bytes_b, codec_b)
             if pa_ is None or pb is None:
