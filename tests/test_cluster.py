@@ -35,3 +35,27 @@ def test_determinism(ray_session):
     l1 = _cc(edges, ray_session)
     l2 = _cc(list(reversed(edges)), ray_session)
     assert l1 == l2
+
+
+def test_local_fast_path_matches_distributed(ray_session):
+    """The size-guarded local union-find must produce byte-identical labels
+    to the distributed hash-to-min rounds (incl. long chains)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.stages.cluster import connected_components
+
+    # a 12-node chain + a star + isolated pairs
+    edges = [("n%02d" % i, "n%02d" % (i + 1)) for i in range(11)]
+    edges += [("s00", "s%02d" % i) for i in range(1, 5)]
+    edges += [("p10", "p11"), ("p20", "p21")]
+    df = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    ds = rd.from_pandas(df)
+    cfg = DedupConfig()
+    local = connected_components(ds, cfg, n_edges=len(df)).to_pandas()
+    dist = connected_components(ds, cfg).to_pandas()  # no n_edges → distributed
+    local = local.sort_values("clip_id").reset_index(drop=True)
+    dist = dist.sort_values("clip_id").reset_index(drop=True)
+    assert local.equals(dist)
+    assert local[local["clip_id"] == "n11"]["cluster_id"].iloc[0] == "cl-n00"
