@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the pure kernels: normalization
+laws, multiset-comparator laws vs the Counter reference model, hash
+determinism, and ArrowBlockIndex exactness on arbitrary key sets."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from marc_record_merge_melindautils_ray.functions import textnorm
+from marc_record_merge_melindautils_ray.functions.field_rules import (
+    multiset_is_subset,
+    multisets_identical,
+)
+from marc_record_merge_melindautils_ray.functions.hashing import (
+    splitmix64,
+    stable_str_hash,
+)
+
+text_st = st.text(max_size=60)
+small_lists = st.lists(st.sampled_from(["a", "b", "c", "å"]), max_size=6)
+
+
+@given(text_st)
+def test_normalize_idempotent_and_closed(s):
+    n1 = textnorm.normalize_transcript(s)
+    assert textnorm.normalize_transcript(n1) == n1  # idempotent
+    assert re.fullmatch(r"[a-z0-9åäö]*( [a-z0-9åäö]+)*", n1) is not None
+
+
+@given(st.lists(text_st, min_size=1, max_size=8))
+def test_normalize_array_matches_scalar(texts):
+    arr = textnorm.normalize_transcript_array(pa.array(texts, pa.string()))
+    assert arr.to_pylist() == [textnorm.normalize_transcript(t) for t in texts]
+
+
+@given(st.lists(text_st, min_size=1, max_size=8))
+def test_diacritics_array_matches_scalar(texts):
+    arr = textnorm.has_diacritics_array(pa.array(texts, pa.string()))
+    assert arr.to_pylist() == [textnorm.has_diacritics(t) for t in texts]
+
+
+@given(small_lists, small_lists)
+def test_multiset_subset_matches_counter_model(xs, ys):
+    model = not (Counter(xs) - Counter(ys))  # Counter subtraction model
+    assert multiset_is_subset(xs, ys) == model
+    # equality = mutual subset (U13, lib/record-utils.js:281-283)
+    assert multisets_identical(xs, ys) == (
+        multiset_is_subset(xs, ys) and multiset_is_subset(ys, xs)
+    )
+
+
+@given(st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=16))
+def test_stable_str_hash_deterministic_and_order_free(vals):
+    h1 = stable_str_hash(np.array(vals, dtype=object))
+    h2 = stable_str_hash(np.array(vals, dtype=object))
+    assert (h1 == h2).all()
+    # per-element: hash depends only on the element, not its neighbors
+    h_single = np.array([stable_str_hash(np.array([v], dtype=object))[0] for v in vals])
+    assert (h1 == h_single).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=32))
+def test_splitmix_deterministic_injective_on_sample(xs):
+    a = splitmix64(np.array(xs, dtype=np.uint64))
+    b = splitmix64(np.array(xs, dtype=np.uint64))
+    assert (a == b).all()
+    # splitmix64 is a bijection on u64: distinct inputs → distinct outputs
+    assert len(set(a.tolist())) == len(set(xs))
+
+
+@settings(max_examples=25)
+@given(st.sets(st.text(min_size=1, max_size=12), min_size=1, max_size=30),
+       st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=10))
+def test_block_index_exact(keys, probes):
+    from marc_record_merge_melindautils_ray.state.broadcast_index import ArrowBlockIndex
+
+    keys = sorted(keys)
+    mid = len(keys) // 2
+    tables = [
+        pa.table({"k": pa.array(keys[:mid], pa.string())}),
+        pa.table({"k": pa.array(keys[mid:], pa.string())}),
+    ]
+    idx = ArrowBlockIndex(tables, "k")
+    blocks, rows, ok = idx.lookup(np.array(probes, dtype=object))
+    keyset = set(keys)
+    for p, o, b, r in zip(probes, ok, blocks, rows):
+        assert o == (p in keyset)
+        if o:
+            # block numbers index idx.tables (empty blocks are dropped)
+            assert idx.tables[b]["k"][r].as_py() == p
