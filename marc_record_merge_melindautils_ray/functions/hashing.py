@@ -146,10 +146,28 @@ def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 def stable_str_hash(values, seed: int = 0) -> np.ndarray:
     """Deterministic uint64 hash of an array of strings (pandas siphash with a
-    fixed key — stable across processes/runs, unlike Python's ``hash``)."""
+    fixed key — stable across processes/runs, unlike Python's ``hash``).
+
+    NUL safety: pandas' vectorized C hasher reads NUL-terminated string
+    views, so ``"\\x00"``-containing strings would alias their prefixes
+    (hypothesis found ``""`` vs ``"\\x00"``).  Such strings are escaped with
+    an injective ``\\x01``-based scheme before hashing; the scan is O(chars)
+    and the rewrite only triggers on affected elements (normalized text can
+    never contain controls, so the hot paths never pay the rewrite)."""
     import pandas as pd
 
-    arr = pd.util.hash_array(np.asarray(values, dtype=object), hash_key="melinda-ray-0001")
+    vals = np.asarray(values, dtype=object)
+    if any(isinstance(v, str) and ("\x00" in v or "\x01" in v) for v in vals):
+        vals = np.array(
+            [
+                v.replace("\x01", "\x01\x31").replace("\x00", "\x01\x30")
+                if isinstance(v, str)
+                else v
+                for v in vals
+            ],
+            dtype=object,
+        )
+    arr = pd.util.hash_array(vals, hash_key="melinda-ray-0001")
     if seed:
         with np.errstate(over="ignore"):
             arr = splitmix64(arr ^ _U64(seed))

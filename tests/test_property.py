@@ -72,7 +72,7 @@ def test_splitmix_deterministic_injective_on_sample(xs):
     assert len(set(a.tolist())) == len(set(xs))
 
 
-@settings(max_examples=25)
+@settings(max_examples=25, deadline=None)
 @given(st.sets(st.text(min_size=1, max_size=12), min_size=1, max_size=30),
        st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=10))
 def test_block_index_exact(keys, probes):
