@@ -51,7 +51,12 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from marc_record_merge_melindautils_ray.config import DedupConfig
-    from marc_record_merge_melindautils_ray.ops import dedup_text, relational, similarity
+    from marc_record_merge_melindautils_ray.ops import (
+        dedup_text,
+        relational,
+        similarity,
+        text_analysis,
+    )
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth_scaled import generate_clips_ds
 
@@ -83,7 +88,10 @@ def run_bench() -> dict:
         ("join_broadcast", relational.q_join_broadcast),
         ("exact_dedup_lineitem", relational.q_exact_dedup_lineitem),
         ("minhash_lsh_docs", dedup_text.q_minhash_lsh_docs),
+        ("ngram_jaccard", dedup_text.q_ngram_jaccard_pairs),
         ("ann_topk", similarity.q_ann_topk),
+        ("sessionize", relational.q_sessionize),
+        ("top_terms", text_analysis.q_top_terms),
     ]:
         t = time.monotonic()
         out = fn(sf_dir)

@@ -77,3 +77,38 @@ def test_hot_transcript_skew(ray_session, small_cfg):
     for _, grp in assign.groupby("cluster_id"):
         fams = {tmap.get(i) for i in grp["clip_id"]}
         assert len(fams) == 1 and None not in fams
+
+
+def test_p0_reject_channel_end_to_end(ray_session, small_cfg):
+    """P0 output invariant through the FULL pipeline: a merged cluster whose
+    synthesized source link gets a <3-char system code must land in the
+    canonical_rejected channel, not the canonical output."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.functions import audio as au
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.schema import CLIPS_SCHEMA
+
+    sr = 8000
+    pcm = np.sin(np.linspace(0, 440 * 2 * np.pi, sr)).astype(np.float32) * 0.4
+    text = "tama on lyhyt testilause jolla on riittavasti sanoja pariutumiseen"
+
+    def row(cid, src):
+        return {
+            "clip_id": cid, "bytes": au.encode(pcm, "pcm16"), "sr_hz": sr,
+            "dur_ms": 1000, "codec": "pcm16", "transcript": text,
+            "status": "active", "sources": [src], "source_links": [],
+            "is_segment_of": None, "author_label": None, "author_type": None,
+            "edition_note": None,
+        }
+
+    clips = pa.Table.from_pylist(
+        [row("r1", "AB"), row("r2", "HELKA")], schema=CLIPS_SCHEMA
+    )  # 'AB' lowercases to a 2-char link system code -> P0 violation
+    res = run_dedup(rd.from_arrow(clips), small_cfg)
+    assert res["metrics"]["canonical_rejected"] == 1
+    rej = res["canonical_rejected"].to_pandas()
+    assert list(rej["invariant_error"]) == ["short-source-code"]
+    assert res["canonical"].count() == 0  # violating row never emitted
