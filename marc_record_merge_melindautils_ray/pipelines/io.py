@@ -1,0 +1,68 @@
+"""Resumable partitioned-parquet output sink.
+
+The pipeline's final tables are written as hash-bucketed parquet directories
+(``<out>/<table>/bucket=NN/part-*.parquet``) — never one giant file — with a
+per-table ``_SUCCESS`` marker written only after every bucket landed.  A
+re-run skips tables whose marker exists, so a failed multi-table export
+resumes at the first incomplete table; per-stage mid-pipeline resume is the
+Checkpointer's job (``state/checkpoint.py``), this covers the user-facing
+export.  Bucket count is the re-read parallelism knob (one key range per
+bucket; downstream consumers can process buckets independently).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from marc_record_merge_melindautils_ray.functions.hashing import splitmix64, stable_str_hash
+
+
+def _with_bucket(key_col: str, num_buckets: int):
+    def add(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        with np.errstate(over="ignore"):
+            b = (splitmix64(stable_str_hash(keys)) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    return add
+
+
+def write_table(ds: rd.Dataset, target: str, key_col: str, num_buckets: int = 16) -> bool:
+    """Write one Dataset as hash-bucketed parquet; returns False if the
+    table was already complete (resume skip)."""
+    marker = os.path.join(target, "_SUCCESS")
+    if os.path.exists(marker):
+        return False
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+    ds.map_batches(
+        _with_bucket(key_col, num_buckets), batch_format="pyarrow"
+    ).write_parquet(target, partition_cols=["bucket"])
+    with open(marker, "w") as f:
+        f.write("complete\n")
+        f.flush()
+        os.fsync(f.fileno())
+    return True
+
+
+def write_outputs(res: dict, out_dir: str, num_buckets: int = 16) -> dict[str, bool]:
+    """Export a ``run_dedup`` result dict.  Returns {table: written?} —
+    False means the table's ``_SUCCESS`` marker existed and it was skipped."""
+    written = {}
+    for name, key in (
+        ("assignments", "clip_id"),
+        ("canonical", "cluster_id"),
+        ("canonical_rejected", "cluster_id"),
+    ):
+        if name not in res:
+            continue
+        written[name] = write_table(
+            res[name], os.path.join(out_dir, name), key, num_buckets
+        )
+    return written
