@@ -57,6 +57,15 @@ class DedupConfig:
     audio_batch_size: int = 256   # wide binary rows -> smaller batches
     verify_batch_size: int = 256  # pairs per phase-2 batch (keeps the actor pool busy)
     payload_buckets: int = 64     # hash buckets for the survivor payload store
+    payload_store: str = "auto"   # "filtered": build a survivor-only payload
+                                  # block store (the cluster-scale default —
+                                  # bytes pulled from storage once, only for
+                                  # survivors); "direct": verify actors index
+                                  # the input's own resident Arrow blocks
+                                  # (zero extra copy — only valid when clips
+                                  # are already materialized in the object
+                                  # store); "auto": direct iff the input is a
+                                  # MaterializedDataset, else filtered
     verify_concurrency: int = 4
     fingerprint_concurrency: int = 4
     num_shuffle_partitions: int = 0   # 0 = let Ray decide

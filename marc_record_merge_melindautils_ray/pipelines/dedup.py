@@ -388,25 +388,41 @@ def run_dedup(
 
     _t = _time.monotonic()
     sv = survivors.select_columns(["id_a", "id_b", "rel"]).materialize()
+    n_survivor_pairs = sv.count()
     if not checkpoint_dir:
-        ck.metrics["survivors"] = {"num_rows": sv.count(), "cached": False}
-    # distinct survivor ids as object-store blocks — the driver holds refs
-    # only, never an O(survivors) Python set (round-1 verdict item 1)
-    ids_ds = survivor_id_blocks(sv)
-    id_refs = ids_ds.to_arrow_refs()
-    have_survivors = ids_ds.count() > 0
+        ck.metrics["survivors"] = {"num_rows": n_survivor_pairs, "cached": False}
+    have_survivors = n_survivor_pairs > 0
     _t = _lap("collect_ids", _t)
+
+    # payload access mode: when the clip table is ALREADY materialized as
+    # Arrow blocks in the object store, re-filtering its bytes into a second
+    # store is a full corpus copy for nothing — verify actors index the
+    # resident blocks in place ("direct").  File-backed inputs (the
+    # cluster-scale case) build the survivor-only filtered store so payload
+    # bytes leave storage once, for survivors only.
+    from ray.data.dataset import MaterializedDataset
+
+    direct_payloads = cfg.payload_store == "direct" or (
+        cfg.payload_store == "auto" and isinstance(clips, MaterializedDataset)
+    )
+    ck.metrics["payload_store_mode"] = "direct" if direct_payloads else "filtered"
 
     def run_phase2() -> rd.Dataset:
         _t2 = _time.monotonic()
-        refs = build_payload_blocks(clips, id_refs, cfg)
+        if direct_payloads:
+            refs = clips.to_arrow_refs()  # resident blocks, zero extra copy
+        else:
+            # distinct survivor ids as object-store blocks — the driver
+            # holds refs only, never an O(survivors) Python set
+            id_refs = survivor_id_blocks(sv).to_arrow_refs()
+            refs = build_payload_blocks(clips, id_refs, cfg)
         _t2 = _lap("payload_blocks", _t2)
         # location resolution happens inside the verify actors (each holds an
         # ArrowBlockIndex built once in __init__) — no separate locate stage,
         # one fewer materialization barrier
         out = sv.map_batches(
             PairPcmVerify,
-            fn_constructor_args=(cfg, refs),
+            fn_constructor_args=(cfg, refs, direct_payloads),
             batch_format="pandas",
             batch_size=cfg.verify_batch_size,
             concurrency=cfg.verify_concurrency,

@@ -162,19 +162,39 @@ class PairPcmVerify:
     columns) for store-free unit use.
     """
 
-    def __init__(self, cfg: DedupConfig, block_refs=None):
+    def __init__(self, cfg: DedupConfig, block_refs=None, direct: bool = False):
         from marc_record_merge_melindautils_ray.state.broadcast_index import ArrowBlockIndex
 
         self.cfg = cfg
-        self._index = ArrowBlockIndex(block_refs, "pid") if block_refs else None
+        self.direct = direct
+        key = "clip_id" if direct else "pid"
+        self._index = ArrowBlockIndex(block_refs, key) if block_refs else None
         self._pcm_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._norm_cache: OrderedDict[tuple[int, int], str] = OrderedDict()
 
     def _norm_of(self, bi: int, ri: int) -> str | None:
         """Fetch only the normalized transcript — cheap column access; the
-        (large) payload bytes are touched only after the text gates pass."""
+        (large) payload bytes are touched only after the text gates pass.
+        Direct mode indexes the raw clip blocks, so the normalization is
+        computed on demand per accessed row (LRU-cached)."""
         if bi < 0:
             return None
-        return self._index.tables[int(bi)]["p_norm"][int(ri)].as_py()
+        if not self.direct:
+            return self._index.tables[int(bi)]["p_norm"][int(ri)].as_py()
+        k = (int(bi), int(ri))
+        if k in self._norm_cache:
+            self._norm_cache.move_to_end(k)
+            return self._norm_cache[k]
+        from marc_record_merge_melindautils_ray.functions.textnorm import (
+            normalize_transcript,
+        )
+
+        raw = self._index.tables[k[0]]["transcript"][k[1]].as_py()
+        norm = normalize_transcript(raw or "")
+        self._norm_cache[k] = norm
+        if len(self._norm_cache) > 8192:
+            self._norm_cache.popitem(last=False)
+        return norm
 
     def _payload_of(self, bi: int, ri: int):
         """Payload as a zero-copy ``pa.Buffer`` view into the plasma block
@@ -183,8 +203,9 @@ class PairPcmVerify:
         if bi < 0:
             return None, None
         t = self._index.tables[int(bi)]
-        s = t["p_bytes"][int(ri)]
-        return (s.as_buffer() if s.is_valid else None), t["p_codec"][int(ri)].as_py()
+        bcol, ccol = ("bytes", "codec") if self.direct else ("p_bytes", "p_codec")
+        s = t[bcol][int(ri)]
+        return (s.as_buffer() if s.is_valid else None), t[ccol][int(ri)].as_py()
 
     def _pcm(self, cid: str, payload, codec) -> np.ndarray | None:
         if cid in self._pcm_cache:

@@ -112,3 +112,24 @@ def test_p0_reject_channel_end_to_end(ray_session, small_cfg):
     rej = res["canonical_rejected"].to_pandas()
     assert list(rej["invariant_error"]) == ["short-source-code"]
     assert res["canonical"].count() == 0  # violating row never emitted
+
+
+def test_filtered_payload_store_matches_direct(ray_session, corpus, small_cfg):
+    """Both payload-store modes (survivor-filtered block store vs direct
+    indexing of resident blocks) must produce identical assignments."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+
+    clips, _, _ = corpus
+    res_d = run_dedup(rd.from_arrow(clips), small_cfg)
+    a_direct = res_d["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert res_d["metrics"]["payload_store_mode"] == "direct"
+
+    cfg_f = dataclasses.replace(small_cfg, payload_store="filtered")
+    res_f = run_dedup(rd.from_arrow(clips), cfg_f)
+    a_filtered = res_f["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert res_f["metrics"]["payload_store_mode"] == "filtered"
+    assert a_direct.equals(a_filtered)
