@@ -133,3 +133,37 @@ def test_filtered_payload_store_matches_direct(ray_session, corpus, small_cfg):
     a_filtered = res_f["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
     assert res_f["metrics"]["payload_store_mode"] == "filtered"
     assert a_direct.equals(a_filtered)
+
+
+def test_empty_and_no_survivor_corpora(ray_session, small_cfg):
+    """Degenerate inputs: an empty clip table and an all-singleton table must
+    flow through every stage and produce empty outputs, not crash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.functions import audio as au
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.schema import CLIPS_SCHEMA
+
+    empty = pa.Table.from_pylist([], schema=CLIPS_SCHEMA)
+    res = run_dedup(rd.from_arrow(empty), small_cfg)
+    assert res["assignments"].count() == 0
+    assert res["canonical"].count() == 0
+
+    sr = 8000
+    rows = []
+    for i in range(3):  # three unrelated singletons: no candidate pairs
+        pcm = np.sin(np.linspace(0, (300 + 100 * i) * 2 * np.pi, sr)).astype(np.float32) * 0.3
+        rows.append({
+            "clip_id": f"s{i}", "bytes": au.encode(pcm, "pcm16"), "sr_hz": sr,
+            "dur_ms": 1000, "codec": "pcm16",
+            "transcript": f"taysin eri sisalto numero {i} ilman pareja lainkaan {i*7}",
+            "status": "active", "sources": ["OULA"], "source_links": [],
+            "is_segment_of": None, "author_label": None, "author_type": None,
+            "edition_note": None,
+        })
+    singles = pa.Table.from_pylist(rows, schema=CLIPS_SCHEMA)
+    res2 = run_dedup(rd.from_arrow(singles), small_cfg)
+    assert res2["assignments"].count() == 0
+    assert res2["canonical"].count() == 0
