@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": similarity.q_ann_topk,
         "ann_lsh": similarity.q_ann_lsh,
+        "ann_lsh_shuffle": similarity.q_ann_lsh_shuffle,
         "cosine_pairs": similarity.q_cosine_pairs,
         "lsh_bucket_counts": similarity.lsh_bucket_counts,
         # text analysis

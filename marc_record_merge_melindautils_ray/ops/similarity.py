@@ -182,6 +182,124 @@ def q_ann_lsh(sf_dir: str, k: int = 10, n_tables: int = 12) -> pd.DataFrame:
     )
 
 
+def q_ann_lsh_shuffle(sf_dir: str, k: int = 10, n_tables: int = 12) -> pd.DataFrame:
+    """Bucket-keyed SHUFFLE variant of ``q_ann_lsh`` — the scale path for
+    LARGE query sets.  The probe variant masks every corpus batch against
+    every query (fine for a handful of queries, O(batches × queries) rescans
+    otherwise); here each corpus row emits one row per (table, bucket) hit
+    against the BROADCAST set of query-occupied buckets, a
+    partition-then-vectorize groupby co-locates candidates with their
+    queries, and a tiny driver merge takes the global top-k.  Produces
+    IDENTICAL results to ``q_ann_lsh`` at the same seeds (asserted in
+    tests)."""
+    ds = _emb(sf_dir)
+    q = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas().sort_values("vec_id")
+    q_ids = q["vec_id"].to_numpy()
+    qm = np.array([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    hashers = [HyperplaneLsh(dim=qm.shape[1], n_planes=4, seed=100 + t) for t in range(n_tables)]
+    # key = table << 8 | bucket  (n_planes=4 → bucket < 16)
+    q_keys = np.stack(
+        [(np.int64(ti) << 8) | (((qm @ h.planes) > 0) @ h.powers).astype(np.int64)
+         for ti, h in enumerate(hashers)]
+    )  # (n_tables, nq)
+    wanted = np.unique(q_keys.reshape(-1))
+    # per bucket-key: which queries probe it (list arrays, broadcast once)
+    key_to_queries = {int(kk): q_ids[np.unique(np.nonzero(q_keys == kk)[1])] for kk in wanted}
+    ref = ray.put((q_ids, qn, [h.planes for h in hashers], [h.powers for h in hashers],
+                   np.sort(wanted), key_to_queries))
+
+    def emit_candidates(t: pa.Table) -> pa.Table:
+        q_ids_, _, planes, powers, wanted_, _ = maybe_get(ref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        out_key, out_id, out_vec = [], [], []
+        for ti in range(len(planes)):
+            keys = (np.int64(ti) << 8) | (((mat @ planes[ti]) > 0) @ powers[ti]).astype(np.int64)
+            pos = np.searchsorted(wanted_, keys)
+            hit = (pos < len(wanted_)) & (wanted_[np.minimum(pos, len(wanted_) - 1)] == keys)
+            if hit.any():
+                out_key.append(keys[hit])
+                out_id.append(ids[hit])
+                out_vec.append(matn[hit])
+        if not out_key:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), mat.shape[1] if mat.size else 64
+                ),
+            })
+        kcat = np.concatenate(out_key)
+        icat = np.concatenate(out_id).astype(np.int64)
+        vcat = np.concatenate(out_vec)
+        return pa.table({
+            "key": pa.array(kcat, pa.int64()),
+            "vec_id": pa.array(icat, pa.int64()),
+            "nvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vcat.reshape(-1), pa.float64()), vcat.shape[1]
+            ),
+        })
+
+    def score_partition(g: pd.DataFrame) -> pd.DataFrame:
+        q_ids_, qn_, _, _, _, key_to_q = maybe_get(ref)
+        qrow = {int(qid): i for i, qid in enumerate(q_ids_)}
+        out = []
+        for kk, sub in g.groupby("key"):
+            cids = sub["vec_id"].to_numpy()
+            mat = np.stack(sub["nvec"].to_numpy())
+            for qid in key_to_q[int(kk)]:
+                mask = cids != qid
+                if not mask.any():
+                    continue
+                sims = mat[mask] @ qn_[qrow[int(qid)]]
+                cc = cids[mask]
+                top = np.lexsort((cc, -sims))[: 2 * k]
+                out.append(pd.DataFrame({
+                    "query_id": np.int64(qid), "neighbor_id": cc[top], "sim": sims[top],
+                }))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kk = np.asarray(t["key"]).view(np.uint64)
+        part = (splitmix64(kk) % np.uint64(16)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    parts = (
+        ds.map_batches(emit_candidates, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(score_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        # a candidate found in several tables appears once per table: dedup
+        g = g.drop_duplicates("neighbor_id")
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        rows.append(g[["query_id", "neighbor_id", "rank"]])
+    if not rows:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64)})
+    return (
+        pd.concat(rows, ignore_index=True)
+        .astype({"query_id": np.int64, "neighbor_id": np.int64, "rank": np.int64})
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
 def lsh_bucket_counts(sf_dir: str) -> pd.DataFrame:
     ds = _emb(sf_dir)
     out = (

@@ -25,3 +25,17 @@ def test_ann_lsh_deterministic(ray_session):
     a = q_ann_lsh(SF)
     b = q_ann_lsh(SF)
     assert a.equals(b)
+
+
+def test_ann_lsh_shuffle_matches_probe(ray_session):
+    """The bucket-keyed shuffle variant must reproduce the probe variant's
+    results at the same seeds (same candidate sets by construction)."""
+    from marc_record_merge_melindautils_ray.ops.similarity import (
+        q_ann_lsh,
+        q_ann_lsh_shuffle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    probe = q_ann_lsh(sf)
+    shuffle = q_ann_lsh_shuffle(sf)
+    assert probe.equals(shuffle)
