@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": similarity.q_ann_lsh,
         "ann_lsh_shuffle": similarity.q_ann_lsh_shuffle,
         "cosine_pairs": similarity.q_cosine_pairs,
+        "embed_dup_pairs": similarity.q_embed_dup_pairs,
         "lsh_bucket_counts": similarity.lsh_bucket_counts,
         # text analysis
         "token_counts": text_analysis.q_token_counts,

@@ -300,6 +300,129 @@ def q_ann_lsh_shuffle(sf_dir: str, k: int = 10, n_tables: int = 12) -> pd.DataFr
     )
 
 
+def q_embed_dup_pairs(
+    sf_dir: str, threshold_permille: int = 400, n_tables: int = 8,
+    n_planes: int = 6, bucket_cap: int = 512,
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs over the FULL embeddings table —
+    the scale path (``q_cosine_pairs`` is the all-pairs oracle demo on a
+    bounded slice).  Multi-table hyperplane buckets on every row → hash
+    partitions → per-bucket vectorized cosine (one matmul per bucket) →
+    global pair dedup by pair-key partition.  Never all-pairs, never a
+    driver-side matrix.  Oversized buckets fall back to sorted-neighborhood
+    pairing with the size visible (``bucket_n``), not silent drops.
+    Output: (id_a, id_b, sim_permille) with sim ≥ threshold."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _emb(sf_dir)
+    hashers = [
+        HyperplaneLsh(dim=64, n_planes=n_planes, seed=7000 + t) for t in range(n_tables)
+    ]
+    planes_ref = ray.put(([h.planes for h in hashers], [h.powers for h in hashers]))
+
+    def emit(t: pa.Table) -> pa.Table:
+        planes, powers = maybe_get(planes_ref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        keys, rid = [], []
+        for ti in range(len(planes)):
+            kk = (np.int64(ti) << 8) | (((mat @ planes[ti]) > 0) @ powers[ti]).astype(np.int64)
+            keys.append(kk)
+            rid.append(np.arange(len(ids)))
+        kcat = np.concatenate(keys)
+        rcat = np.concatenate(rid)
+        return pa.table({
+            "key": pa.array(kcat, pa.int64()),
+            "vec_id": pa.array(ids[rcat].astype(np.int64), pa.int64()),
+            "nvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(matn[rcat].reshape(-1), pa.float64()), matn.shape[1]
+            ),
+        })
+
+    def add_part(t: pa.Table, col: str) -> pa.Table:
+        if "part" in t.column_names:
+            t = t.drop_columns(["part"])
+        kk = np.asarray(t[col]).view(np.uint64)
+        part = (splitmix64(kk) % np.uint64(32)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "vec_id"]).drop_duplicates(["key", "vec_id"])
+        g = g.reset_index(drop=True)
+        keys = g["key"].to_numpy()
+        n = len(g)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64),
+            "sim_permille": pd.Series([], dtype=np.int64),
+            "bucket_n": pd.Series([], dtype=np.int64),
+        })
+        if n < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["nvec"].to_numpy())
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        out = []
+        for s, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            sub = mat[s : s + sz]
+            if sz <= bucket_cap:
+                sims = sub @ sub.T
+                ii, jj = np.triu_indices(int(sz), k=1)
+                sv = sims[ii, jj]
+            else:  # visible sorted-neighborhood fallback
+                w = 8
+                base = np.arange(sz)
+                ii = np.concatenate([base[:-d] for d in range(1, w + 1) if d < sz])
+                jj = np.concatenate([base[d:] for d in range(1, w + 1) if d < sz])
+                sv = np.einsum("ij,ij->i", sub[ii], sub[jj])
+            keep = np.round(sv * 1000).astype(np.int64) >= threshold_permille
+            if not keep.any():
+                continue
+            a, b = ids[s + ii[keep]], ids[s + jj[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out.append(pd.DataFrame({
+                "id_a": lo, "id_b": hi,
+                "sim_permille": np.round(sv[keep] * 1000).astype(np.int64),
+                "bucket_n": np.full(keep.sum(), sz, np.int64),
+            }))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
+        return g[["id_a", "id_b", "sim_permille"]]
+
+    out = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .map_batches(lambda t: add_part(t, "key"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: add_part(
+                t.append_column(
+                    "pk",
+                    pa.array(
+                        (np.asarray(t["id_a"], np.int64) << 32)
+                        ^ np.asarray(t["id_b"], np.int64),
+                        pa.int64(),
+                    ),
+                ),
+                "pk",
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "sim_permille": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype(np.int64)
+
+
 def lsh_bucket_counts(sf_dir: str) -> pd.DataFrame:
     ds = _emb(sf_dir)
     out = (

