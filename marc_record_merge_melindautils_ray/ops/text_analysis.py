@@ -165,7 +165,12 @@ def q_lang_id(sf_dir: str) -> rd.Dataset:
 
 
 def lang_id_accuracy(sf_dir: str) -> float:
-    """Convenience metric: predicted vs generator truth label."""
+    """Convenience metric: predicted vs the table's ``lang`` column.
+
+    NOTE: the driver testdata's ``lang`` column is a random label over a
+    SHARED vocabulary (the text carries no language signal), so this metric
+    is ~chance there — q_lang_id's correctness check is its DuckDB oracle
+    (``oracle_sql()['lang_id']``) plus the marked-text unit test."""
     pred = q_lang_id(sf_dir).to_pandas()
     truth = _docs(sf_dir, ("doc_id", "lang")).to_pandas()
     m = pred.merge(truth, on="doc_id")
