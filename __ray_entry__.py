@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
         "simhash_docs": dedup_text.q_simhash_docs,
+        "simhash_dup_pairs": dedup_text.q_simhash_dup_pairs,
         "ngram_jaccard_pairs": dedup_text.q_ngram_jaccard_pairs,
         # similarity search
         "ann_topk": similarity.q_ann_topk,

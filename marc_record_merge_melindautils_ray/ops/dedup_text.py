@@ -209,6 +209,102 @@ def q_simhash_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("id").reset_index(drop=True)
 
 
+def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs, EXACT under banding: the 64-bit sketch splits
+    into ``max_hamming + 1`` bands, so any pair within ``max_hamming`` bits
+    shares at least one untouched band (pigeonhole) — banded blocking loses
+    nothing, verified pair-for-pair against brute force in tests.
+    Band-key partitions → vectorized intra-bucket Hamming → pair-key dedup.
+    Output: (id_a, id_b, hamming)."""
+    from marc_record_merge_melindautils_ray.functions.audio import hamming64
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    sigs = simhash_signatures(_docs(sf_dir), "doc_id", "text")
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["id"], np.int64)
+        sh = np.asarray(t["simhash"], np.int64).view(np.uint64)
+        keys, rid = [], []
+        for bi in range(n_bands):
+            bits = (sh >> np.uint64(bi * band_bits)) & np.uint64((1 << band_bits) - 1)
+            keys.append((np.int64(bi) << 58) | bits.view(np.int64))
+            rid.append(np.arange(len(ids)))
+        kcat = np.concatenate(keys)
+        rcat = np.concatenate(rid)
+        return pa.table({
+            "key": pa.array(kcat, pa.int64()),
+            "id": pa.array(ids[rcat], pa.int64()),
+            "simhash": pa.array(sh[rcat].view(np.int64), pa.int64()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "id"]).drop_duplicates(["key", "id"]).reset_index(drop=True)
+        keys = g["key"].to_numpy()
+        n = len(g)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64),
+            "hamming": pd.Series([], dtype=np.int64),
+        })
+        if n < 2:
+            return empty
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        lo_list, hi_list = [], []
+        for sz in np.unique(sizes[sizes >= 2]):
+            ii, jj = np.triu_indices(int(sz), k=1)
+            st = starts[sizes == sz]
+            lo_list.append((st[:, None] + ii[None, :]).ravel())
+            hi_list.append((st[:, None] + jj[None, :]).ravel())
+        if not lo_list:
+            return empty
+        lo = np.concatenate(lo_list)
+        hi = np.concatenate(hi_list)
+        ids = g["id"].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        ham = hamming64(sh[lo], sh[hi]).astype(np.int64)
+        keep = ham <= max_hamming
+        a, b = ids[lo[keep]], ids[hi[keep]]
+        return pd.DataFrame({
+            "id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "hamming": ham[keep],
+        })
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "hamming"]
+        ]
+
+    out = (
+        sigs.map_batches(expand, batch_format="pyarrow")
+        .map_batches(lambda t: _add_int_part(t, "key"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: _add_int_part(
+                (t.drop_columns(["part"]) if "part" in t.column_names else t).append_column(
+                    "pk",
+                    pa.array(
+                        (np.asarray(t["id_a"], np.int64) << 32)
+                        ^ np.asarray(t["id_b"], np.int64),
+                        pa.int64(),
+                    ),
+                ),
+                "pk",
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "hamming": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype(np.int64)
+
+
 NGRAM_MIN_PERMILLE = 200  # report-pair threshold (mirrored in the SQL oracle)
 
 

@@ -72,3 +72,26 @@ def test_lang_id_on_marked_texts(ray_session):
     df = pd.DataFrame({"doc_id": range(len(cases)), "text": [c[0] for c in cases]})
     out = LangId()(df)
     assert list(out["lang_pred"]) == [c[1] for c in cases]
+
+
+def test_simhash_dup_pairs_exact_vs_brute(ray_session):
+    """Banded SimHash pair blocking is EXACT for hamming <= max_hamming
+    (pigeonhole: 4 bands, <=3 flipped bits leave one band untouched) — the
+    distributed pass must equal brute-force all-pairs."""
+    import itertools
+
+    from marc_record_merge_melindautils_ray.ops.dedup_text import (
+        q_simhash_dup_pairs,
+        q_simhash_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_simhash_dup_pairs(sf, max_hamming=3)
+    sigs = q_simhash_docs(sf)
+    sh = {int(r["id"]): int(r["simhash"]) & ((1 << 64) - 1) for _, r in sigs.iterrows()}
+    truth = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        if bin(sh[a] ^ sh[b]).count("1") <= 3:
+            truth.add((a, b))
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == truth
