@@ -32,6 +32,19 @@ class DedupConfig:
     # --- candidate generation / skew ------------------------------------
     bucket_cap: int = 64          # band buckets larger than this switch to hub pairing
     max_pairs_per_bucket: int = 4096
+    keyset_mode: str = "sampled"  # "sampled": cheap hot-key-only detector —
+                                  # the measured default (at 10^6 clips the
+                                  # exact pass's own counting aggregate cost
+                                  # 115 s and saved less than that downstream;
+                                  # vectorized emission makes singleton groups
+                                  # nearly free, so pre-filtering pays only
+                                  # when the shuffle, not the UDF, dominates).
+                                  # "exact": full counting pass whose multi-key
+                                  # set pre-filters the candidate shuffle
+                                  # (recall-lossless — singleton band keys
+                                  # can't pair; equivalence asserted in tests);
+                                  # "auto": exact above exact_keyset_min_rows.
+    exact_keyset_min_rows: int = 50_000_000
 
     # --- containment pass ------------------------------------------------
     containment_sample_bits: int = 5   # sample shingles with hash < 2^64 / 2^bits

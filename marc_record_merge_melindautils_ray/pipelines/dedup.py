@@ -131,10 +131,17 @@ def find_candidate_key_sets(
             f"(> guard {max_driver_keys}); use find_hot_band_keys_sampled or "
             "a broadcast Bloom filter at this scale"
         )
-    rows = multi_ds.take_all()
-    keys = np.array([r["key"] for r in rows], dtype=np.int64).view(np.uint64)
-    kinds = np.array([r["kind"] for r in rows], dtype=np.int8)
-    cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    keys_l, kinds_l, cnts_l = [], [], []
+    for b in multi_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        keys_l.append(np.asarray(b["key"], dtype=np.int64))
+        kinds_l.append(np.asarray(b["kind"], dtype=np.int8))
+        cnts_l.append(np.asarray(b["sum(cnt)"], dtype=np.int64))
+    if not keys_l:
+        e = np.empty(0, np.uint64)
+        return e, e.copy(), e.copy()
+    keys = np.concatenate(keys_l).view(np.uint64)
+    kinds = np.concatenate(kinds_l)
+    cnts = np.concatenate(cnts_l)
     band_mask = kinds == 0
     multi = keys[band_mask]
     hot = keys[band_mask & (cnts > cfg.bucket_cap)]
@@ -353,9 +360,20 @@ def run_dedup(
     )
 
     _t = _time.monotonic()
-    # row count is metadata-cheap (materialized blocks / parquet footer) and
-    # selects the hot-key detector's small-vs-distributed combine path
-    hot_keys = find_hot_band_keys_sampled(features, cfg, n_rows=features.count())
+    # row count is metadata-cheap (materialized blocks / parquet footer); it
+    # selects the keyset strategy and the hot-key combine path
+    n_feature_rows = features.count()
+    use_exact_keysets = cfg.keyset_mode == "exact" or (
+        cfg.keyset_mode == "auto" and n_feature_rows > cfg.exact_keyset_min_rows
+    )
+    if use_exact_keysets:
+        multi_keys, hot_keys, useful_shingles = find_candidate_key_sets(features, cfg)
+        ck.metrics["keyset_mode"] = "exact"
+        ck.metrics["multi_band_keys"] = int(len(multi_keys))
+    else:
+        multi_keys = useful_shingles = None
+        hot_keys = find_hot_band_keys_sampled(features, cfg, n_rows=n_feature_rows)
+        ck.metrics["keyset_mode"] = "sampled"
     _t = _lap("keysets", _t)
     ck.metrics["hot_band_keys"] = int(len(hot_keys))
 
@@ -365,7 +383,7 @@ def run_dedup(
         # checkpointed mode: pairs and survivors are separate resumable stages
         pairs = ck.stage(
             "pairs",
-            lambda: candidate_pairs(features, cfg, hot_keys),
+            lambda: candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles),
             input_fingerprint=ck.fingerprint("features"),
         )
         phase1 = pairs.map_batches(
@@ -381,7 +399,7 @@ def run_dedup(
         # chain with a single materialization (fewer barriers; the streaming
         # executor pipelines the stages)
         survivors = (
-            candidate_pairs(features, cfg, hot_keys)
+            candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles)
             .map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pandas")
             .map_batches(survivors_to_table, batch_format="pandas")
         )

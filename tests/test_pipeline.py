@@ -167,3 +167,25 @@ def test_empty_and_no_survivor_corpora(ray_session, small_cfg):
     res2 = run_dedup(rd.from_arrow(singles), small_cfg)
     assert res2["assignments"].count() == 0
     assert res2["canonical"].count() == 0
+
+
+def test_exact_keyset_mode_matches_sampled(ray_session, corpus, small_cfg):
+    """The exact counting pass (multi-key pre-filter) must produce the same
+    clusters as the sampled hot-key detector — singleton-key dropping is
+    recall-lossless by construction."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+
+    clips, _, _ = corpus
+    res_s = run_dedup(rd.from_arrow(clips), small_cfg)
+    assert res_s["metrics"]["keyset_mode"] == "sampled"
+    a_s = res_s["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+
+    cfg_e = dataclasses.replace(small_cfg, keyset_mode="exact")
+    res_e = run_dedup(rd.from_arrow(clips), cfg_e)
+    assert res_e["metrics"]["keyset_mode"] == "exact"
+    a_e = res_e["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert a_s.equals(a_e)
