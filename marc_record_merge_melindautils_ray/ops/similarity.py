@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -19,6 +21,8 @@ import ray
 import ray.data as rd
 
 from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+_log = logging.getLogger(__name__)
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
@@ -300,21 +304,48 @@ def q_ann_lsh_shuffle(sf_dir: str, k: int = 10, n_tables: int = 12) -> pd.DataFr
     )
 
 
+def adaptive_planes(n_rows: int, target_bucket: int = 64, lo: int = 4, hi: int = 16) -> int:
+    """LSH depth sized to the corpus: ``2**n_planes`` buckets per table such
+    that the EXPECTED bucket population is ~``target_bucket``.  A fixed depth
+    (the round-2 defect) means bucket population grows O(N/2**planes) and at
+    100× every bucket silently exceeds the matmul cap; deriving the depth
+    from a cheap metadata row count keeps per-bucket work constant as the
+    corpus grows."""
+    if n_rows <= target_bucket:
+        return lo
+    return int(min(hi, max(lo, np.ceil(np.log2(n_rows / target_bucket)))))
+
+
 def q_embed_dup_pairs(
     sf_dir: str, threshold_permille: int = 400, n_tables: int = 8,
-    n_planes: int = 6, bucket_cap: int = 512,
+    n_planes: int | None = None, bucket_cap: int = 512, target_bucket: int = 64,
+    max_split_depth: int = 8, metrics: dict | None = None,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs over the FULL embeddings table —
     the scale path (``q_cosine_pairs`` is the all-pairs oracle demo on a
     bounded slice).  Multi-table hyperplane buckets on every row → hash
     partitions → per-bucket vectorized cosine (one matmul per bucket) →
     global pair dedup by pair-key partition.  Never all-pairs, never a
-    driver-side matrix.  Oversized buckets fall back to sorted-neighborhood
-    pairing with the size visible (``bucket_n``), not silent drops.
+    driver-side matrix.
+
+    Scale behavior (round-3): ``n_planes`` defaults to ``adaptive_planes``
+    (sized from a cheap metadata row count so expected bucket population is
+    ~``target_bucket`` regardless of N), and buckets that still exceed
+    ``bucket_cap`` (skewed regions of embedding space) are RECURSIVELY SPLIT
+    on extra hyperplanes (seed derived from the bucket key, so each table
+    splits differently) instead of degrading to a fixed-window scan; only a
+    bucket still over cap at ``max_split_depth`` takes the visible
+    sorted-neighborhood fallback.  Leaf bucket sizes and the fallback
+    fraction are surfaced through ``metrics`` (and logged), not dropped.
     Output: (id_a, id_b, sim_permille) with sim ≥ threshold."""
     from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
 
     ds = _emb(sf_dir)
+    n_rows = ds.count()  # parquet metadata count — no data read
+    if n_planes is None:
+        n_planes = adaptive_planes(n_rows, target_bucket)
+    num_parts = adaptive_parts(n_rows * n_tables)
     hashers = [
         HyperplaneLsh(dim=64, n_planes=n_planes, seed=7000 + t) for t in range(n_tables)
     ]
@@ -325,8 +356,9 @@ def q_embed_dup_pairs(
         ids, mat = _batch_matrix(t)
         matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         keys, rid = [], []
+        shift = planes[0].shape[1]  # bucket fits in n_planes bits
         for ti in range(len(planes)):
-            kk = (np.int64(ti) << 8) | (((mat @ planes[ti]) > 0) @ powers[ti]).astype(np.int64)
+            kk = (np.int64(ti) << shift) | (((mat @ planes[ti]) > 0) @ powers[ti]).astype(np.int64)
             keys.append(kk)
             rid.append(np.arange(len(ids)))
         kcat = np.concatenate(keys)
@@ -343,35 +375,36 @@ def q_embed_dup_pairs(
         if "part" in t.column_names:
             t = t.drop_columns(["part"])
         kk = np.asarray(t[col]).view(np.uint64)
-        part = (splitmix64(kk) % np.uint64(32)).astype(np.int64)
+        part = (splitmix64(kk) % np.uint64(num_parts)).astype(np.int64)
         return t.append_column("part", pa.array(part, pa.int64()))
+
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64),
+        "sim_permille": pd.Series([], dtype=np.int64),
+        "bucket_n": pd.Series([], dtype=np.int64),
+        "fallback": pd.Series([], dtype=bool),
+    })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["key", "vec_id"]).drop_duplicates(["key", "vec_id"])
         g = g.reset_index(drop=True)
         keys = g["key"].to_numpy()
         n = len(g)
-        empty = pd.DataFrame({
-            "id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64),
-            "sim_permille": pd.Series([], dtype=np.int64),
-            "bucket_n": pd.Series([], dtype=np.int64),
-        })
         if n < 2:
             return empty
         ids = g["vec_id"].to_numpy()
         mat = np.stack(g["nvec"].to_numpy())
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        sizes = np.diff(np.r_[starts, n])
+        dim = mat.shape[1]
         out = []
-        for s, sz in zip(starts, sizes):
-            if sz < 2:
-                continue
-            sub = mat[s : s + sz]
-            if sz <= bucket_cap:
+
+        def emit_leaf(idx: np.ndarray, fallback: bool) -> None:
+            sz = len(idx)
+            sub = mat[idx]
+            if not fallback:
                 sims = sub @ sub.T
                 ii, jj = np.triu_indices(int(sz), k=1)
                 sv = sims[ii, jj]
-            else:  # visible sorted-neighborhood fallback
+            else:  # visible sorted-neighborhood fallback (over cap at max depth)
                 w = 8
                 base = np.arange(sz)
                 ii = np.concatenate([base[:-d] for d in range(1, w + 1) if d < sz])
@@ -379,19 +412,44 @@ def q_embed_dup_pairs(
                 sv = np.einsum("ij,ij->i", sub[ii], sub[jj])
             keep = np.round(sv * 1000).astype(np.int64) >= threshold_permille
             if not keep.any():
-                continue
-            a, b = ids[s + ii[keep]], ids[s + jj[keep]]
+                return
+            a, b = ids[idx[ii[keep]]], ids[idx[jj[keep]]]
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             out.append(pd.DataFrame({
                 "id_a": lo, "id_b": hi,
                 "sim_permille": np.round(sv[keep] * 1000).astype(np.int64),
-                "bucket_n": np.full(keep.sum(), sz, np.int64),
+                "bucket_n": np.full(int(keep.sum()), sz, np.int64),
+                "fallback": np.full(int(keep.sum()), fallback),
             }))
+
+        def split_bucket(idx: np.ndarray, key: int, depth: int) -> None:
+            """Over-cap buckets are split on 2 extra hyperplanes (seed derived
+            from the bucket key → each table splits differently, preserving
+            multi-table recall) rather than degraded to a window scan."""
+            sz = len(idx)
+            if sz < 2:
+                return
+            if sz <= bucket_cap:
+                emit_leaf(idx, fallback=False)
+                return
+            if depth >= max_split_depth:
+                emit_leaf(idx, fallback=True)
+                return
+            rng = np.random.default_rng([9176, key & 0x7FFFFFFF, depth])
+            planes = rng.standard_normal((dim, 2))
+            bits = ((mat[idx] @ planes) > 0) @ np.array([1, 2])
+            for b in range(4):
+                split_bucket(idx[bits == b], key * 4 + b, depth + 1)
+
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        for s, sz in zip(starts, sizes):
+            split_bucket(np.arange(s, s + sz), int(keys[s]), 0)
         return pd.concat(out, ignore_index=True) if out else empty
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
-        return g[["id_a", "id_b", "sim_permille"]]
+        return g[["id_a", "id_b", "sim_permille", "bucket_n", "fallback"]]
 
     out = (
         ds.map_batches(emit, batch_format="pyarrow")
@@ -416,10 +474,20 @@ def q_embed_dup_pairs(
         .map_groups(dedup_pairs, batch_format="pandas")
         .to_pandas()
     )
+    meta = {
+        "n_rows": int(n_rows), "n_planes": int(n_planes), "n_tables": int(n_tables),
+        "num_parts": int(num_parts),
+        "max_bucket_n": int(out["bucket_n"].max()) if len(out) else 0,
+        "fallback_pair_frac": float(out["fallback"].mean()) if len(out) else 0.0,
+    }
+    _log.info("q_embed_dup_pairs metrics: %s", meta)
+    if metrics is not None:
+        metrics.update(meta)
     if out.empty:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64),
                              "sim_permille": pd.Series([], dtype=np.int64)})
+    out = out[["id_a", "id_b", "sim_permille"]]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype(np.int64)
 
 

@@ -64,8 +64,54 @@ def test_embed_dup_pairs_recall_vs_brute(ray_session):
     truth_pairs = set(zip(truth["id_a"], truth["id_b"]))
     got_pairs = set(zip(got["id_a"], got["id_b"]))
     assert got_pairs, "no pairs found"
-    assert got_pairs <= truth_pairs or all(
-        s >= 400 for s in got["sim_permille"]
-    )  # precision: every reported sim >= threshold
+    # precision vs the DuckDB truth: the kernel computes exact cosine inside
+    # buckets, so every reported pair must be a true pair
+    assert got_pairs <= truth_pairs, got_pairs - truth_pairs
     recall = len(got_pairs & truth_pairs) / max(1, len(truth_pairs))
     assert recall >= 0.5, f"bucketed recall {recall} too low vs brute force"
+
+
+def test_embed_dup_pairs_adaptive_depth(ray_session, tmp_path):
+    """Adaptive LSH depth: on a corpus sized to overflow round-2's fixed 64
+    buckets/table, the frozen shallow config (n_planes=4, splitting disabled)
+    collapses into the sorted-neighborhood fallback and misses the planted
+    pairs, while the adaptive default keeps buckets under the matmul cap and
+    recovers them — the round-2 verdict's headline scale defect."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.similarity import q_embed_dup_pairs
+
+    rng = np.random.default_rng(42)
+    n, dim, n_dup = 16384, 64, 200
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    # planted near-identical pairs (i, n - n_dup + i): ~16k apart in vec_id,
+    # far beyond the fallback's w=8 sorted-neighborhood window
+    for i in range(n_dup):
+        mat[n - n_dup + i] = mat[i] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    planted = {(i, n - n_dup + i) for i in range(n_dup)}
+
+    m_fixed: dict = {}
+    fixed = q_embed_dup_pairs(
+        str(tmp_path), threshold_permille=900, n_planes=4, max_split_depth=0,
+        metrics=m_fixed,
+    )
+    fixed_pairs = set(zip(fixed["id_a"], fixed["id_b"]))
+    recall_fixed = len(fixed_pairs & planted) / len(planted)
+    assert m_fixed["fallback_pair_frac"] > 0.5 or not fixed_pairs  # visibly degraded
+    assert recall_fixed < 0.5, recall_fixed  # the failure mode, proven
+
+    m_adaptive: dict = {}
+    adaptive = q_embed_dup_pairs(str(tmp_path), threshold_permille=900, metrics=m_adaptive)
+    adaptive_pairs = set(zip(adaptive["id_a"], adaptive["id_b"]))
+    recall_adaptive = len(adaptive_pairs & planted) / len(planted)
+    assert m_adaptive["n_planes"] >= 8, m_adaptive  # depth grew with the corpus
+    assert m_adaptive["fallback_pair_frac"] == 0.0, m_adaptive
+    assert recall_adaptive >= 0.9, recall_adaptive
+    assert recall_adaptive > recall_fixed
