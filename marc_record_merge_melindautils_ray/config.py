@@ -42,8 +42,18 @@ class DedupConfig:
                                   # "exact": full counting pass whose multi-key
                                   # set pre-filters the candidate shuffle
                                   # (recall-lossless — singleton band keys
-                                  # can't pair; equivalence asserted in tests);
-                                  # "auto": exact above exact_keyset_min_rows.
+                                  # can't pair; equivalence asserted in tests).
+                                  # The multi/useful key sets travel as
+                                  # distributed-built Bloom filters (bitmap
+                                  # slice blocks in the object store, refs in
+                                  # the closure) — no driver key array at any
+                                  # corpus size.  "auto": exact above
+                                  # exact_keyset_min_rows — the regime where
+                                  # the candidate SHUFFLE (not the per-group
+                                  # UDF) dominates and the pre-filter's
+                                  # counting pass pays for itself; safe now
+                                  # that exact never materializes keys on the
+                                  # driver.
     exact_keyset_min_rows: int = 50_000_000
 
     # --- containment pass ------------------------------------------------

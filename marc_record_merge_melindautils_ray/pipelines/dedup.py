@@ -83,24 +83,24 @@ def compute_features(clips: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     return ds.select_columns(FEATURE_COLS)
 
 
-def find_candidate_key_sets(
-    features: rd.Dataset, cfg: DedupConfig, max_driver_keys: int = 50_000_000
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def find_candidate_key_sets(features: rd.Dataset, cfg: DedupConfig) -> tuple:
     """ONE pre-aggregated counting pass over both key spaces →
-    (multi_band_keys: count ≥ 2, hot_band_keys: count > bucket_cap,
-    useful_shingle_keys: 2 ≤ count ≤ bucket_cap).
+    (multi_band_filter: count ≥ 2, hot_band_keys: count > bucket_cap,
+    useful_shingle_filter: 2 ≤ count ≤ bucket_cap).
 
     Multi keys gate the candidate shuffle (singleton keys can't pair); hot
     band keys get content-salted; over-cap shingle keys (too-common grams)
     are dropped at the source.  Band and shingle keys ride one aggregate,
     disambiguated by a kind bit mixed into the key column.
 
-    EXACT pass with a driver-side key-array sink, guarded by
-    ``max_driver_keys`` (raises instead of silently materializing an
-    unbounded key set).  The pipeline's default detector is the sampled
-    ``find_hot_band_keys_sampled``; at corpus sizes where the exact multi-key
-    set exceeds the guard, the documented scale path is a Bloom filter of
-    multi keys broadcast via ``ray.put`` (see ``make_expand_bands``).
+    The multi/useful key sets scale with the corpus, so they return as
+    DISTRIBUTED-BUILT Bloom filters (``state.bloom``): bitmap slices are
+    assembled inside Ray workers and stay in the object store; the driver
+    holds only block refs (the round-2 driver key-array sink and its 50 M-key
+    guard are gone).  A Bloom false positive merely admits a singleton key
+    that then forms a size-1 group and emits nothing, so candidate output is
+    IDENTICAL to the exact-array pass.  Hot keys are few by the definition of
+    skew and come back as an exact driver array (they must be, to salt).
     """
     def both_counts(batch: pa.Table) -> pa.Table:
         b = cand.band_key_counts(batch)
@@ -115,38 +115,58 @@ def find_candidate_key_sets(
                                      s["cnt"].combine_chunks() if isinstance(s["cnt"], pa.ChunkedArray) else s["cnt"]]),
         })
 
+    from marc_record_merge_melindautils_ray.state.bloom import build_bloom_filter
+
     counts = features.select_columns(["bands", "samp_shingles"]).map_batches(
         both_counts, batch_format="pyarrow"
     )
-    agg = counts.groupby(["kind", "key"]).sum("cnt")
 
     def multi_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["sum(cnt)"], 2))
 
-    multi_ds = agg.map_batches(multi_only, batch_format="pyarrow").materialize()
-    n_keys = multi_ds.count()
-    if n_keys > max_driver_keys:
-        raise ValueError(
-            f"exact keyset pass would pull {n_keys} keys to the driver "
-            f"(> guard {max_driver_keys}); use find_hot_band_keys_sampled or "
-            "a broadcast Bloom filter at this scale"
-        )
-    keys_l, kinds_l, cnts_l = [], [], []
-    for b in multi_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        keys_l.append(np.asarray(b["key"], dtype=np.int64))
-        kinds_l.append(np.asarray(b["kind"], dtype=np.int8))
-        cnts_l.append(np.asarray(b["sum(cnt)"], dtype=np.int64))
-    if not keys_l:
-        e = np.empty(0, np.uint64)
-        return e, e.copy(), e.copy()
-    keys = np.concatenate(keys_l).view(np.uint64)
-    kinds = np.concatenate(kinds_l)
-    cnts = np.concatenate(cnts_l)
-    band_mask = kinds == 0
-    multi = keys[band_mask]
-    hot = keys[band_mask & (cnts > cfg.bucket_cap)]
-    useful = keys[(~band_mask) & (cnts <= cfg.bucket_cap)]
-    return multi, hot, useful
+    # materialize the (already pre-aggregated) multi-key set ONCE in the
+    # object store; the three consumers below are cheap passes over it
+    multi_ds = (
+        counts.groupby(["kind", "key"]).sum("cnt")
+        .map_batches(multi_only, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _subset(kind: int, max_cnt: int | None = None, min_cnt: int | None = None):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["kind"], kind)
+            if max_cnt is not None:
+                keep = pc.and_(keep, pc.less_equal(t["sum(cnt)"], max_cnt))
+            if min_cnt is not None:
+                keep = pc.and_(keep, pc.greater(t["sum(cnt)"], min_cnt))
+            return t.filter(keep).select(["key"])
+        return f
+
+    # hot band keys: few by definition of skew → exact driver array (needed
+    # for salting); everything O(corpus) stays off the driver
+    hot_l = []
+    hot_ds = multi_ds.map_batches(
+        _subset(0, min_cnt=cfg.bucket_cap), batch_format="pyarrow"
+    )
+    for b in hot_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        hot_l.append(np.asarray(b["key"], dtype=np.int64))
+    hot = (
+        np.concatenate(hot_l).view(np.uint64) if hot_l else np.empty(0, np.uint64)
+    )
+
+    band_ds = multi_ds.map_batches(_subset(0), batch_format="pyarrow")
+    sh_ds = multi_ds.map_batches(
+        _subset(1, max_cnt=cfg.bucket_cap), batch_format="pyarrow"
+    )
+    n_band = band_ds.count()
+    n_sh = sh_ds.count()
+    multi_filter = (
+        build_bloom_filter(band_ds, "key", n_band) if n_band else np.empty(0, np.uint64)
+    )
+    useful_filter = (
+        build_bloom_filter(sh_ds, "key", n_sh) if n_sh else np.empty(0, np.uint64)
+    )
+    return multi_filter, hot, useful_filter
 
 
 def find_hot_band_keys_sampled(
@@ -369,7 +389,9 @@ def run_dedup(
     if use_exact_keysets:
         multi_keys, hot_keys, useful_shingles = find_candidate_key_sets(features, cfg)
         ck.metrics["keyset_mode"] = "exact"
-        ck.metrics["multi_band_keys"] = int(len(multi_keys))
+        ck.metrics["multi_band_keys"] = int(
+            getattr(multi_keys, "n_keys", None) or len(multi_keys)
+        )
     else:
         multi_keys = useful_shingles = None
         hot_keys = find_hot_band_keys_sampled(features, cfg, n_rows=n_feature_rows)

@@ -90,7 +90,7 @@ def _in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
 def make_expand_bands(
     cfg: DedupConfig,
     hot_keys: np.ndarray | None = None,
-    multi_keys: np.ndarray | None = None,
+    multi_keys=None,
     nsalt: int = 16,
 ):
     """Stateless task kernel: explode rows into (band_key, gate-cols) rows.
@@ -99,26 +99,24 @@ def make_expand_bands(
     as a pre-shuffle filter: singleton band keys can never produce a pair, so
     their rows never enter the groupby shuffle — at low dup rates this cuts
     both shuffle volume and the per-group UDF count by orders of magnitude.
-    (The driver-side key array is the small-scale shortcut; the documented
-    scale path is a Bloom filter of multi keys broadcast via ray.put.)
+    Accepts an ndarray (small-scale exact array) or any ``.contains`` filter
+    — the pipeline's exact mode passes a distributed-built
+    ``state.bloom.BloomKeyFilter`` whose false positives only re-admit
+    singleton keys (they form size-1 groups and emit no pairs).
     ``hot_keys`` (count > bucket_cap) are salted by CONTENT so every
     verifiable dup pair stays co-bucketed.
     """
+    from marc_record_merge_melindautils_ray.state.bloom import as_key_filter
+
     hot = np.sort(hot_keys.astype(np.uint64)) if hot_keys is not None and len(hot_keys) else None
-    multi = (
-        np.sort(multi_keys.astype(np.uint64))
-        if multi_keys is not None and len(multi_keys)
-        else None
-    )
+    multi = as_key_filter(multi_keys)
     nsalt_u = np.uint64(nsalt)
 
     def expand(batch: pa.Table) -> pa.Table:
         row_idx, keys = _flatten_bands(batch)
         if multi is not None:
-            keep = _in_sorted(multi, keys)
+            keep = multi.contains(keys)
             row_idx, keys = row_idx[keep], keys[keep]
-        elif multi_keys is not None:  # empty multi set → no candidates at all
-            row_idx, keys = row_idx[:0], keys[:0]
         if hot is not None and len(keys):
             is_hot = _in_sorted(hot, keys)
             if is_hot.any():
@@ -148,16 +146,16 @@ def shingle_key_counts(batch: pa.Table) -> pa.Table:
                      "cnt": pa.array(cnt, pa.int64())})
 
 
-def make_expand_shingles(cfg: DedupConfig, useful_keys: np.ndarray | None = None):
+def make_expand_shingles(cfg: DedupConfig, useful_keys=None):
     """Stateless task kernel: explode sampled shingle hashes (containment
     pass).  ``useful_keys`` = keys with 2 ≤ count ≤ bucket_cap from the
     counting pass: singleton keys can't pair, over-cap keys are too-common
-    grams the emitter would drop anyway — neither enters the shuffle."""
-    useful = (
-        np.sort(useful_keys.astype(np.uint64))
-        if useful_keys is not None and len(useful_keys)
-        else None
-    )
+    grams the emitter would drop anyway — neither enters the shuffle.
+    ndarray or ``.contains`` filter (Bloom at scale), like
+    ``make_expand_bands``."""
+    from marc_record_merge_melindautils_ray.state.bloom import as_key_filter
+
+    useful = as_key_filter(useful_keys)
 
     def expand(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -172,9 +170,7 @@ def make_expand_shingles(cfg: DedupConfig, useful_keys: np.ndarray | None = None
         full_row_idx = np.repeat(np.arange(len(batch)), np.diff(offsets))
         keep_mask = ok_doc[full_row_idx]
         if useful is not None:
-            keep_mask &= _in_sorted(useful, flat_vals.view(np.uint64))
-        elif useful_keys is not None:
-            keep_mask &= False
+            keep_mask &= useful.contains(flat_vals.view(np.uint64))
         values = flat_vals[keep_mask]
         row_idx = full_row_idx[keep_mask]
         idx = pa.array(row_idx, pa.int64())
