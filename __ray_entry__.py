@@ -56,6 +56,19 @@ def _clips_canonical(sf_dir: str) -> Any:
                 "audit_agent", "audit_at"]]
 
 
+NGRAM_CAP_DF = 50  # df cap for the capped scale variant (mirrored in its oracle)
+
+
+def _ngram_jaccard_capped(sf_dir: str) -> Any:
+    """Scale variant of the exact n-gram Jaccard query: hub grams (document
+    frequency > NGRAM_CAP_DF) are excluded from intersection counting with
+    the dropped counts logged — the bounded-work deployment for corpora where
+    a stop-word trigram would emit O(df²) pair rows."""
+    from marc_record_merge_melindautils_ray.ops import dedup_text
+
+    return dedup_text.q_ngram_jaccard_pairs(sf_dir, max_df=NGRAM_CAP_DF)
+
+
 def entry() -> Any:
     """Flagship pipeline; driver checks rows >= 0 and a stable schema."""
     return _clips_dedup(SF_SMOKE)
@@ -89,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": dedup_text.q_simhash_docs,
         "simhash_dup_pairs": dedup_text.q_simhash_dup_pairs,
         "ngram_jaccard_pairs": dedup_text.q_ngram_jaccard_pairs,
+        "ngram_jaccard_pairs_capped": _ngram_jaccard_capped,
         # similarity search
         "ann_topk": similarity.q_ann_topk,
         "ann_lsh": similarity.q_ann_lsh,
@@ -266,6 +280,33 @@ def oracle_sql() -> dict[str, str]:
             ), inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
               FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   (1000 * i.c) // (sa.n + sb.n - i.c) AS jaccard_permille
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 200
+            ORDER BY id_a, id_b
+        """,
+        "ngram_jaccard_pairs_capped": """
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            ), grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), df AS (
+              SELECT gram, count(*) AS d FROM grams GROUP BY gram
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM grams a
+              JOIN df ON df.gram = a.gram AND df.d <= 50
+              JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT i.id_a, i.id_b,

@@ -308,7 +308,13 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 NGRAM_MIN_PERMILLE = 200  # report-pair threshold (mirrored in the SQL oracle)
 
 
-def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+def q_ngram_jaccard_pairs(
+    sf_dir: str,
+    max_df: int | None = None,
+    metrics: dict | None = None,
+    hub_group_warn: int = 10_000,
+    hub_guard: int = 1_000_000,
+) -> pd.DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs, fully distributed:
 
     1. ``map_batches``: per-doc DISTINCT gram hashes → rows
@@ -322,6 +328,21 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     see ``oracle_sql()['ngram_jaccard_pairs']``.  Grams ride as 64-bit hashes;
     a hash collision would merge two gram identities (negligible at 2^-64,
     documented trade for not shuffling gram strings).
+
+    Hub grams (a stop-word trigram shared by m docs) emit C(m,2) pair rows by
+    the definition of the exact join — the 100-TB memory hazard.  Two
+    explicit controls, per the repo's capped-work-is-visible rule:
+
+    * ``max_df`` (the SCALE deployment): grams with document frequency >
+      ``max_df`` are excluded from intersection counting — a documented
+      lower-bound on Jaccard, still SQL-expressible (the capped oracle adds a
+      ``df ≤ max_df`` join) — and the dropped gram/pair counts come back in
+      ``metrics`` + a log line, never silently.
+    * Without ``max_df`` (the exact oracle query): a gram group over
+      ``hub_group_warn`` logs a warning; over ``hub_guard`` RAISES with a
+      clear message (exact semantics forbid dropping, so the honest failure
+      is an error, not an OOM).
+
     Output: (id_a, id_b, jaccard_permille), sorted."""
 
     def gram_rows(t: pa.Table) -> pa.Table:
@@ -360,8 +381,12 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     )
 
     def cooccur_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Pairs of docs sharing each gram of this partition (exact join —
-        hub grams emit all their pairs by definition of the query)."""
+        """Pairs of docs sharing each gram of this partition.  Document
+        frequency is partition-local-complete (all rows of a gram co-locate),
+        so the ``max_df`` cap and the hub guard both apply here, before any
+        O(df²) emission."""
+        import logging as _logging
+
         g = g.sort_values(["gram", "doc_id"]).reset_index(drop=True)
         keys = g["gram"].to_numpy()
         n = len(g)
@@ -373,21 +398,52 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
             return empty
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         sizes = np.diff(np.r_[starts, n])
+        max_sz = int(sizes.max())
+        dropped_grams = dropped_pairs = 0
+        if max_df is not None:
+            over = sizes > max_df
+            dropped_grams = int(over.sum())
+            dropped_pairs = int((sizes[over] * (sizes[over] - 1) // 2).sum())
+            emit_mask = (sizes >= 2) & ~over
+        else:
+            if max_sz > hub_guard:
+                raise ValueError(
+                    f"gram group of {max_sz} docs would emit "
+                    f"{max_sz * (max_sz - 1) // 2} exact-join pair rows "
+                    f"(> hub_guard {hub_guard}); pass max_df to run the "
+                    "capped scale variant (visible drops) instead of OOMing"
+                )
+            if max_sz > hub_group_warn:
+                _logging.getLogger(__name__).warning(
+                    "hub gram group: %d docs share one gram (emitting %d pairs)",
+                    max_sz, max_sz * (max_sz - 1) // 2,
+                )
+            emit_mask = sizes >= 2
         lo_list, hi_list = [], []
-        for sz in np.unique(sizes[sizes >= 2]):
+        for sz in np.unique(sizes[emit_mask]):
             ii, jj = np.triu_indices(int(sz), k=1)
-            st = starts[sizes == sz]
+            st = starts[emit_mask & (sizes == sz)]
             lo_list.append((st[:, None] + ii[None, :]).ravel())
             hi_list.append((st[:, None] + jj[None, :]).ravel())
-        if not lo_list:
-            return empty
-        lo = np.concatenate(lo_list)
-        hi = np.concatenate(hi_list)
-        ids = g["doc_id"].to_numpy()
-        ns = g["n"].to_numpy()
-        return pd.DataFrame({
-            "id_a": ids[lo], "id_b": ids[hi], "n_a": ns[lo], "n_b": ns[hi],
-        })
+        if lo_list:
+            lo = np.concatenate(lo_list)
+            hi = np.concatenate(hi_list)
+            ids = g["doc_id"].to_numpy()
+            ns = g["n"].to_numpy()
+            out = pd.DataFrame({
+                "id_a": ids[lo], "id_b": ids[hi], "n_a": ns[lo], "n_b": ns[hi],
+            })
+        else:
+            out = empty
+        if dropped_grams:
+            # per-partition drop tally rides the pair stream as a sentinel row
+            # (id_a = -1); the driver folds sentinels into metrics + a log
+            # line — visible, fully distributed accounting
+            out = pd.concat([out, pd.DataFrame({
+                "id_a": [np.int64(-1)], "id_b": [np.int64(-1)],
+                "n_a": [np.int64(dropped_grams)], "n_b": [np.int64(dropped_pairs)],
+            })], ignore_index=True)
+        return out
 
     pair_rows = (
         grams.groupby("part")
@@ -409,16 +465,30 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     )
 
     def score_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """|∩| per pair = row count (one row per shared gram); vectorized."""
+        """|∩| per pair = row count (one row per shared gram); vectorized.
+        Drop-tally sentinels (id_a = -1) are summed, not scored: two rows
+        (id_b 0 → dropped grams, id_b 1 → dropped pairs) pass through to the
+        driver fold."""
+        sent = g[g["id_a"] < 0]
+        g = g[g["id_a"] >= 0]
         agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
             c=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
         )
         j = (1000 * agg["c"].to_numpy()) // (
             agg["n_a"].to_numpy() + agg["n_b"].to_numpy() - agg["c"].to_numpy()
-        )
+        ) if len(agg) else np.empty(0, np.int64)
         agg["jaccard_permille"] = j
-        agg = agg[j >= NGRAM_MIN_PERMILLE]
-        return agg[["id_a", "id_b", "jaccard_permille"]].astype(np.int64)
+        agg = agg[agg["jaccard_permille"] >= NGRAM_MIN_PERMILLE]
+        out = agg[["id_a", "id_b", "jaccard_permille"]].astype(np.int64)
+        if len(sent):
+            out = pd.concat([out, pd.DataFrame({
+                "id_a": np.array([-1, -1], np.int64),
+                "id_b": np.array([0, 1], np.int64),
+                "jaccard_permille": np.array(
+                    [sent["n_a"].sum(), sent["n_b"].sum()], np.int64
+                ),
+            })], ignore_index=True)
+        return out
 
     out = (
         pair_rows.groupby("part")
@@ -430,5 +500,23 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
             "id_a": pd.Series([], dtype=np.int64),
             "id_b": pd.Series([], dtype=np.int64),
             "jaccard_permille": pd.Series([], dtype=np.int64),
+        })
+    sent = out[out["id_a"] < 0]
+    out = out[out["id_a"] >= 0]
+    dropped_grams = int(sent[sent["id_b"] == 0]["jaccard_permille"].sum())
+    dropped_pairs = int(sent[sent["id_b"] == 1]["jaccard_permille"].sum())
+    if dropped_grams:
+        import logging as _logging
+
+        _logging.getLogger(__name__).warning(
+            "q_ngram_jaccard_pairs max_df=%s dropped %d hub grams "
+            "(%d co-occurrence pair rows never emitted)",
+            max_df, dropped_grams, dropped_pairs,
+        )
+    if metrics is not None:
+        metrics.update({
+            "max_df": max_df,
+            "dropped_hub_grams": dropped_grams,
+            "dropped_pair_rows": dropped_pairs,
         })
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

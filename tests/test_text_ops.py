@@ -95,3 +95,54 @@ def test_simhash_dup_pairs_exact_vs_brute(ray_session):
             truth.add((a, b))
     got_pairs = set(zip(got["id_a"], got["id_b"]))
     assert got_pairs == truth
+
+
+def test_ngram_capped_variant(ray_session, tmp_path):
+    """max_df cap: identical to the exact query when no gram exceeds the cap;
+    hub grams dropped WITH visible counts when one does; the exact query's
+    hub guard raises instead of OOMing (capped-work-is-visible rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from marc_record_merge_melindautils_ray.ops.dedup_text import q_ngram_jaccard_pairs
+
+    # 60 docs, every one sharing the boilerplate trigram "lorem ipsum dolor"
+    # (a df=60 hub gram); docs (i, i+30) are identical → planted dup pairs
+    texts = []
+    for i in range(30):
+        texts.append(f"lorem ipsum dolor alpha{i} beta{i} gamma{i}")
+    texts = texts + texts  # ids 30..59 duplicate 0..29
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(60), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    exact = q_ngram_jaccard_pairs(sf)
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    assert {(i, i + 30) for i in range(30)} <= exact_pairs
+
+    # cap far above every df → byte-identical to exact, zero drops
+    m_hi: dict = {}
+    hi = q_ngram_jaccard_pairs(sf, max_df=100, metrics=m_hi)
+    assert hi.equals(exact)
+    assert m_hi["dropped_hub_grams"] == 0
+
+    # cap below the hub's df=60 → hub gram dropped, counted, logged; the
+    # planted pairs survive on their unique grams at a lower (bounded-below)
+    # jaccard
+    m_lo: dict = {}
+    lo = q_ngram_jaccard_pairs(sf, max_df=5, metrics=m_lo)
+    assert m_lo["dropped_hub_grams"] == 1
+    assert m_lo["dropped_pair_rows"] == 60 * 59 // 2
+    lo_pairs = set(zip(lo["id_a"], lo["id_b"]))
+    assert lo_pairs == exact_pairs  # planted dups share 3 unique grams each
+    merged = exact.merge(lo, on=["id_a", "id_b"], suffixes=("_exact", "_capped"))
+    assert (merged["jaccard_permille_capped"] <= merged["jaccard_permille_exact"]).all()
+
+    # exact semantics forbid silent dropping: over the guard is an ERROR
+    with pytest.raises(Exception, match="hub_guard"):
+        q_ngram_jaccard_pairs(sf, hub_guard=10)
