@@ -409,11 +409,11 @@ def run_dedup(
             input_fingerprint=ck.fingerprint("features"),
         )
         phase1 = pairs.map_batches(
-            make_phase1_kernel(cfg, host_ids), batch_format="pandas"
+            make_phase1_kernel(cfg, host_ids), batch_format="pyarrow"
         )
         survivors = ck.stage(
             "survivors",
-            lambda: phase1.map_batches(survivors_to_table, batch_format="pandas"),
+            lambda: phase1.map_batches(survivors_to_table, batch_format="pyarrow"),
             input_fingerprint=ck.fingerprint("pairs"),
         )
     else:
@@ -422,8 +422,8 @@ def run_dedup(
         # executor pipelines the stages)
         survivors = (
             candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles)
-            .map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pandas")
-            .map_batches(survivors_to_table, batch_format="pandas")
+            .map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pyarrow")
+            .map_batches(survivors_to_table, batch_format="pyarrow")
         )
 
     _t = _time.monotonic()

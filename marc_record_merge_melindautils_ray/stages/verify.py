@@ -69,81 +69,166 @@ def _sources_overlap(sa, sb) -> bool:
         return False
     return bool(set(sa) & set(sb))
 
+# phase-1 gate vocabulary in ADD order — bit i of ``reason_bits`` is gate i,
+# and decoding bits in ascending order reproduces the reference's
+# accumulate-in-sequence reason list (lib/marc-record-merge-melindautils.js:74-120)
+PHASE1_REASONS = [
+    "codec-class", "segment-of", "undecodable", "duration-mismatch",
+    "transcript-mismatch", "fingerprint-distance", "same-source",
+    "author-type-mismatch", "host-record",
+]
+
+
+def _arr(t: pa.Table, name: str) -> pa.Array:
+    c = t[name]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _neq_nullsafe(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """Element-wise != with null==null → equal, null vs value → unequal
+    (the pandas object-array comparison semantics the old kernel had)."""
+    import pyarrow.compute as pc
+
+    va = np.asarray(pc.is_valid(a))
+    vb = np.asarray(pc.is_valid(b))
+    neq = np.asarray(pc.fill_null(pc.not_equal(a, b), False))
+    return np.where(va & vb, neq, va != vb)
+
+
+def _list_overlap_mask(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """V3 noSameLOWTags, vectorized over the whole batch: per-row set overlap
+    of two (tiny) list<string> columns via one flattened all-combos string
+    compare — no per-row Python sets.  Null lists overlap nothing."""
+    import pyarrow.compute as pc
+
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    oa = np.asarray(a.offsets, dtype=np.int64)
+    ob = np.asarray(b.offsets, dtype=np.int64)
+    va = np.asarray(pc.is_valid(a))
+    vb = np.asarray(pc.is_valid(b))
+    ka = np.diff(oa) * va
+    kb = np.diff(ob) * vb
+    combos = ka * kb
+    tot = int(combos.sum())
+    if tot == 0:
+        return np.zeros(n, dtype=bool)
+    flat_a = np.empty(len(a.values), dtype=object)
+    if len(a.values):
+        flat_a[:] = a.values.to_pylist()
+    flat_b = np.empty(len(b.values), dtype=object)
+    if len(b.values):
+        flat_b[:] = b.values.to_pylist()
+    rep = np.repeat(np.arange(n), combos)
+    j = np.arange(tot) - np.repeat(np.cumsum(combos) - combos, combos)
+    kb_rep = np.repeat(np.maximum(kb, 1), combos)
+    ai = np.repeat(oa[:-1], combos) + j // kb_rep
+    bi = np.repeat(ob[:-1], combos) + j % kb_rep
+    eq = flat_a[ai] == flat_b[bi]
+    return np.bincount(rep[eq], minlength=n) > 0
+
 
 def make_phase1_kernel(cfg: DedupConfig, host_ids: frozenset[str] | None = None):
-    """``host_ids`` is the V11 ``notHostRecord`` side input — the reference
+    """Arrow-native phase-1 gate kernel for the candidate-pair stream — the
+    pipeline's largest intermediate.  Gates compute as numpy masks straight
+    off the Arrow batch (zero-copy from the object store), accumulate into a
+    ``reason_bits`` bitmask column, and reason STRINGS materialize via one
+    flat ``ListArray`` build over the failing (row, gate) hits — no per-pair
+    Python list allocation on the survivor majority; survivors carry an empty
+    list, the same contract as the old pandas kernel at a fraction of the
+    cost (round-2 verdict item 4).
+
+    ``host_ids`` is the V11 ``notHostRecord`` side input — the reference
     queries an external bibliographic DB per pair
     (``lib/mergeability-validators.js:180-236``); the engine takes the host
     id set as an injected broadcast side table (the sinon-stub analog,
     ``test/MergeUtilsMelinda.spec.js:74-84``)."""
+    import pyarrow.compute as pc
+
     hosts = host_ids or frozenset()
+    host_arr = pa.array(sorted(hosts), pa.string()) if hosts else None
+    reason_names = np.array(PHASE1_REASONS, dtype=object)
 
-    def phase1(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        if n == 0:
-            df["reasons"] = pd.Series([], dtype=object)
-            df["ok1"] = pd.Series([], dtype=bool)
-            return df
-        reasons: list[list[str]] = [[] for _ in range(n)]
-        is_cont = (df["rel"] == "containment").to_numpy()
-
-        def add(mask: np.ndarray, reason: str):
-            for i in np.flatnonzero(mask):
-                reasons[i].append(reason)
-
-        add(df["codec_cls_a"].to_numpy() != df["codec_cls_b"].to_numpy(), "codec-class")
-        add(df["is_segment_of_a"].notna().to_numpy() | df["is_segment_of_b"].notna().to_numpy(),
-            "segment-of")
-        add(~(df["decode_ok_a"].to_numpy() & df["decode_ok_b"].to_numpy())
-            & (df["codec_cls_a"].to_numpy() == df["codec_cls_b"].to_numpy()),
-            "undecodable")
-        dur_bad = _dur_mismatch(df["dur_ms_a"].to_numpy(), df["dur_ms_b"].to_numpy())
-        add(dur_bad & ~is_cont, "duration-mismatch")
-        nh_bad = (df["nh0_a"].to_numpy() != df["nh0_b"].to_numpy()) | (
-            df["nh1_a"].to_numpy() != df["nh1_b"].to_numpy()
+    def phase1(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        is_cont = np.asarray(pc.equal(_arr(t, "rel"), "containment")) if n else np.zeros(0, bool)
+        codec_neq = _neq_nullsafe(_arr(t, "codec_cls_a"), _arr(t, "codec_cls_b"))
+        seg = np.asarray(pc.is_valid(_arr(t, "is_segment_of_a"))) | np.asarray(
+            pc.is_valid(_arr(t, "is_segment_of_b"))
         )
-        add(nh_bad & ~is_cont, "transcript-mismatch")
-        ham = au.hamming64(df["fp_a"].to_numpy().astype(np.uint64),
-                           df["fp_b"].to_numpy().astype(np.uint64))
-        add((ham > cfg.simhash_max_hamming) & ~is_cont, "fingerprint-distance")
-        overlap = np.fromiter(
-            (_sources_overlap(a, b) for a, b in zip(df["sources_a"], df["sources_b"])),
-            dtype=bool, count=n,
+        dec_a = np.asarray(pc.fill_null(_arr(t, "decode_ok_a"), False))
+        dec_b = np.asarray(pc.fill_null(_arr(t, "decode_ok_b"), False))
+        undecodable = ~(dec_a & dec_b) & ~codec_neq
+        dur_bad = _dur_mismatch(
+            np.asarray(_arr(t, "dur_ms_a")), np.asarray(_arr(t, "dur_ms_b"))
         )
-        add(overlap, "same-source")
+        nh_bad = (
+            np.asarray(_arr(t, "nh0_a")) != np.asarray(_arr(t, "nh0_b"))
+        ) | (np.asarray(_arr(t, "nh1_a")) != np.asarray(_arr(t, "nh1_b")))
+        ham = au.hamming64(
+            np.asarray(_arr(t, "fp_a")).astype(np.uint64),
+            np.asarray(_arr(t, "fp_b")).astype(np.uint64),
+        )
+        overlap = _list_overlap_mask(_arr(t, "sources_a"), _arr(t, "sources_b"))
         # V8 sameAuthorType: per-tag (person/org/meeting) author-field count
         # equality (lib/mergeability-validators.js:117-133).  One author slot
         # per clip ⇒ counts match iff the (possibly absent) types match.
-        at_a = df["author_type_a"].fillna("").to_numpy() if "author_type_a" in df.columns else np.full(n, "")
-        at_b = df["author_type_b"].fillna("").to_numpy() if "author_type_b" in df.columns else np.full(n, "")
-        add(at_a != at_b, "author-type-mismatch")
-        if hosts:
-            add(df["id_a"].isin(hosts).to_numpy() | df["id_b"].isin(hosts).to_numpy(),
-                "host-record")  # V11
-
-        from marc_record_merge_melindautils_ray.functions.util import sanitize_list_cols
-
-        df = df.copy()
-        df["reasons"] = reasons
-        df["ok1"] = [not r for r in reasons]
-        return sanitize_list_cols(df, ["sources_a", "sources_b"])
+        at_neq = np.asarray(pc.not_equal(
+            pc.fill_null(_arr(t, "author_type_a"), ""),
+            pc.fill_null(_arr(t, "author_type_b"), ""),
+        ))
+        masks = [
+            codec_neq,
+            seg,
+            undecodable,
+            dur_bad & ~is_cont,
+            nh_bad & ~is_cont,
+            (ham > cfg.simhash_max_hamming) & ~is_cont,
+            overlap,
+            at_neq,
+        ]
+        if host_arr is not None:
+            masks.append(
+                np.asarray(pc.is_in(_arr(t, "id_a"), value_set=host_arr))
+                | np.asarray(pc.is_in(_arr(t, "id_b"), value_set=host_arr))
+            )  # V11
+        M = (
+            np.stack([np.asarray(m, dtype=bool) for m in masks], axis=1)
+            if n
+            else np.zeros((0, len(masks)), bool)
+        )
+        bits = np.zeros(n, np.int32)
+        for i in range(M.shape[1]):
+            bits |= M[:, i].astype(np.int32) << i
+        # flat reason-string build: one values array over failing (row, gate)
+        # hits in row-major order — zero Python lists on the survivor majority
+        rows_hit, gate_hit = np.nonzero(M)
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(M.sum(axis=1, dtype=np.int32), out=offsets[1:])
+        reasons = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(reason_names[gate_hit], pa.string())
+            if len(gate_hit)
+            else pa.array([], pa.string()),
+        )
+        return (
+            t.append_column("reason_bits", pa.array(bits, pa.int32()))
+            .append_column("reasons", reasons)
+            .append_column("ok1", pa.array(bits == 0))
+        )
 
     return phase1
 
 
-def survivors_to_table(df: pd.DataFrame):
-    """Filter phase-1 survivors and emit an explicitly-typed Arrow table
-    (empty pandas blocks would otherwise infer null-typed columns and poison
-    downstream joins/unions with mixed schemas)."""
-    import pyarrow as pa
+def survivors_to_table(t: pa.Table) -> pa.Table:
+    """Filter phase-1 survivors to the slim pair projection (types stay
+    explicit via PAIR_SCHEMA all the way through, so empty blocks never infer
+    null-typed columns)."""
+    import pyarrow.compute as pc
 
-    df = df[df["ok1"]]
-    return pa.table({
-        "id_a": pa.array(df["id_a"].tolist(), pa.string()),
-        "id_b": pa.array(df["id_b"].tolist(), pa.string()),
-        "rel": pa.array(df["rel"].tolist(), pa.string()),
-        "bucket_n": pa.array(df["bucket_n"].tolist(), pa.int32()),
-    })
+    keep = t.filter(pc.equal(t["ok1"], True))
+    return keep.select(["id_a", "id_b", "rel", "bucket_n"])
 
 
 class PairPcmVerify:
