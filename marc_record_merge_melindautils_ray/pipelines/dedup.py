@@ -343,6 +343,7 @@ def run_dedup(
     *,
     authority: dict[str, str] | None = None,
     host_ids: frozenset[str] | None = None,
+    host_client=None,
     checkpoint_dir: str | None = None,
 ) -> dict:
     """Full pipeline. Returns dict of Datasets + metrics:
@@ -351,7 +352,11 @@ def run_dedup(
 
     ``authority`` and ``host_ids`` are the two injected side tables — the
     engine's analog of the reference's constructor-injected auth/bib DB
-    handles (``lib/marc-record-merge-melindautils.js:60``).
+    handles (``lib/marc-record-merge-melindautils.js:60``).  ``host_client``
+    is the LIVE V11 alternative to ``host_ids``: a picklable callable
+    ``clip_id → response-dict`` with the reference X-server's three outcomes
+    (``stages.verify.HostLookupVerify``); lookup errors fail the affected
+    pairs with a distinct counted reason, never silently pass them.
     """
     from marc_record_merge_melindautils_ray.state.checkpoint import Checkpointer
 
@@ -428,6 +433,31 @@ def run_dedup(
 
     _t = _time.monotonic()
     sv = survivors.select_columns(["id_a", "id_b", "rel"]).materialize()
+    if host_client is not None:
+        # live V11 gate on the (small) survivor stream — one memoized lookup
+        # per clip id per actor; failing pairs split off VISIBLY by outcome
+        from marc_record_merge_melindautils_ray.stages.verify import HostLookupVerify
+
+        hv = sv.map_batches(
+            HostLookupVerify,
+            fn_constructor_args=(host_client,),
+            batch_format="pyarrow",
+            concurrency=max(2, cfg.verify_concurrency // 2),
+        ).materialize()
+        ck.metrics["host_rejected_pairs"] = hv.map_batches(
+            lambda t: t.filter(pc.equal(t["host_reason"], HostLookupVerify.HOST)),
+            batch_format="pyarrow",
+        ).count()
+        ck.metrics["host_lookup_errors"] = hv.map_batches(
+            lambda t: t.filter(pc.equal(t["host_reason"], HostLookupVerify.ERROR)),
+            batch_format="pyarrow",
+        ).count()
+        sv = hv.map_batches(
+            lambda t: t.filter(pc.is_null(t["host_reason"])).select(
+                ["id_a", "id_b", "rel"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
     n_survivor_pairs = sv.count()
     if not checkpoint_dir:
         ck.metrics["survivors"] = {"num_rows": n_survivor_pairs, "cached": False}

@@ -231,6 +231,75 @@ def survivors_to_table(t: pa.Table) -> pa.Table:
     return keep.select(["id_a", "id_b", "rel", "bucket_n"])
 
 
+class HostLookupVerify:
+    """V11 ``notHostRecord`` with a LIVE injected lookup client.
+
+    The reference queries an external bibliographic X-server per pair
+    (``lib/mergeability-validators.js:180-236``) with THREE distinguishable
+    outcomes per record id:
+
+    * ``{'error': 'empty set'}``          → not a host record (pair unaffected)
+    * ``{'no_records': n}`` with ``n > 0`` → host record → ``host-record``
+    * anything else (malformed response or a raised client error) →
+      ``host-lookup-error`` — the ``mergeError('Could not parse response…')``
+      analog: the pair FAILS, it is never silently treated as non-host.
+
+    Runs as an actor-pool ``map_batches`` stage over the (small) survivor
+    pair stream: the fallible client is held per actor from ``__init__`` (the
+    reference's constructor-injected ``bib_db`` handle) and outcomes are
+    memoized per actor, so each clip id is looked up once per actor no matter
+    how many pairs carry it.  The precomputed ``host_ids`` frozenset in
+    ``make_phase1_kernel`` remains the zero-IO fast path for pre-resolved
+    side tables; this stage is the slot for wiring a real (fallible) host
+    service.  Appends a nullable ``host_reason`` column; the pipeline splits
+    on it visibly (counted, never dropped silently)."""
+
+    HOST = "host-record"
+    ERROR = "host-lookup-error"
+
+    def __init__(self, client):
+        self.client = client
+        self.cache: dict[str, str | None] = {}
+
+    def _status(self, cid: str) -> str | None:
+        if cid in self.cache:
+            return self.cache[cid]
+        try:
+            resp = self.client(cid)
+        except Exception:
+            st: str | None = self.ERROR
+        else:
+            if isinstance(resp, dict) and resp.get("error") == "empty set":
+                st = None
+            elif (
+                isinstance(resp, dict)
+                and isinstance(resp.get("no_records"), int)
+                and resp["no_records"] > 0
+            ):
+                st = self.HOST
+            else:
+                st = self.ERROR
+        self.cache[cid] = st
+        return st
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_a = t["id_a"].to_pylist()
+        ids_b = t["id_b"].to_pylist()
+        out = []
+        for a, b in zip(ids_a, ids_b):
+            sa, sb = self._status(a), self._status(b)
+            # a lookup ERROR on either side outranks a host verdict on the
+            # other: the reference's try/catch rethrows the parse error
+            # before the host-errors check can run
+            if sa == self.ERROR or sb == self.ERROR:
+                out.append(self.ERROR)
+            elif sa == self.HOST or sb == self.HOST:
+                out.append(self.HOST)
+            else:
+                out.append(None)
+        return t.append_column("host_reason", pa.array(out, pa.string()))
+
+
 class PairPcmVerify:
     """Phase-2 actor: decoded-PCM SNR / containment checks on survivors.
 
