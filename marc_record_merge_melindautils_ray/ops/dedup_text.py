@@ -42,7 +42,16 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out[["keep_doc_id", "n_copies"]].sort_values("keep_doc_id").reset_index(drop=True)
 
 
-NUM_DOC_PARTS = 64  # partition-then-vectorize fan-out (see stages.candidates)
+NUM_DOC_PARTS = 64  # fallback fan-out when no row count is at hand
+
+
+def _doc_parts(ds) -> int:
+    """Partition-then-vectorize fan-out sized to the table (metadata-cheap
+    row count) instead of a fixed constant that starves bigger corpora and
+    over-shuffles small ones (see stages.cluster.adaptive_parts)."""
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    return adaptive_parts(ds.count(), rows_per_part=5000, lo=8, hi=512)
 
 
 def _add_int_part(t: pa.Table, key_col: str, num_parts: int = NUM_DOC_PARTS) -> pa.Table:
@@ -97,8 +106,9 @@ def minhash_lsh_clusters(
                 "sig": sig_list,
             })
 
+    nparts = _doc_parts(ds)
     band_rows = ds.map_batches(Sig, batch_format="pyarrow", concurrency=2).map_batches(
-        lambda t: _add_int_part(t, "band_key"), batch_format="pyarrow"
+        lambda t: _add_int_part(t, "band_key", nparts), batch_format="pyarrow"
     )
 
     def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -275,9 +285,10 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             ["id_a", "id_b", "hamming"]
         ]
 
+    nparts = _doc_parts(_docs(sf_dir))
     out = (
         sigs.map_batches(expand, batch_format="pyarrow")
-        .map_batches(lambda t: _add_int_part(t, "key"), batch_format="pyarrow")
+        .map_batches(lambda t: _add_int_part(t, "key", nparts), batch_format="pyarrow")
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(
@@ -291,6 +302,7 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                     ),
                 ),
                 "pk",
+                nparts,
             ),
             batch_format="pyarrow",
         )
@@ -374,10 +386,11 @@ def q_ngram_jaccard_pairs(
             "n": pa.array(ncat, pa.int64()),
         })
 
+    nparts = _doc_parts(_docs(sf_dir))
     grams = (
         _docs(sf_dir)
         .map_batches(gram_rows, batch_format="pyarrow")
-        .map_batches(lambda t: _add_int_part(t, "gram"), batch_format="pyarrow")
+        .map_batches(lambda t: _add_int_part(t, "gram", nparts), batch_format="pyarrow")
     )
 
     def cooccur_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -459,6 +472,7 @@ def q_ngram_jaccard_pairs(
                     ),
                 ),
                 "pk",
+                nparts,
             ),
             batch_format="pyarrow",
         )

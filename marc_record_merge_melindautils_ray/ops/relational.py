@@ -119,11 +119,14 @@ def q_sessionize(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
     partition (hash on user_id)."""
     from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
 
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nparts = adaptive_parts(ds.count())
 
     def add_part(t: pa.Table) -> pa.Table:
         u = np.asarray(t["user_id"], np.int64).view(np.uint64)
-        part = (splitmix64(u) % np.uint64(64)).astype(np.int64)
+        part = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
         return t.append_column("part", pa.array(part, pa.int64()))
 
     def sess_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -176,10 +179,15 @@ def q_join_broadcast(sf_dir: str) -> pd.DataFrame:
     n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
     ref = ray.put(n2name)
 
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # join fan-out tracks the probe side (metadata-cheap parquet row count) —
+    # a fixed partition count starves the join on a bigger cluster/corpus
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8,
+        cust, join_type="inner",
+        num_partitions=adaptive_parts(orders.count(), rows_per_part=250_000),
         on=("o_custkey",), right_on=("c_custkey",),
     )
 
@@ -209,10 +217,13 @@ def q_join_broadcast(sf_dir: str) -> pd.DataFrame:
 def q_join_hash(sf_dir: str) -> pd.DataFrame:
     """lineitem ⨝ orders, both sides large → Dataset.join (hash shuffle on
     the key), then grouped aggregate."""
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner",
+        num_partitions=adaptive_parts(li.count(), rows_per_part=250_000),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 

@@ -216,9 +216,13 @@ def find_hot_band_keys_sampled(
         hot = s[s > thresh]
         return pd.DataFrame({"band_key": hot.index.to_numpy().astype(np.int64)})
 
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    count_parts = adaptive_parts(n_rows or 0)
     hot_rows = (
         counts.map_batches(
-            lambda t: cand.add_partition_col(t, "band_key", 64), batch_format="pyarrow"
+            lambda t: cand.add_partition_col(t, "band_key", count_parts),
+            batch_format="pyarrow",
         )
         .groupby("part")
         .map_groups(hot_in_part, batch_format="pandas")
@@ -229,20 +233,26 @@ def find_hot_band_keys_sampled(
     return np.array([r["band_key"] for r in hot_rows], dtype=np.int64).view(np.uint64)
 
 
-NUM_PAIR_PARTS = 64  # partition-then-vectorize fan-out (≈ cluster cores)
+NUM_PAIR_PARTS = 64  # fallback fan-out when no row count is at hand
 
 
 def candidate_pairs(
     features: rd.Dataset,
     cfg: DedupConfig,
     hot_keys: np.ndarray,
-    multi_keys: np.ndarray | None = None,
-    useful_shingles: np.ndarray | None = None,
+    multi_keys=None,
+    useful_shingles=None,
+    num_parts: int | None = None,
 ) -> rd.Dataset:
+    """``num_parts`` is the partition-then-vectorize fan-out for all three
+    shuffles (band buckets, shingle buckets, pair dedup).  Callers with a
+    row count pass an ``adaptive_parts``-derived value so the fan-out tracks
+    corpus size instead of freezing at cluster-core order."""
+    num_parts = num_parts or NUM_PAIR_PARTS
     band_rows = features.map_batches(
         cand.make_expand_bands(cfg, hot_keys, multi_keys), batch_format="pyarrow"
     ).map_batches(
-        lambda t: cand.add_partition_col(t, "band_key", NUM_PAIR_PARTS),
+        lambda t: cand.add_partition_col(t, "band_key", num_parts),
         batch_format="pyarrow",
     )
     band_pairs = band_rows.groupby("part").map_groups(
@@ -251,14 +261,14 @@ def candidate_pairs(
     cont_rows = features.map_batches(
         cand.make_expand_shingles(cfg, useful_shingles), batch_format="pyarrow"
     ).map_batches(
-        lambda t: cand.add_partition_col(t, "sh", NUM_PAIR_PARTS), batch_format="pyarrow"
+        lambda t: cand.add_partition_col(t, "sh", num_parts), batch_format="pyarrow"
     )
     cont_pairs = cont_rows.groupby("part").map_groups(
         cand.make_containment_pair_emitter(cfg), batch_format="pandas"
     )
     pairs = band_pairs.union(cont_pairs)
     pairs = pairs.map_batches(cand.add_pair_key, batch_format="pyarrow").map_batches(
-        lambda t: cand.add_partition_col(t, "pair_key", NUM_PAIR_PARTS),
+        lambda t: cand.add_partition_col(t, "pair_key", num_parts),
         batch_format="pyarrow",
     )
     return pairs.groupby("part").map_groups(cand.dedup_pair_group, batch_format="pandas")
@@ -404,13 +414,21 @@ def run_dedup(
     _t = _lap("keysets", _t)
     ck.metrics["hot_band_keys"] = int(len(hot_keys))
 
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
     from marc_record_merge_melindautils_ray.stages.verify import survivors_to_table
+
+    # candidate-shuffle fan-out tracks corpus size (band rows ≈ rows × bands);
+    # a frozen 64 starves a 100×-corpus shuffle and over-partitions tiny ones
+    pair_parts = adaptive_parts(n_feature_rows * 4, lo=16, hi=512)
 
     if checkpoint_dir:
         # checkpointed mode: pairs and survivors are separate resumable stages
         pairs = ck.stage(
             "pairs",
-            lambda: candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles),
+            lambda: candidate_pairs(
+                features, cfg, hot_keys, multi_keys, useful_shingles,
+                num_parts=pair_parts,
+            ),
             input_fingerprint=ck.fingerprint("features"),
         )
         phase1 = pairs.map_batches(
@@ -426,7 +444,10 @@ def run_dedup(
         # chain with a single materialization (fewer barriers; the streaming
         # executor pipelines the stages)
         survivors = (
-            candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles)
+            candidate_pairs(
+                features, cfg, hot_keys, multi_keys, useful_shingles,
+                num_parts=pair_parts,
+            )
             .map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pyarrow")
             .map_batches(survivors_to_table, batch_format="pyarrow")
         )
