@@ -33,22 +33,48 @@ def _with_bucket(key_col: str, num_buckets: int):
     return add
 
 
-def write_table(ds: rd.Dataset, target: str, key_col: str, num_buckets: int = 16) -> bool:
-    """Write one Dataset as hash-bucketed parquet; returns False if the
-    table was already complete (resume skip)."""
+def write_table(
+    ds: rd.Dataset, target: str, key_col: str, num_buckets: int = 16,
+    file_format: str = "auto",
+) -> bool:
+    """Write one Dataset as hash-bucketed output; returns False if the
+    table was already complete (resume skip).
+
+    ``file_format``: ``"lance"`` writes a Lance dataset (the ``input_hint``
+    storage format, mirroring ``read_clips``'s ``read_lance`` attempt),
+    ``"parquet"`` the hash-bucketed directory layout, ``"auto"`` tries Lance
+    and falls back to parquet when no lance writer ships in the environment
+    (this container has none — symmetric with the read path)."""
     marker = os.path.join(target, "_SUCCESS")
     if os.path.exists(marker):
         return False
     shutil.rmtree(target, ignore_errors=True)
     os.makedirs(target, exist_ok=True)
-    ds.map_batches(
-        _with_bucket(key_col, num_buckets), batch_format="pyarrow"
-    ).write_parquet(target, partition_cols=["bucket"])
+    bucketed = ds.map_batches(_with_bucket(key_col, num_buckets), batch_format="pyarrow")
+    use_lance = file_format == "lance" or (
+        file_format == "auto" and hasattr(rd.Dataset, "write_lance")
+        and _lance_available()
+    )
+    if use_lance:
+        # Lance handles its own fragmenting; the bucket column stays as the
+        # key-range re-read/resume handle
+        bucketed.write_lance(os.path.join(target, "data.lance"))
+    else:
+        bucketed.write_parquet(target, partition_cols=["bucket"])
     with open(marker, "w") as f:
         f.write("complete\n")
         f.flush()
         os.fsync(f.fileno())
     return True
+
+
+def _lance_available() -> bool:
+    try:  # the write path needs the lance wheel, not just the Ray API hook
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def write_outputs(res: dict, out_dir: str, num_buckets: int = 16) -> dict[str, bool]:

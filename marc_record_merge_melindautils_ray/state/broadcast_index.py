@@ -131,6 +131,67 @@ class ArrowBlockIndex:
         return out
 
 
+# --------------------------------------------------------------------------
+# Sharding path: when one side table outgrows a single actor's heap
+# (≫10^8 rows), split it by key hash at PRODUCE time; each consumer
+# partition receives only its shard's refs and builds a plain
+# ArrowBlockIndex over them — the index API is unchanged.
+# --------------------------------------------------------------------------
+def shard_of(keys: np.ndarray, num_shards: int) -> np.ndarray:
+    """Shard id per key — the SAME function on both the produce and consume
+    side, so a consumer routing key k to ``shard_of([k])`` always finds it in
+    that shard's index."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    q = np.asarray(keys, dtype=object)
+    with np.errstate(over="ignore"):
+        return (splitmix64(stable_str_hash(q)) % np.uint64(num_shards)).astype(np.int64)
+
+
+def shard_side_table(ds, key_col: str, num_shards: int) -> list[list]:
+    """Materialize a side-table Dataset as ``num_shards`` ref lists, rows
+    routed by ``shard_of(key)``.  Runs as one Ray Data shuffle
+    (``groupby(shard).map_groups``); the driver touches each output block
+    only to read its shard id (plasma zero-copy view, O(num_blocks) work) and
+    never holds row data.  A consumer for shard k builds
+    ``ArrowBlockIndex(shards[k], key_col)`` — identical lookups to the
+    unsharded index for every key of that shard (asserted in tests)."""
+    import ray
+    import ray.data as rd  # noqa: F401 — documents the expected ds type
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        keys = _col_to_object_array(t[key_col])
+        return t.append_column(
+            "_shard", pa.array(shard_of(keys, num_shards), pa.int64())
+        )
+
+    def identity(t: pa.Table) -> pa.Table:
+        return t
+
+    sharded = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(identity, batch_format="pyarrow")
+        .materialize()
+    )
+    shards: list[list] = [[] for _ in range(num_shards)]
+    for ref in sharded.to_arrow_refs():
+        t = ray.get(ref)  # zero-copy plasma view; only _shard is inspected
+        if t.num_rows == 0 or "_shard" not in t.column_names:
+            continue
+        svals = np.asarray(t["_shard"])
+        first = int(svals[0])
+        if (svals == first).all():
+            shards[first].append(ref)
+        else:
+            # Ray may coalesce small group outputs into one block: split it
+            # (rare, small blocks by construction) and re-put per shard
+            for s in np.unique(svals):
+                sub = t.filter(pa.array(svals == s))
+                shards[int(s)].append(ray.put(sub))
+    return shards
+
+
 def concat_str_column(refs, col: str) -> pa.Array:
     """Concatenate one string column across blocks (e.g. a broadcast filter
     value_set for ``pc.is_in``).  Duplicates are harmless for membership."""

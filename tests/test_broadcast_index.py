@@ -49,3 +49,42 @@ def test_hash_collision_probe(monkeypatch):
 def test_concat_str_column_skips_empty_blocks():
     arr = bi.concat_str_column(_tables(), "pid")
     assert sorted(arr.to_pylist()) == ["a", "b", "c", "d", "e"]
+
+
+def test_sharded_index_identical_lookups(ray_session):
+    """K>1 shards: every key routes to shard_of(key) and that shard's plain
+    ArrowBlockIndex returns the SAME (value, found) as the unsharded index —
+    the documented ≫10^8-row side-table scale path."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.state.broadcast_index import (
+        ArrowBlockIndex,
+        shard_of,
+        shard_side_table,
+    )
+
+    n, K = 5000, 4
+    ids = np.array([f"c{i:06d}" for i in range(n)], dtype=object)
+    vals = np.array([f"v{i}" for i in range(n)], dtype=object)
+    tbl = pa.table({"clip_id": pa.array(list(ids)), "val": pa.array(list(vals))})
+    ds = rd.from_arrow(tbl)
+
+    shards = shard_side_table(ds, "clip_id", K)
+    assert sum(len(s) for s in shards) >= 1
+    per_shard_idx = [ArrowBlockIndex(refs, "clip_id") for refs in shards]
+    assert sum(len(ix) for ix in per_shard_idx) == n  # no row lost or doubled
+
+    full_idx = ArrowBlockIndex([tbl], "clip_id")
+    probes = np.concatenate([ids[::7], np.array(["missing1", "missing2"], object)])
+    route = shard_of(probes, K)
+    for k in range(K):
+        mine = probes[route == k]
+        b, r, ok = per_shard_idx[k].lookup(mine)
+        fb, fr, fok = full_idx.lookup(mine)
+        assert (ok == fok).all()
+        got = per_shard_idx[k].take_column("val", b, r)
+        want = full_idx.take_column("val", fb, fr)
+        assert list(got) == list(want)
