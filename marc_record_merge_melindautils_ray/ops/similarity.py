@@ -193,9 +193,12 @@ def q_ann_lsh_shuffle(sf_dir: str, k: int = 10, n_tables: int = 12) -> pd.DataFr
     otherwise); here each corpus row emits one row per (table, bucket) hit
     against the BROADCAST set of query-occupied buckets, a
     partition-then-vectorize groupby co-locates candidates with their
-    queries, and a tiny driver merge takes the global top-k.  Produces
-    IDENTICAL results to ``q_ann_lsh`` at the same seeds (asserted in
-    tests)."""
+    queries, and a tiny driver merge takes the global top-k.  Equivalent to
+    ``q_ann_lsh`` (identical on the tested seeds/data) whenever no
+    (table, bucket) group holds more than ``2k`` candidates for a query: this
+    variant prunes top-``2k`` per bucket key while the probe variant prunes
+    top-``2k`` per corpus batch over the union of table hits, so a bucket
+    crowded beyond that can diverge in the tail of the top-k."""
     ds = _emb(sf_dir)
     q = ds.map_batches(
         lambda t: t.filter(pa.compute.less(t["vec_id"], 5)), batch_format="pyarrow"

@@ -586,12 +586,18 @@ def run_dedup(
                 tr = tr.combine_chunks()
             norm = normalize_transcript_array(pc.fill_null(tr, ""))
             batch = _with_derived(batch, norm)
-            return batch.select(MEMBER_COLS)
+            # canonical build guards per-column; a corpus omitting optional
+            # member columns (beyond what _with_derived backfills) just
+            # yields a narrower canonical table
+            return batch.select([c for c in MEMBER_COLS if c in batch.column_names])
 
     member_src_cols = [
         "clip_id", "transcript", "sources", "source_links", "edition_note",
         "author_label", "author_type", "codec",
     ]
+    # optional columns a user corpus may omit: select only what exists and
+    # let _with_derived backfill the normalization trio with nulls
+    member_src_cols = [c for c in member_src_cols if c in clips.schema().names]
     # small stage on a small subset: a big actor pool here is pure spin-up
     # cost (each actor re-builds the assignment index), measured slower at
     # MORE cpus — cap it

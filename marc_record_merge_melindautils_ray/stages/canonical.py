@@ -46,6 +46,16 @@ from marc_record_merge_melindautils_ray.functions.textnorm import (
 from marc_record_merge_melindautils_ray.schema import CANONICAL_SCHEMA
 
 # columns build_canonical needs on each member row
+def _member_cols(g) -> dict:
+    """Member columns as lists; OPTIONAL columns a user corpus omitted are
+    backfilled with None so build_row's per-field guards apply uniformly
+    (ADVICE r2: omitting author/source metadata must not crash the merge)."""
+    return {
+        c: (g[c].tolist() if c in g.columns else [None] * len(g))
+        for c in MEMBER_COLS
+    }
+
+
 MEMBER_COLS = [
     "clip_id", "cluster_id", "transcript", "norm_transcript", "has_diacritics",
     "sources", "source_links", "edition_note", "author_label", "author_type",
@@ -194,14 +204,14 @@ class BuildCanonical:
         if isinstance(g, pa.Table):
             g = g.to_pandas()
         g = g.sort_values("clip_id").reset_index(drop=True)
-        cols = {c: g[c].tolist() for c in MEMBER_COLS if c in g.columns}
+        cols = _member_cols(g)
         return pa.Table.from_pylist([self.build_row(cols)], schema=CANONICAL_SCHEMA)
 
     def build_partition(self, g) -> pa.Table:
         """Partition-then-vectorize entry: boundary-scan the partition's
         clusters once, one output Table per partition."""
         g = g.sort_values(["cluster_id", "clip_id"])
-        cols = {c: g[c].tolist() for c in MEMBER_COLS if c in g.columns}
+        cols = _member_cols(g)
         cl = cols["cluster_id"]
         rows = []
         start = 0

@@ -137,16 +137,26 @@ class Checkpointer:
                 json.dump(self.metrics, f, indent=1)
 
 
-def dataset_input_fingerprint(ds: rd.Dataset, sample_rows: int = 1024) -> str:
+def dataset_input_fingerprint(ds: rd.Dataset) -> str:
     """Fingerprint of a pipeline's ROOT input so resuming with a changed
     corpus invalidates everything (ADVICE r1: an empty root fingerprint let a
     changed input silently reuse stale checkpoints).
 
-    File-backed datasets: digest of sorted (path, size, mtime) — cheap and
-    content-sensitive for immutable file layouts.  In-memory datasets: digest
-    of the row count plus a bounded deterministic head sample of the first
-    string/binary-ish columns (full-content hashing would defeat streaming)."""
+    File-backed datasets (the cluster-scale case): digest of sorted
+    (path, size, mtime) — metadata-only, content-sensitive for immutable file
+    layouts.  In-memory datasets: a FULL content digest — the data already
+    fits the object store, so one streamed re-batched pass is affordable, and
+    it closes the ADVICE-r2 residue where a change beyond a head sample (or
+    in a later column) with the same cardinality silently reused stale
+    checkpoints.  Per-batch IPC bytes are hashed and XOR-folded, so the
+    digest is independent of Ray's block layout (iter_batches re-batches
+    uniformly); any value change in any row/column changes it.  A layout or
+    schema change can only FALSELY INVALIDATE (safe direction), never
+    falsely reuse."""
     import hashlib
+
+    import numpy as np
+    import pyarrow as pa
 
     h = hashlib.blake2b(digest_size=8)
     files = []
@@ -162,16 +172,15 @@ def dataset_input_fingerprint(ds: rd.Dataset, sample_rows: int = 1024) -> str:
             except OSError:
                 h.update(f.encode())
         return "files:" + h.hexdigest()
-    h.update(str(ds.count()).encode())
-    head = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
-    import pyarrow as pa
-
-    tbl = head if isinstance(head, pa.Table) else pa.table(head)
-    for name in tbl.column_names[:6]:
-        col = tbl[name]
-        try:
-            h.update(name.encode())
-            h.update(str(col.to_pylist()).encode()[:1 << 20])
-        except Exception:
-            continue
+    agg = np.uint64(0)
+    n_rows = 0
+    for t in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        n_rows += t.num_rows
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        d = hashlib.blake2b(sink.getvalue(), digest_size=8).digest()
+        agg ^= np.frombuffer(d, np.uint64)[0]
+    h.update(str(n_rows).encode())
+    h.update(int(agg).to_bytes(8, "little"))
     return "mem:" + h.hexdigest()

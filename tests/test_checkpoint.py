@@ -74,3 +74,32 @@ def test_changed_input_invalidates_root_stage(ray_session, corpus, small_cfg, tm
     )
     r3 = _run((clips2, truth, golden), small_cfg, ck)
     assert r3["metrics"]["features"]["cached"] is False
+
+
+def test_input_fingerprint_full_content_sensitivity(ray_session):
+    """In-memory fingerprint must change for a value perturbed ANYWHERE —
+    deep rows and late columns, not just the head sample (ADVICE r2)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.state.checkpoint import (
+        dataset_input_fingerprint,
+    )
+
+    n = 10_000
+    cols = {f"c{i}": list(range(n)) for i in range(8)}
+    base = pa.table(cols)
+    fp0 = dataset_input_fingerprint(rd.from_arrow(base))
+    assert fp0 == dataset_input_fingerprint(rd.from_arrow(base))  # stable
+
+    # perturb one value in the LAST column of the LAST row, same cardinality
+    deep = {k: list(v) for k, v in cols.items()}
+    deep["c7"][n - 1] += 1
+    fp1 = dataset_input_fingerprint(rd.from_arrow(pa.table(deep)))
+    assert fp1 != fp0
+
+    # perturb one mid-corpus row in a middle column
+    mid = {k: list(v) for k, v in cols.items()}
+    mid["c4"][n // 2] += 1
+    assert dataset_input_fingerprint(rd.from_arrow(pa.table(mid))) != fp0

@@ -189,3 +189,21 @@ def test_exact_keyset_mode_matches_sampled(ray_session, corpus, small_cfg):
     assert res_e["metrics"]["keyset_mode"] == "exact"
     a_e = res_e["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
     assert a_s.equals(a_e)
+
+
+def test_run_dedup_without_optional_columns(ray_session, corpus, small_cfg):
+    """A corpus shipping only the input_hint core columns (no author_type /
+    author_label / is_segment_of / source_links / edition_note) must run
+    end-to-end: _with_derived backfills the normalization trio and the
+    member-tagging stage selects only what exists (ADVICE r2)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+
+    clips, truth, golden = corpus
+    keep = [c for c in clips.column_names
+            if c not in ("author_type", "author_label", "is_segment_of",
+                         "source_links", "edition_note")]
+    res = run_dedup(rd.from_arrow(clips.select(keep)), small_cfg)
+    assert res["canonical"].count() > 0
+    assert res["assignments"].count() > 0
