@@ -49,9 +49,14 @@ def _doc_parts(ds) -> int:
     """Partition-then-vectorize fan-out sized to the table (metadata-cheap
     row count) instead of a fixed constant that starves bigger corpora and
     over-shuffles small ones (see stages.cluster.adaptive_parts)."""
-    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+    from marc_record_merge_melindautils_ray.stages.cluster import (
+        adaptive_parts,
+        cluster_parallelism,
+    )
 
-    return adaptive_parts(ds.count(), rows_per_part=5000, lo=8, hi=512)
+    return adaptive_parts(
+        ds.count(), rows_per_part=5000, lo=max(8, 2 * cluster_parallelism()), hi=512
+    )
 
 
 def _add_int_part(t: pa.Table, key_col: str, num_parts: int = NUM_DOC_PARTS) -> pa.Table:

@@ -414,12 +414,19 @@ def run_dedup(
     _t = _lap("keysets", _t)
     ck.metrics["hot_band_keys"] = int(len(hot_keys))
 
-    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+    from marc_record_merge_melindautils_ray.stages.cluster import (
+        adaptive_parts,
+        cluster_parallelism,
+    )
     from marc_record_merge_melindautils_ray.stages.verify import survivors_to_table
 
-    # candidate-shuffle fan-out tracks corpus size (band rows ≈ rows × bands);
-    # a frozen 64 starves a 100×-corpus shuffle and over-partitions tiny ones
-    pair_parts = adaptive_parts(n_feature_rows * 4, lo=16, hi=512)
+    # candidate-shuffle fan-out tracks corpus size (band rows ≈ rows × bands)
+    # with a 2×-cores floor — a frozen 64 starves a 100×-corpus shuffle, but
+    # a purely row-derived count undershoots a big box on mid-size corpora
+    # (measured: 21 parts on 32 cpus cost ~30 % headline)
+    pair_parts = adaptive_parts(
+        n_feature_rows * 4, lo=max(16, 2 * cluster_parallelism()), hi=512
+    )
 
     if checkpoint_dir:
         # checkpointed mode: pairs and survivors are separate resumable stages

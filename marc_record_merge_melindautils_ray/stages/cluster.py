@@ -42,6 +42,21 @@ def adaptive_parts(n_rows: int, rows_per_part: int = 20000, lo: int = 8, hi: int
     return int(min(hi, max(lo, n_rows // rows_per_part)))
 
 
+def cluster_parallelism(default: int = 8) -> int:
+    """Available cluster CPU count (the fan-out floor for data-sized
+    shuffles: fewer partitions than ~2× cores leaves task slots idle on the
+    partition-then-vectorize stages — measured as a 30 % headline regression
+    when a row-derived count undershot a 32-cpu box)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default)) or default
+    except Exception:
+        pass
+    return default
+
+
 def _add_node_part(df: pd.DataFrame, num_parts: int = NUM_CC_PARTS) -> pd.DataFrame:
     with np.errstate(over="ignore"):
         part = (splitmix64(stable_str_hash(df["node"].to_numpy())) % np.uint64(num_parts))
