@@ -149,14 +149,16 @@ class LangId:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"].fillna("")
-        preds = []
-        for t in text:
-            if self.han.search(t):
-                preds.append("zh")
-                continue
-            scores = {k: len(p.findall(t)) for k, p in self.pats.items()}
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best if scores[best] > 0 else "unk")
+        # vectorized C-level regex passes (Series.str.count / .contains);
+        # argmax keeps the FIRST max over sorted keys = the alphabetical
+        # tie-break the oracle mirrors
+        keys = sorted(self.pats)
+        scores = np.stack(
+            [text.str.count(self.pats[k]).to_numpy() for k in keys], axis=1
+        ) if len(df) else np.zeros((0, len(keys)), np.int64)
+        best = np.array(keys, dtype=object)[scores.argmax(axis=1)] if len(df) else np.array([], object)
+        preds = np.where(scores.max(axis=1, initial=0) == 0, "unk", best)
+        preds = np.where(text.str.contains(self.han).to_numpy(dtype=bool), "zh", preds)
         return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
 
 
