@@ -612,7 +612,7 @@ def run_dedup(
         TagClusters,
         fn_constructor_args=(assign_refs,),
         batch_format="pyarrow",
-        concurrency=max(2, min(8, cfg.fingerprint_concurrency // 2)),
+        concurrency=max(2, min(16, cfg.fingerprint_concurrency // 2)),
     )
     authority_ref = ray.put(authority or {})
     bc = BuildCanonical(cfg, authority_ref)
