@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.q_ann_topk,
         "ann_lsh": similarity.q_ann_lsh,
         "ann_lsh_shuffle": similarity.q_ann_lsh_shuffle,
+        "ann_ivf": similarity.q_ann_ivf,
         "cosine_pairs": similarity.q_cosine_pairs,
         "embed_dup_pairs": similarity.q_embed_dup_pairs,
         "lsh_bucket_counts": similarity.lsh_bucket_counts,

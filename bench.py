@@ -66,6 +66,10 @@ def run_bench() -> dict:
     cfg = DedupConfig(
         fingerprint_concurrency=max(2, num_cpus - 2),
         verify_concurrency=max(2, num_cpus - 2),
+        # auto→direct for the materialized bench corpus; GRAFT_PAYLOAD_STORE=
+        # filtered measures the file-backed-input path (survivor-only payload
+        # store) for the scaling protocol comparison
+        payload_store=os.environ.get("GRAFT_PAYLOAD_STORE", "auto"),
     )
 
     # materialize the corpus first (generation excluded from the timed run;

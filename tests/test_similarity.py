@@ -115,3 +115,26 @@ def test_embed_dup_pairs_adaptive_depth(ray_session, tmp_path):
     assert m_adaptive["fallback_pair_frac"] == 0.0, m_adaptive
     assert recall_adaptive >= 0.9, recall_adaptive
     assert recall_adaptive > recall_fixed
+
+
+def test_ann_ivf_recall_vs_brute_force(ray_session):
+    """IVF (k-means cells, nprobe probing) must recover a solid fraction of
+    the exact top-10 while scoring only ~nprobe/n_cells of the corpus."""
+    from marc_record_merge_melindautils_ray.ops.similarity import q_ann_ivf, q_ann_topk
+
+    exact = q_ann_topk(SF)
+    approx = q_ann_ivf(SF)
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ann_ivf_deterministic(ray_session):
+    from marc_record_merge_melindautils_ray.ops.similarity import q_ann_ivf
+
+    a = q_ann_ivf(SF)
+    b = q_ann_ivf(SF)
+    assert a.equals(b)
