@@ -89,6 +89,12 @@ class DedupConfig:
                                   # are already materialized in the object
                                   # store); "auto": direct iff the input is a
                                   # MaterializedDataset, else filtered
+    index_shards: int = 1         # >1: the cluster-tagging side table is
+                                  # sharded by hash(clip_id) % K at produce
+                                  # time and each tagging task holds only its
+                                  # shard's ArrowBlockIndex — the ≫10^8-row
+                                  # side-table path (trades one K-way member
+                                  # shuffle for bounded per-task index heap)
     verify_concurrency: int = 4
     fingerprint_concurrency: int = 4
     num_shuffle_partitions: int = 0   # 0 = let Ray decide

@@ -561,9 +561,38 @@ def run_dedup(
     assign_refs = assignments.to_arrow_refs()
     _t = _lap("collect_assignments", _t)
 
+    def _tag_members(idx, batch: pa.Table) -> pa.Table:
+        """Filter a RAW clip batch down to cluster members via the given
+        assignment index, then derive the normalization columns only for
+        that small subset."""
+        from marc_record_merge_melindautils_ray.functions.textnorm import (
+            normalize_transcript_array,
+        )
+        from marc_record_merge_melindautils_ray.stages.normalize import _with_derived
+
+        ids = np.asarray(batch["clip_id"].to_pylist(), dtype=object)
+        blocks, rows, ok = idx.lookup(ids)
+        batch = batch.filter(pa.array(ok))
+        cl = idx.take_column("cluster_id", blocks[ok], rows[ok])
+        batch = batch.append_column(
+            "cluster_id", pa.array(list(cl), pa.string())
+        )
+        # derive normalization columns for the (small) member subset only;
+        # members came through the pipeline's pre-filters, so no row-filter
+        # is re-applied here (alignment with cluster_id is preserved)
+        tr = batch["transcript"]
+        if isinstance(tr, pa.ChunkedArray):
+            tr = tr.combine_chunks()
+        norm = normalize_transcript_array(pc.fill_null(tr, ""))
+        batch = _with_derived(batch, norm)
+        # canonical build guards per-column; a corpus omitting optional
+        # member columns (beyond what _with_derived backfills) just
+        # yields a narrower canonical table
+        return batch.select([c for c in MEMBER_COLS if c in batch.column_names])
+
     class TagClusters:
-        """Filter the RAW clip table down to cluster members, then derive the
-        normalization columns only for that small subset."""
+        """Whole-index tagging actor: each actor holds the full assignment
+        index (fine while it fits one heap — the default)."""
 
         def __init__(self, refs):
             from marc_record_merge_melindautils_ray.state.broadcast_index import (
@@ -573,30 +602,7 @@ def run_dedup(
             self.idx = ArrowBlockIndex(refs, "clip_id")
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from marc_record_merge_melindautils_ray.functions.textnorm import (
-                normalize_transcript_array,
-            )
-            from marc_record_merge_melindautils_ray.stages.normalize import _with_derived
-
-            ids = np.asarray(batch["clip_id"].to_pylist(), dtype=object)
-            blocks, rows, ok = self.idx.lookup(ids)
-            batch = batch.filter(pa.array(ok))
-            cl = self.idx.take_column("cluster_id", blocks[ok], rows[ok])
-            batch = batch.append_column(
-                "cluster_id", pa.array(list(cl), pa.string())
-            )
-            # derive normalization columns for the (small) member subset only;
-            # members came through the pipeline's pre-filters, so no row-filter
-            # is re-applied here (alignment with cluster_id is preserved)
-            tr = batch["transcript"]
-            if isinstance(tr, pa.ChunkedArray):
-                tr = tr.combine_chunks()
-            norm = normalize_transcript_array(pc.fill_null(tr, ""))
-            batch = _with_derived(batch, norm)
-            # canonical build guards per-column; a corpus omitting optional
-            # member columns (beyond what _with_derived backfills) just
-            # yields a narrower canonical table
-            return batch.select([c for c in MEMBER_COLS if c in batch.column_names])
+            return _tag_members(self.idx, batch)
 
     member_src_cols = [
         "clip_id", "transcript", "sources", "source_links", "edition_note",
@@ -605,15 +611,45 @@ def run_dedup(
     # optional columns a user corpus may omit: select only what exists and
     # let _with_derived backfill the normalization trio with nulls
     member_src_cols = [c for c in member_src_cols if c in clips.schema().names]
-    # small stage on a small subset: a big actor pool here is pure spin-up
-    # cost (each actor re-builds the assignment index), measured slower at
-    # MORE cpus — cap it
-    members = clips.select_columns(member_src_cols).map_batches(
-        TagClusters,
-        fn_constructor_args=(assign_refs,),
-        batch_format="pyarrow",
-        concurrency=max(2, min(16, cfg.fingerprint_concurrency // 2)),
-    )
+    if cfg.index_shards > 1:
+        # ≫10^8-row side-table path: assignments shard by hash(clip_id) % K
+        # at produce time; member rows route to their shard and each tagging
+        # task builds ONLY its shard's index (1/K of the table per heap) —
+        # trades one K-way member shuffle for bounded index memory
+        from marc_record_merge_melindautils_ray.state.broadcast_index import (
+            ArrowBlockIndex,
+            shard_of,
+            shard_side_table,
+        )
+
+        shards = shard_side_table(assignments, "clip_id", cfg.index_shards)
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["clip_id"].to_pylist(), dtype=object)
+            return t.append_column(
+                "_shard", pa.array(shard_of(ids, cfg.index_shards), pa.int64())
+            )
+
+        def tag_shard_group(t: pa.Table) -> pa.Table:
+            sid = int(t["_shard"][0].as_py())
+            idx = ArrowBlockIndex(shards[sid], "clip_id")
+            return _tag_members(idx, t.drop_columns(["_shard"]))
+
+        members = (
+            clips.select_columns(member_src_cols)
+            .map_batches(add_shard, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(tag_shard_group, batch_format="pyarrow")
+        )
+    else:
+        # small stage on a small subset: a big actor pool here is pure
+        # spin-up cost (each actor re-builds the assignment index) — cap it
+        members = clips.select_columns(member_src_cols).map_batches(
+            TagClusters,
+            fn_constructor_args=(assign_refs,),
+            batch_format="pyarrow",
+            concurrency=max(2, min(16, cfg.fingerprint_concurrency // 2)),
+        )
     authority_ref = ray.put(authority or {})
     bc = BuildCanonical(cfg, authority_ref)
     n_assigned = assignments.count()

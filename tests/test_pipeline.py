@@ -207,3 +207,26 @@ def test_run_dedup_without_optional_columns(ray_session, corpus, small_cfg):
     res = run_dedup(rd.from_arrow(clips.select(keep)), small_cfg)
     assert res["canonical"].count() > 0
     assert res["assignments"].count() > 0
+
+
+def test_run_dedup_sharded_index_matches_default(ray_session, corpus, small_cfg):
+    """index_shards > 1 (the >>10^8-row side-table path: per-task 1/K index
+    over hash-sharded assignment blocks) must produce IDENTICAL assignments
+    and canonical rows to the whole-index default."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+
+    clips, truth, golden = corpus
+    base = run_dedup(rd.from_arrow(clips), small_cfg)
+    cfg_s = dataclasses.replace(small_cfg, index_shards=4)
+    sharded = run_dedup(rd.from_arrow(clips), cfg_s)
+    a = base["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+    b = sharded["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert a.equals(b)
+    ca = base["canonical"].to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    cb = sharded["canonical"].to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    assert ca["canonical_id"].tolist() == cb["canonical_id"].tolist()
+    assert ca["transcript"].tolist() == cb["transcript"].tolist()
