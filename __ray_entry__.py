@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup_text.q_simhash_dup_pairs,
         "ngram_jaccard_pairs": dedup_text.q_ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": _ngram_jaccard_capped,
+        "containment_pairs": dedup_text.q_containment_pairs,
         # similarity search
         "ann_topk": similarity.q_ann_topk,
         "ann_lsh": similarity.q_ann_lsh,
@@ -336,6 +337,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 200
             ORDER BY id_a, id_b
+        """,
+        "containment_pairs": """
+            WITH d AS (
+              SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents
+            )
+            SELECT a.doc_id AS id_inner, b.doc_id AS id_outer
+            FROM d a JOIN d b ON a.doc_id != b.doc_id
+            WHERE length(a.t) >= 20 AND length(a.t) < length(b.t)
+              AND position(a.t IN b.t) > 0
+            ORDER BY id_inner, id_outer
         """,
         "lang_id": """
             WITH s AS (

@@ -539,3 +539,153 @@ def q_ngram_jaccard_pairs(
             "dropped_pair_rows": dropped_pairs,
         })
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataFrame:
+    """EXACT substring-containment pairs over the documents table — the
+    generic-table counterpart of the clip pipeline's containment pass (the
+    ``normalizingSubsetComparator`` analog, ``lib/record-utils.js:219-226``)
+    and the north-star's suffix/substring duplicate class.
+
+    (id_inner, id_outer) where the normalized (trim+lower) text of *inner*
+    (≥ ``min_len`` chars) appears verbatim inside a strictly longer *outer*.
+
+    Distributed exact plan (no all-pairs): if inner ⊂ outer then EVERY byte
+    ``k``-gram of inner appears in outer (UTF-8 is self-synchronizing, so
+    byte containment ≡ char containment); block on inner's MINIMUM k-gram
+    hash against an index of ALL outer k-gram hashes — recall-exact by
+    construction — then confirm each candidate with a real substring check
+    inside verify actors that index the normalized texts from object-store
+    blocks.  Outer-gram emission is O(total chars): the exact cost of exact
+    substring search (the clip pipeline's SAMPLED shingle pass is the
+    bounded-work variant of this same idea).  SQL-expressible — see
+    ``oracle_sql()['containment_pairs']``."""
+    import pyarrow.compute as pc
+
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.state.broadcast_index import ArrowBlockIndex
+
+    docs = _docs(sf_dir)
+    nparts = _doc_parts(docs)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        tt = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], "")))
+        return pa.table({"doc_id": t["doc_id"], "t": tt})
+
+    norm = docs.map_batches(normalize, batch_format="pyarrow").materialize()
+    norm_refs = norm.to_arrow_refs()
+
+    _POW = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64),
+                    dtype=np.uint64)  # FNV-prime powers for the window dot
+
+    def _gram_hashes(b: bytes) -> np.ndarray:
+        arr = np.frombuffer(b, np.uint8)
+        if len(arr) < k:
+            return np.empty(0, np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return splitmix64(win @ _POW)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64)
+        texts = t["t"].to_pylist()
+        g_l, d_l, r_l, L_l = [], [], [], []
+        for i, s in enumerate(texts):
+            b = s.encode("utf-8")
+            h = _gram_hashes(b)
+            if not len(h):
+                continue
+            uniq = np.unique(h)
+            # outer role: ALL unique grams index this doc as a container
+            g_l.append(uniq)
+            d_l.append(np.full(len(uniq), ids[i], np.int64))
+            r_l.append(np.zeros(len(uniq), np.int8))
+            L_l.append(np.full(len(uniq), len(s), np.int64))
+            if len(s) >= min_len:
+                # inner role: the doc's MIN gram is its probe key
+                g_l.append(uniq[:1])  # uniq is sorted → min
+                d_l.append(np.array([ids[i]], np.int64))
+                r_l.append(np.ones(1, np.int8))
+                L_l.append(np.array([len(s)], np.int64))
+        if not g_l:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "role": pa.array([], pa.int8()),
+                             "L": pa.array([], pa.int64())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(g_l).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.concatenate(d_l), pa.int64()),
+            "role": pa.array(np.concatenate(r_l), pa.int8()),
+            "L": pa.array(np.concatenate(L_l), pa.int64()),
+        })
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", "role", "doc_id"]).reset_index(drop=True)
+        keys = g["gram"].to_numpy()
+        roles = g["role"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        Ls = g["L"].to_numpy()
+        n = len(g)
+        empty = pd.DataFrame({"id_inner": pd.Series([], dtype=np.int64),
+                              "id_outer": pd.Series([], dtype=np.int64)})
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_i, out_o = [], []
+        for s, e in zip(starts, ends):
+            r = roles[s:e]
+            inner = np.flatnonzero(r == 1)
+            outer = np.flatnonzero(r == 0)
+            if not len(inner) or not len(outer):
+                continue
+            ii = np.repeat(inner, len(outer))
+            oo = np.tile(outer, len(inner))
+            keep = (ids[s + ii] != ids[s + oo]) & (Ls[s + ii] < Ls[s + oo])
+            out_i.append(ids[s + ii[keep]])
+            out_o.append(ids[s + oo[keep]])
+        if not out_i:
+            return empty
+        return pd.DataFrame({
+            "id_inner": np.concatenate(out_i), "id_outer": np.concatenate(out_o),
+        }).drop_duplicates()
+
+    class VerifySubstring:
+        """Per-actor text index over the normalized-doc blocks (zero-copy
+        plasma reads) — real substring confirmation per candidate."""
+
+        def __init__(self, refs):
+            self.idx = ArrowBlockIndex(refs, "doc_id")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            inner = np.asarray(t["id_inner"], np.int64)
+            outer = np.asarray(t["id_outer"], np.int64)
+            bi, ri, oki = self.idx.lookup(inner.astype(object))
+            bo, ro, oko = self.idx.lookup(outer.astype(object))
+            ti = self.idx.take_column("t", bi, ri)
+            to = self.idx.take_column("t", bo, ro)
+            ok = np.array([
+                bool(a) and bool(b) and a in b
+                for a, b in zip(ti, to)
+            ])
+            return t.filter(pa.array(ok & oki & oko))
+
+    out = (
+        norm.map_batches(emit, batch_format="pyarrow")
+        .map_batches(lambda t: _add_int_part(t, "gram", nparts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(candidates, batch_format="pandas")
+        .map_batches(
+            VerifySubstring, fn_constructor_args=(norm_refs,),
+            batch_format="pyarrow", concurrency=2,
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"id_inner": pd.Series([], dtype=np.int64),
+                             "id_outer": pd.Series([], dtype=np.int64)})
+    out = out.drop_duplicates(["id_inner", "id_outer"])
+    return (
+        out[["id_inner", "id_outer"]].astype(np.int64)
+        .sort_values(["id_inner", "id_outer"]).reset_index(drop=True)
+    )

@@ -146,3 +146,38 @@ def test_ngram_capped_variant(ray_session, tmp_path):
     # exact semantics forbid silent dropping: over the guard is an ERROR
     with pytest.raises(Exception, match="hub_guard"):
         q_ngram_jaccard_pairs(sf, hub_guard=10)
+
+
+def test_containment_pairs_exact(ray_session, tmp_path):
+    """Substring containment must be exact at the CHARACTER level (word
+    boundaries in the container need not align) and respect the min-length
+    and strictly-shorter rules."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.dedup_text import q_containment_pairs
+
+    inner = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        inner,                                   # 0: inner
+        f"PREFIX{inner}SUFFIX without spaces",   # 1: char-level container
+        f"a sentence then {inner} then more",    # 2: word-level container
+        "completely unrelated content here okay",  # 3: no relation
+        inner,                                   # 4: equal text — NOT strictly longer
+        "tiny text",                             # 5: under min_len as inner
+        f"xx{'tiny text'}yy this outer holds a short one",  # 6: contains doc 5 (too short to count)
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = q_containment_pairs(str(tmp_path))
+    pairs = set(zip(got["id_inner"], got["id_outer"]))
+    assert (0, 1) in pairs   # char-level (no word boundary at the seam)
+    assert (0, 2) in pairs
+    assert (4, 1) in pairs and (4, 2) in pairs  # duplicate inner text
+    assert (0, 4) not in pairs and (4, 0) not in pairs  # equal length: excluded
+    assert (5, 6) not in pairs  # inner below min_len
+    assert not any(o == 3 or i == 3 for i, o in pairs)
