@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.q_top_orders,
         "distinct_flags": relational.q_distinct_flags,
         "sessionize": relational.q_sessionize,
+        "sliding_window": relational.q_sliding_window,
+        "top_orders_per_cust": relational.q_top_orders_per_cust,
         "exact_dedup_lineitem": relational.q_exact_dedup_lineitem,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
@@ -265,6 +267,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(epoch_us(ts)) AS BIGINT) AS start_us
             FROM s GROUP BY user_id, sess
             ORDER BY user_id, session_idx
+        """,
+        "sliding_window": """
+            WITH h AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 AS hour_bucket,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, hour_bucket,
+                   CAST(sum(n) OVER (
+                     PARTITION BY user_id ORDER BY hour_bucket
+                     RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_window
+            FROM h ORDER BY user_id, hour_bucket
+        """,
+        "top_orders_per_cust": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+                     ) AS rnk
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, total_cents, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
+            ORDER BY o_custkey, rnk
         """,
         "top_terms": """
             WITH t AS (

@@ -369,3 +369,111 @@ def q_exact_dedup_lineitem(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out[["l_partkey", "l_suppkey", "first_orderkey", "n_dups"]]
+
+
+def q_sliding_window(sf_dir: str, window_hours: int = 3) -> pd.DataFrame:
+    """SLIDING-window aggregate: per (user, hour), the event count over the
+    trailing ``window_hours`` hour buckets — the windowed-aggregate operator
+    Ray Data lacks natively, expressed as partial hourly counts →
+    hash-partition by user → ONE vectorized trailing-sum kernel per
+    partition (sort + per-user searchsorted over bucket indexes).  The
+    partitioning invariant: all hourly rows of a user co-locate."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nparts = adaptive_parts(ds.count())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        hour = ts // (3600 * 1_000_000)
+        df = pd.DataFrame({
+            "user_id": np.asarray(t["user_id"]),
+            "hour_bucket": hour,
+            "n": np.ones(len(t), dtype=np.int64),
+        })
+        out = df.groupby(["user_id", "hour_bucket"], as_index=False).sum()
+        u = out["user_id"].to_numpy().astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            out["part"] = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return out
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        # combine partial counts, then per user: for each bucket b, sum of
+        # counts in (b - window, b] via prefix sums + searchsorted
+        g = g.groupby(["user_id", "hour_bucket"], as_index=False)["n"].sum()
+        g = g.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "hour_bucket": pd.Series([], dtype=np.int64),
+                                 "n_window": pd.Series([], dtype=np.int64)})
+        uid = g["user_id"].to_numpy()
+        hb = g["hour_bucket"].to_numpy()
+        n = g["n"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        out = np.empty(len(g), np.int64)
+        for s, e in zip(starts, ends):
+            h = hb[s:e]
+            csum = np.r_[0, np.cumsum(n[s:e])]
+            lo = np.searchsorted(h, h - window_hours + 1, side="left")
+            out[s:e] = csum[np.arange(1, e - s + 1)] - csum[lo]
+        return pd.DataFrame({"user_id": uid, "hour_bucket": hb, "n_window": out})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(trailing, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+
+
+def q_top_orders_per_cust(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k (the ROW_NUMBER window pattern): each customer's k
+    highest-price orders with their rank — hash-partition by customer →
+    ONE vectorized rank kernel per partition (lexsort + per-group position),
+    never a global sort."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["o_custkey"], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"o_custkey": pd.Series([], dtype=np.int64),
+                                 "o_orderkey": pd.Series([], dtype=np.int64),
+                                 "total_cents": pd.Series([], dtype=np.int64),
+                                 "rnk": pd.Series([], dtype=np.int64)})
+        cust = g["o_custkey"].to_numpy()
+        okey = g["o_orderkey"].to_numpy()
+        cents = _cents(g["o_totalprice"].to_numpy())
+        # deterministic rank order: price desc, orderkey asc within customer
+        order = np.lexsort((okey, -cents, cust))
+        cust, okey, cents = cust[order], okey[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        pos = np.arange(len(cust)) - np.repeat(starts, np.diff(np.r_[starts, len(cust)]))
+        keep = pos < k
+        return pd.DataFrame({
+            "o_custkey": cust[keep], "o_orderkey": okey[keep],
+            "total_cents": cents[keep], "rnk": pos[keep] + 1,
+        })
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.astype(np.int64)
+        .sort_values(["o_custkey", "rnk"])
+        .reset_index(drop=True)
+    )
