@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.q_sessionize,
         "sliding_window": relational.q_sliding_window,
         "top_orders_per_cust": relational.q_top_orders_per_cust,
+        "asof_join": relational.q_asof_join,
         "exact_dedup_lineitem": relational.q_exact_dedup_lineitem,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
@@ -281,6 +282,19 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS n_window
             FROM h ORDER BY user_id, hour_bucket
+        """,
+        "asof_join": """
+            WITH j AS (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e
+              JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, o_orderkey FROM j WHERE rn = 1 ORDER BY event_id
         """,
         "top_orders_per_cust": """
             WITH r AS (

@@ -477,3 +477,88 @@ def q_top_orders_per_cust(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .sort_values(["o_custkey", "rnk"])
         .reset_index(drop=True)
     )
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """AS-OF join (an operator Ray Data lacks natively): each event matched
+    to its user's MOST RECENT order at event time (``o_orderdate <= ts``;
+    ties broken by highest orderkey).  Both sides hash-partition on the user
+    key and ride ONE shuffle as role-tagged rows; the per-partition kernel
+    boundary-scans users and runs one vectorized ``searchsorted`` per user
+    segment — the documented partitioning invariant: all rows of a user
+    co-locate."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    nparts = adaptive_parts(ev.count() + orders.count())
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        u = np.asarray(t["user_id"], np.int64)
+        with np.errstate(over="ignore"):
+            part = (splitmix64(u.view(np.uint64)) % np.uint64(nparts)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "uid": pa.array(u, pa.int64()),
+            "t_us": pa.array(ts, pa.int64()),
+            "row_id": t["event_id"],
+            "role": pa.array(np.ones(len(t), np.int8)),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["o_orderdate"]).astype("datetime64[us]").astype(np.int64)
+        u = np.asarray(t["o_custkey"], np.int64)
+        with np.errstate(over="ignore"):
+            part = (splitmix64(u.view(np.uint64)) % np.uint64(nparts)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "uid": pa.array(u, pa.int64()),
+            "t_us": pa.array(d, pa.int64()),
+            "row_id": t["o_orderkey"],
+            "role": pa.array(np.zeros(len(t), np.int8)),
+        })
+
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                              "o_orderkey": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        role = g["role"].to_numpy()
+        e = g[role == 1].sort_values(["uid", "t_us", "row_id"])
+        # orders sorted by (uid, date, orderkey): the LAST entry <= ts has
+        # the max date, and max orderkey within equal dates
+        o = g[role == 0].sort_values(["uid", "t_us", "row_id"])
+        if not len(e) or not len(o):
+            return empty
+        eu, et, eid = (e[c].to_numpy() for c in ("uid", "t_us", "row_id"))
+        ou, ot, oid = (o[c].to_numpy() for c in ("uid", "t_us", "row_id"))
+        out_e, out_o = [], []
+        e_starts = np.flatnonzero(np.r_[True, eu[1:] != eu[:-1]])
+        e_ends = np.r_[e_starts[1:], len(eu)]
+        for s, epos in zip(e_starts, e_ends):
+            u = eu[s]
+            lo = np.searchsorted(ou, u, "left")
+            hi = np.searchsorted(ou, u, "right")
+            if lo == hi:
+                continue
+            pos = np.searchsorted(ot[lo:hi], et[s:epos], "right") - 1
+            ok = pos >= 0
+            out_e.append(eid[s:epos][ok])
+            out_o.append(oid[lo:hi][pos[ok]])
+        if not out_e:
+            return empty
+        return pd.DataFrame({
+            "event_id": np.concatenate(out_e), "o_orderkey": np.concatenate(out_o),
+        })
+
+    rows = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+    out = (
+        rows.groupby("part")
+        .map_groups(asof_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype(np.int64).sort_values("event_id").reset_index(drop=True)
