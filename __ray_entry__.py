@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": relational.q_sliding_window,
         "top_orders_per_cust": relational.q_top_orders_per_cust,
         "asof_join": relational.q_asof_join,
+        "time_band_join": relational.q_time_band_join,
         "exact_dedup_lineitem": relational.q_exact_dedup_lineitem,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
@@ -295,6 +296,14 @@ def oracle_sql() -> dict[str, str]:
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             )
             SELECT event_id, o_orderkey FROM j WHERE rn = 1 ORDER BY event_id
+        """,
+        "time_band_join": """
+            SELECT a.event_id AS id_a, b.event_id AS id_b
+            FROM events a JOIN events b
+              ON a.event_id < b.event_id
+             AND a.user_id != b.user_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+            ORDER BY id_a, id_b
         """,
         "top_orders_per_cust": """
             WITH r AS (

@@ -562,3 +562,86 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.astype(np.int64).sort_values("event_id").reset_index(drop=True)
+
+
+def q_time_band_join(sf_dir: str, band_us: int = 1_000_000) -> pd.DataFrame:
+    """RANGE (band) join with NO equi-key: pairs of events from different
+    users within ``band_us`` of each other — the banded-self-join operator
+    Ray Data lacks natively.  Each event is emitted to its time bucket AND
+    the next one (bucket width = band): any qualifying pair co-locates in at
+    least one bucket partition (exact cover), the per-partition kernel emits
+    window pairs via one sort + vectorized searchsorted, and the doubled
+    coverage dedups on the pair key.  Pair count is O(matches), never
+    all-pairs."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    nparts = adaptive_parts(2 * ds.count())
+
+    def emit(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        eid = np.asarray(t["event_id"], np.int64)
+        uid = np.asarray(t["user_id"], np.int64)
+        bucket = ts // band_us
+        b2 = np.concatenate([bucket, bucket + 1])
+        with np.errstate(over="ignore"):
+            part = (splitmix64(b2.view(np.uint64)) % np.uint64(nparts)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "bucket": pa.array(b2, pa.int64()),
+            "event_id": pa.array(np.tile(eid, 2), pa.int64()),
+            "user_id": pa.array(np.tile(uid, 2), pa.int64()),
+            "t_us": pa.array(np.tile(ts, 2), pa.int64()),
+        })
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["bucket", "t_us", "event_id"]).reset_index(drop=True)
+        bk = g["bucket"].to_numpy()
+        ts = g["t_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        out_a, out_b = [], []
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            hi = np.searchsorted(t, t + band_us, "right")
+            cnt = hi - np.arange(1, e - s + 1)
+            if cnt.sum() <= 0:
+                continue
+            ii = np.repeat(np.arange(e - s), np.maximum(cnt, 0))
+            jj = (
+                np.arange(int(np.maximum(cnt, 0).sum()))
+                - np.repeat(np.cumsum(np.maximum(cnt, 0)) - np.maximum(cnt, 0),
+                            np.maximum(cnt, 0))
+                + ii + 1
+            )
+            keep = uid[s + ii] != uid[s + jj]
+            a, b = eid[s + ii[keep]], eid[s + jj[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+        }).drop_duplicates()
+
+    out = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(band_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64)})
+    # doubled bucket coverage → final pair dedup (result is O(matches))
+    return (
+        out.drop_duplicates(["id_a", "id_b"]).astype(np.int64)
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
