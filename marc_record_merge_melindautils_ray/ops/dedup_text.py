@@ -578,45 +578,63 @@ def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataF
     _POW = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64),
                     dtype=np.uint64)  # FNV-prime powers for the window dot
 
-    def _gram_hashes(b: bytes) -> np.ndarray:
-        arr = np.frombuffer(b, np.uint8)
-        if len(arr) < k:
-            return np.empty(0, np.uint64)
-        win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            return splitmix64(win @ _POW)
-
     def emit(t: pa.Table) -> pa.Table:
+        """ONE vectorized pass over the batch: the string column's Arrow
+        value buffer is already all docs' bytes concatenated — slide a single
+        k-window view over it, hash every window with one matmul, and mask
+        windows that cross a doc boundary.  No per-doc Python."""
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "role": pa.array([], pa.int8()),
+                          "L": pa.array([], pa.int64())})
         ids = np.asarray(t["doc_id"], np.int64)
-        texts = t["t"].to_pylist()
-        g_l, d_l, r_l, L_l = [], [], [], []
-        for i, s in enumerate(texts):
-            b = s.encode("utf-8")
-            h = _gram_hashes(b)
-            if not len(h):
-                continue
-            uniq = np.unique(h)
-            # outer role: ALL unique grams index this doc as a container
-            g_l.append(uniq)
-            d_l.append(np.full(len(uniq), ids[i], np.int64))
-            r_l.append(np.zeros(len(uniq), np.int8))
-            L_l.append(np.full(len(uniq), len(s), np.int64))
-            if len(s) >= min_len:
-                # inner role: the doc's MIN gram is its probe key
-                g_l.append(uniq[:1])  # uniq is sorted → min
-                d_l.append(np.array([ids[i]], np.int64))
-                r_l.append(np.ones(1, np.int8))
-                L_l.append(np.array([len(s)], np.int64))
-        if not g_l:
-            return pa.table({"gram": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "role": pa.array([], pa.int8()),
-                             "L": pa.array([], pa.int64())})
+        col = t["t"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bufs = col.buffers()
+        if bufs[2] is None or len(col) == 0:
+            return empty
+        # string-array offsets live in buffers()[1] (int32); honor a possible
+        # slice offset on the array
+        offs = np.frombuffer(
+            bufs[1], np.int32, count=col.offset + len(col) + 1
+        ).astype(np.int64)[col.offset:]
+        buf = np.frombuffer(bufs[2], np.uint8, count=int(offs[-1]))
+        if int(offs[-1]) - int(offs[0]) < k:
+            return empty
+        win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            gh = splitmix64(win @ _POW)  # hash of every k-window in the buffer
+        pos = np.arange(len(gh))
+        valid = pos >= offs[0]
+        # window w belongs to the doc whose byte range fully contains it
+        doc_of = np.clip(np.searchsorted(offs, pos, side="right") - 1, 0, len(col) - 1)
+        in_doc = valid & (pos + k <= offs[doc_of + 1]) & (pos >= offs[doc_of])
+        gh, doc_of = gh[in_doc], doc_of[in_doc]
+        if not len(gh):
+            return empty
+        byte_len = np.diff(offs)
+        # char lengths (for the min_len / strictly-shorter rules): utf8 chars
+        char_len = np.asarray(pa.compute.utf8_length(col), dtype=np.int64)
+        # unique (doc, gram) via one lexsort boundary scan
+        order = np.lexsort((gh, doc_of))
+        gh, doc_of = gh[order], doc_of[order]
+        first = np.r_[True, (gh[1:] != gh[:-1]) | (doc_of[1:] != doc_of[:-1])]
+        gh, doc_of = gh[first], doc_of[first]
+        # inner probes: each eligible doc's MIN gram = first gram of its run
+        doc_first = np.r_[True, doc_of[1:] != doc_of[:-1]]
+        inner_sel = doc_first & (char_len[doc_of] >= min_len) & (byte_len[doc_of] >= k)
+        g_cat = np.concatenate([gh, gh[inner_sel]])
+        d_cat = np.concatenate([ids[doc_of], ids[doc_of[inner_sel]]])
+        r_cat = np.concatenate([
+            np.zeros(len(gh), np.int8), np.ones(int(inner_sel.sum()), np.int8)
+        ])
+        L_cat = np.concatenate([char_len[doc_of], char_len[doc_of[inner_sel]]])
         return pa.table({
-            "gram": pa.array(np.concatenate(g_l).view(np.int64), pa.int64()),
-            "doc_id": pa.array(np.concatenate(d_l), pa.int64()),
-            "role": pa.array(np.concatenate(r_l), pa.int8()),
-            "L": pa.array(np.concatenate(L_l), pa.int64()),
+            "gram": pa.array(g_cat.view(np.int64), pa.int64()),
+            "doc_id": pa.array(d_cat, pa.int64()),
+            "role": pa.array(r_cat, pa.int8()),
+            "L": pa.array(L_cat, pa.int64()),
         })
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
