@@ -34,3 +34,35 @@ def test_bucketed_write_and_resume_skip(ray_session, tmp_path):
     written2 = write_outputs(res, out, num_buckets=4)
     assert written2 == {"assignments": False}
     assert mtimes == {b: os.path.getmtime(os.path.join(root, b)) for b in buckets}
+
+
+def test_cli_end_to_end(tmp_path):
+    """`python -m marc_record_merge_melindautils_ray` (the ray-job-submit
+    entry form): reads a clip parquet, runs the pipeline with checkpoints,
+    writes the resumable sink, prints one JSON metrics line."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, _, _ = make_corpus(6, 10, 42)
+    inp = tmp_path / "clips.parquet"
+    pq.write_table(clips, str(inp))
+    out_dir = tmp_path / "out"
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, "-m", "marc_record_merge_melindautils_ray",
+         "--input", str(inp), "--output", str(out_dir),
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--config", '{"fingerprint_concurrency": 2, "verify_concurrency": 2}'],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["assignments"] > 0 and res["clusters"] > 0
+    assert (out_dir / "assignments" / "_SUCCESS").exists()
+    assert (out_dir / "canonical" / "_SUCCESS").exists()
