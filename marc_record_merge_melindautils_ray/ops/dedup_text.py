@@ -670,7 +670,13 @@ def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataF
 
     class VerifySubstring:
         """Per-actor text index over the normalized-doc blocks (zero-copy
-        plasma reads) — real substring confirmation per candidate."""
+        plasma reads) — real substring confirmation per candidate.
+
+        Scale note: each actor indexes the WHOLE normalized-text table
+        (fine while it fits one heap); past that, shard the blocks with
+        ``state.broadcast_index.shard_side_table`` and route candidate pairs
+        by ``shard_of(id_outer)`` — the same produce-time sharding the clip
+        pipeline exposes as ``cfg.index_shards``."""
 
         def __init__(self, refs):
             self.idx = ArrowBlockIndex(refs, "doc_id")
