@@ -606,7 +606,7 @@ def run_dedup(
 
     member_src_cols = [
         "clip_id", "transcript", "sources", "source_links", "edition_note",
-        "author_label", "author_type", "codec",
+        "author_label", "author_type", "author_parts", "codec",
     ]
     # optional columns a user corpus may omit: select only what exists and
     # let _with_derived backfill the normalization trio with nulls

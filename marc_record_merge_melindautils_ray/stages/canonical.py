@@ -59,6 +59,7 @@ def _member_cols(g) -> dict:
 MEMBER_COLS = [
     "clip_id", "cluster_id", "transcript", "norm_transcript", "has_diacritics",
     "sources", "source_links", "edition_note", "author_label", "author_type",
+    "author_parts",
 ]
 
 
@@ -151,6 +152,43 @@ class BuildCanonical:
             notes.append(text)
         notes.sort()
 
+        # U22 FULL path: when the corpus preserves subfield structure
+        # (optional ``author_parts`` cells: list of {tag, subfields} dicts),
+        # derive each member's label through the per-tag subfield whitelists
+        # and surface the multiple-names throw
+        # (lib/record-utils.js:31-66) — the flat ``author_label`` remains
+        # the collapsed fallback for schemas without it.
+        def _parts_list(p):
+            # pandas renders absent cells as NaN floats; list cells may be
+            # ndarray or list
+            if p is None or isinstance(p, float):
+                return None
+            try:
+                return list(p) if len(p) else None
+            except TypeError:
+                return None
+
+        author_parts = [_parts_list(p) for p in (cols.get("author_parts") or [None] * n)]
+        multiple_names = False
+        if any(p for p in author_parts):
+            from marc_record_merge_melindautils_ray.functions.authorq import (
+                MultipleNamesError,
+                to_authority_query,
+            )
+
+            new_labels = list(cols["author_label"])
+            for i, p in enumerate(author_parts):
+                if not p:
+                    continue
+                try:
+                    q = to_authority_query(p)
+                except MultipleNamesError:
+                    multiple_names = True
+                    continue
+                if q and q["name"]:
+                    new_labels[i] = q["name"]
+            cols = {**cols, "author_label": new_labels}
+
         # P7 authority normalization with the reference's FULL outcome set
         # (lib/post-merge-modifiers.js:203-240): names differ →
         #   * author types differ        → 'Author type mismatch.'  throw
@@ -173,6 +211,8 @@ class BuildCanonical:
                     author_conflict = "both-authorized"
                 elif len(authorized) == 1 and not self._authorized(author):
                     author = authorized[0]
+        if multiple_names and author_conflict is None:
+            author_conflict = "multiple-names"  # the U22 mergeError analog
 
         # P0 output invariant — the 041a length gate analog
         # (lib/marc-record-merge-melindautils.js:124-129): the reference

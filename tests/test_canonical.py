@@ -149,3 +149,33 @@ def test_p0_short_source_code_invariant():
         {"clip_id": "b", "sources": ["HELKA"]},
     ])
     assert out2["invariant_error"] is None
+
+
+def test_author_parts_full_u22_path():
+    """U22 FULL semantics via the optional structured author_parts column:
+    per-tag subfield whitelists project the name (noise subfields dropped),
+    and a record with multiple name fields surfaces the reference's
+    mergeError as the 'multiple-names' conflict flag
+    (record-utils.js:31-66)."""
+    out = _build([
+        {"clip_id": "a", "author_label": "collapsed ignored",
+         "author_parts": [
+             {"tag": "100", "subfields": [
+                 {"code": "a", "value": "Virtanen, Ville"},
+                 {"code": "x", "value": "NOISE"},
+                 {"code": "d", "value": "1970-"},
+             ]},
+         ]},
+        {"clip_id": "b"},
+    ])
+    assert out["author_label"] == "Virtanen, Ville 1970-"
+    assert out["author_conflict"] is None
+
+    out2 = _build([
+        {"clip_id": "a", "author_parts": [
+            {"tag": "100", "subfields": [{"code": "a", "value": "One"}]},
+            {"tag": "110", "subfields": [{"code": "a", "value": "Two"}]},
+        ]},
+        {"clip_id": "b"},
+    ])
+    assert out2["author_conflict"] == "multiple-names"
