@@ -37,7 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # plain init: connects to the submitting cluster via RAY_ADDRESS when
+        # launched by `ray job submit`, starts a local instance otherwise —
+        # address="local" here would strand a cluster job on one node
+        ray.init(include_dashboard=False, logging_level="ERROR")
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False

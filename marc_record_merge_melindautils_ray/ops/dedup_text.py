@@ -602,9 +602,16 @@ def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataF
         buf = np.frombuffer(bufs[2], np.uint8, count=int(offs[-1]))
         if int(offs[-1]) - int(offs[0]) < k:
             return empty
-        win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+        # k-step accumulation: same polynomial window hash as a
+        # sliding_window_view matmul but O(n) transient memory — the dense
+        # (n x k) uint64 window matrix would be a 128x blow-up of the
+        # batch's entire string buffer (round-3 self-review finding)
+        m = len(buf) - k + 1
+        acc = np.zeros(m, np.uint64)
         with np.errstate(over="ignore"):
-            gh = splitmix64(win @ _POW)  # hash of every k-window in the buffer
+            for i in range(k):
+                acc += buf[i:i + m].astype(np.uint64) * _POW[i]
+            gh = splitmix64(acc)  # hash of every k-window in the buffer
         pos = np.arange(len(gh))
         valid = pos >= offs[0]
         # window w belongs to the doc whose byte range fully contains it

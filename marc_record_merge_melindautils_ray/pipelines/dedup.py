@@ -154,6 +154,20 @@ def find_candidate_key_sets(features: rd.Dataset, cfg: DedupConfig) -> tuple:
         np.concatenate(hot_l).view(np.uint64) if hot_l else np.empty(0, np.uint64)
     )
 
+    # over-cap HUB shingle keys: few (skew), but a Bloom FP re-admitting one
+    # would drag its whole oversized group back into the shuffle — so they
+    # subtract EXACTLY from the useful filter (FilterMinusExact), unlike
+    # band-key FPs which only ever admit harmless singletons
+    hub_l = []
+    hub_ds = multi_ds.map_batches(
+        _subset(1, min_cnt=cfg.bucket_cap), batch_format="pyarrow"
+    )
+    for b in hub_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        hub_l.append(np.asarray(b["key"], dtype=np.int64))
+    hub_sh = (
+        np.concatenate(hub_l).view(np.uint64) if hub_l else np.empty(0, np.uint64)
+    )
+
     band_ds = multi_ds.map_batches(_subset(0), batch_format="pyarrow")
     sh_ds = multi_ds.map_batches(
         _subset(1, max_cnt=cfg.bucket_cap), batch_format="pyarrow"
@@ -166,6 +180,10 @@ def find_candidate_key_sets(features: rd.Dataset, cfg: DedupConfig) -> tuple:
     useful_filter = (
         build_bloom_filter(sh_ds, "key", n_sh) if n_sh else np.empty(0, np.uint64)
     )
+    if n_sh and len(hub_sh):
+        from marc_record_merge_melindautils_ray.state.bloom import FilterMinusExact
+
+        useful_filter = FilterMinusExact(useful_filter, hub_sh)
     return multi_filter, hot, useful_filter
 
 
@@ -381,7 +399,7 @@ def run_dedup(
 
     if checkpoint_dir:
         # root-stage lineage: a changed input corpus (paths/sizes/mtimes, or
-        # a content head-sample for in-memory datasets) invalidates every
+        # a full content digest for in-memory datasets) invalidates every
         # downstream checkpoint (ADVICE r1)
         from marc_record_merge_melindautils_ray.state.checkpoint import (
             dataset_input_fingerprint,
@@ -390,6 +408,32 @@ def run_dedup(
         input_fp = dataset_input_fingerprint(clips)
     else:
         input_fp = ""
+
+    # side-input lineage: the injected side tables are INPUTS to their stages
+    # — a changed host set/client or authority table must invalidate the
+    # cached stage it feeds, or a checkpointed re-run silently reuses output
+    # computed under a different gate (round-3 self-review finding)
+    import hashlib as _hashlib
+
+    def _side_fp(tag: str, payload: bytes) -> str:
+        return f"|{tag}:{_hashlib.blake2b(payload, digest_size=8).hexdigest()}"
+
+    hostids_fp = (
+        _side_fp("hostids", ",".join(sorted(host_ids)).encode()) if host_ids else ""
+    )
+    if host_client is not None:
+        from ray import cloudpickle as _cp
+
+        hostclient_fp = _side_fp("hostclient", _cp.dumps(host_client))
+    else:
+        hostclient_fp = ""
+    import json as _json
+
+    authority_fp = (
+        _side_fp("authority", _json.dumps(sorted((authority or {}).items())).encode())
+        if authority
+        else ""
+    )
     features = ck.stage(
         "features", lambda: compute_features(clips, cfg), input_fingerprint=input_fp
     )
@@ -444,7 +488,7 @@ def run_dedup(
         survivors = ck.stage(
             "survivors",
             lambda: phase1.map_batches(survivors_to_table, batch_format="pyarrow"),
-            input_fingerprint=ck.fingerprint("pairs"),
+            input_fingerprint=ck.fingerprint("pairs") + hostids_fp,
         )
     else:
         # streaming mode: candidate gen → phase-1 → survivors is ONE lazy
@@ -533,7 +577,8 @@ def run_dedup(
 
     if have_survivors:
         verified = ck.stage(
-            "verified", run_phase2, input_fingerprint=ck.fingerprint("survivors")
+            "verified", run_phase2,
+            input_fingerprint=ck.fingerprint("survivors") + hostclient_fp,
         )
     else:
         verified = rd.from_arrow(
@@ -685,7 +730,7 @@ def run_dedup(
         lambda: members.map_batches(add_cluster_part, batch_format="pandas")
         .groupby("part")
         .map_groups(build_canonical_partition, batch_format="pandas"),
-        input_fingerprint=ck.fingerprint("assignments"),
+        input_fingerprint=ck.fingerprint("assignments") + authority_fp,
     )
 
     # P0 output invariant gate (the 041a refusal analog,

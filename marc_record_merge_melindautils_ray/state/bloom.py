@@ -17,10 +17,14 @@ driver sink:
   zero-copy on the holding node, locality-aware transfer on a cluster) and
   probe it vectorized.
 
-False positives only admit singleton keys into the shuffle, where they form
-size-1 groups and emit nothing — correctness is unaffected, which is why a
-~1 % FPR filter at ~1.5 bytes/key can replace an exact 8 B/key array.  False
-negatives are impossible (every inserted key's bits are set).
+For the band-key filter, false positives only admit singleton keys into the
+shuffle, where they form size-1 groups and emit nothing — correctness is
+unaffected, which is why a ~1 % FPR filter at ~1.5 bytes/key can replace an
+exact 8 B/key array.  Call sites whose exclusion set also contains
+NON-singleton keys (the shingle filter excludes over-cap hub grams too)
+compose the Bloom with an exact subtraction of that small set
+(``FilterMinusExact``) so an FP can never re-admit a hub.  False negatives
+are impossible (every inserted key's bits are set).
 
 The reference has no analog: it is handed one record pair at a time
 (``lib/marc-record-merge-melindautils.js:74``); this is part of the outer
@@ -64,6 +68,21 @@ class SortedKeyFilter:
             return np.zeros(len(values), dtype=bool)
         pos = np.searchsorted(self.keys, values).clip(max=len(self.keys) - 1)
         return self.keys[pos] == values
+
+
+class FilterMinusExact:
+    """``base.contains`` minus an EXACT (small, sorted) exclusion set —
+    corrects Bloom false positives on keys that were deliberately excluded
+    for a reason stronger than "can't pair" (e.g. over-cap hub shingle keys,
+    which would re-enter the shuffle with their whole oversized group on an
+    FP)."""
+
+    def __init__(self, base, excluded_keys: np.ndarray):
+        self.base = base
+        self.excluded = SortedKeyFilter(excluded_keys)
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        return self.base.contains(values) & ~self.excluded.contains(values)
 
 
 def as_key_filter(obj):

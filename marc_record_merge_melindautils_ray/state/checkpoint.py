@@ -148,14 +148,15 @@ def dataset_input_fingerprint(ds: rd.Dataset) -> str:
     fits the object store, so one streamed re-batched pass is affordable, and
     it closes the ADVICE-r2 residue where a change beyond a head sample (or
     in a later column) with the same cardinality silently reused stale
-    checkpoints.  Per-batch IPC bytes are hashed and XOR-folded, so the
-    digest is independent of Ray's block layout (iter_batches re-batches
-    uniformly); any value change in any row/column changes it.  A layout or
-    schema change can only FALSELY INVALIDATE (safe direction), never
-    falsely reuse."""
+    checkpoints.  Per-batch IPC bytes hash SEQUENTIALLY into one running
+    digest (an earlier XOR fold collided whenever identical batches paired
+    up and cancelled — fatal for a dedup corpus that is duplicate-heavy by
+    design); ``iter_batches`` with a fixed batch size re-batches uniformly,
+    so the stream is deterministic for the same logical dataset.  A
+    block-layout or schema change can only FALSELY INVALIDATE (safe
+    direction), never falsely reuse."""
     import hashlib
 
-    import numpy as np
     import pyarrow as pa
 
     h = hashlib.blake2b(digest_size=8)
@@ -172,15 +173,13 @@ def dataset_input_fingerprint(ds: rd.Dataset) -> str:
             except OSError:
                 h.update(f.encode())
         return "files:" + h.hexdigest()
-    agg = np.uint64(0)
     n_rows = 0
-    for t in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+    for bi, t in enumerate(ds.iter_batches(batch_size=4096, batch_format="pyarrow")):
         n_rows += t.num_rows
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, t.schema) as w:
             w.write_table(t)
-        d = hashlib.blake2b(sink.getvalue(), digest_size=8).digest()
-        agg ^= np.frombuffer(d, np.uint64)[0]
+        h.update(bi.to_bytes(8, "little"))
+        h.update(hashlib.blake2b(sink.getvalue(), digest_size=16).digest())
     h.update(str(n_rows).encode())
-    h.update(int(agg).to_bytes(8, "little"))
     return "mem:" + h.hexdigest()

@@ -67,3 +67,25 @@ def test_sorted_key_filter_semantics():
     f = SortedKeyFilter(np.array([5, 3, 9], np.uint64))
     got = f.contains(np.array([3, 4, 9, 10], np.uint64))
     assert got.tolist() == [True, False, True, False]
+
+
+def test_filter_minus_exact():
+    """Bloom FP on a deliberately-excluded hub key must NOT re-admit it."""
+    import numpy as np
+
+    from marc_record_merge_melindautils_ray.state.bloom import (
+        FilterMinusExact,
+        SortedKeyFilter,
+    )
+
+    class AlwaysYes:  # stands in for a Bloom with an FP on the hub key
+        def contains(self, v):
+            return np.ones(len(v), dtype=bool)
+
+    hub = np.array([42, 99], np.uint64)
+    f = FilterMinusExact(AlwaysYes(), hub)
+    got = f.contains(np.array([41, 42, 43, 99], np.uint64))
+    assert got.tolist() == [True, False, True, False]
+    # composes with the exact SortedKeyFilter base too
+    f2 = FilterMinusExact(SortedKeyFilter(np.array([1, 42], np.uint64)), hub)
+    assert f2.contains(np.array([1, 42], np.uint64)).tolist() == [True, False]

@@ -103,3 +103,51 @@ def test_input_fingerprint_full_content_sensitivity(ray_session):
     mid = {k: list(v) for k, v in cols.items()}
     mid["c4"][n // 2] += 1
     assert dataset_input_fingerprint(rd.from_arrow(pa.table(mid))) != fp0
+
+
+def test_input_fingerprint_duplicate_batches_not_cancelled(ray_session):
+    """Regression: the XOR fold collided when identical batches paired up
+    (cancel to zero) — fatal for duplicate-heavy dedup corpora. Sequential
+    hashing must distinguish corpora whose every value differs."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.state.checkpoint import (
+        dataset_input_fingerprint,
+    )
+
+    base = list(range(4096)) * 2          # two IDENTICAL 4096-row batches
+    shifted = [x + 1 for x in base]       # every value different, same shape
+    fa = dataset_input_fingerprint(rd.from_arrow(pa.table({"c": base})))
+    fb = dataset_input_fingerprint(rd.from_arrow(pa.table({"c": shifted})))
+    assert fa != fb
+    assert fa == dataset_input_fingerprint(rd.from_arrow(pa.table({"c": base})))
+
+
+def test_checkpoint_invalidated_by_host_side_input(ray_session, corpus, small_cfg, tmp_path):
+    """Regression: host_ids/host_client are INPUTS to their stages — a
+    checkpointed re-run with a different host gate must rebuild, not reuse
+    the ungated cached survivors."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+
+    clips, truth, golden = corpus
+    pos = [g for g in golden.to_pylist() if g["expected_ok"]][0]
+    ck = str(tmp_path / "ck")
+    res1 = run_dedup(rd.from_arrow(clips), small_cfg, checkpoint_dir=ck)
+    a1 = res1["assignments"].to_pandas()
+    m1 = dict(zip(a1["clip_id"], a1["cluster_id"]))
+    assert m1.get(pos["id_other"]) == m1.get(pos["id_preferred"])  # pair clusters
+
+    res2 = run_dedup(
+        rd.from_arrow(clips), small_cfg,
+        host_ids=frozenset({pos["id_other"]}), checkpoint_dir=ck,
+    )
+    a2 = res2["assignments"].to_pandas()
+    m2 = dict(zip(a2["clip_id"], a2["cluster_id"]))
+    assert (
+        m2.get(pos["id_other"]) is None
+        or m2.get(pos["id_other"]) != m2.get(pos["id_preferred"])
+    )
