@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketches,
         text_analysis,
     )
 
@@ -142,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": text_analysis.q_quality_filter,
         "doc_fingerprint": text_analysis.q_doc_fingerprint,
         "lang_id": text_analysis.q_lang_id,
+        # mergeable sketches (approximate: rows-only + accuracy-bound tests)
+        "hll_distinct_users": sketches.q_hll_distinct_users,
+        "value_quantiles": sketches.q_value_quantiles,
         # multimodal plumbing
         "image_features": multimodal.q_image_features,
         "frame_sample_counts": multimodal.q_frame_sample_counts,

@@ -1,0 +1,162 @@
+"""Mergeable sketches as Ray Data aggregations — the sketch-operator class
+the brief lists alongside dedup/similarity (approximate distinct counts and
+quantiles over streams too large to hold exactly).
+
+Shape: per-batch partial sketch (vectorized numpy) → tiny ``groupby``-free
+reduce of the partials (sketches are tiny and mergeable by construction, so
+the combine step is a driver fold over O(num_batches) rows — no all-to-all
+shuffle, unlike an exact COUNT(DISTINCT)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ----------------------------------------------------------------- HyperLogLog
+HLL_P = 12  # 4096 registers → ~1.6 % standard error, 4 KB per sketch
+
+
+def _hll_partial(keys: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """One vectorized pass: register index = top ``p`` hash bits, register
+    value = 1 + leading-zero count of the remaining bits (Flajolet et al.,
+    HyperLogLog, AofA 2007)."""
+    m = 1 << p
+    with np.errstate(over="ignore"):
+        h = splitmix64(keys.astype(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # leading zeros of `rest` via float64 exponent trick is lossy; use
+    # bit-length: lz = 64 - bit_length(rest)
+    bl = np.zeros(len(rest), np.int64)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = r >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        r[big] >>= np.uint64(shift)
+    bl += (r >= 1).astype(np.int64)
+    rho = (64 - bl + 1).astype(np.int8)
+    regs = np.zeros(m, np.int8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds: rd.Dataset, key_col: str, p: int = HLL_P) -> int:
+    """Approximate COUNT(DISTINCT key_col): per-batch 4 KB register partials,
+    register-wise max fold.  The fold input is O(num_batches) tiny rows —
+    the whole point of the sketch is that nothing key-sized ever moves."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col]).view(np.uint64)
+        regs = _hll_partial(k, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    regs = np.zeros(1 << p, np.int8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=256, batch_format="pyarrow"
+    ):
+        col = b["regs"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for scalar in col:
+            part = np.frombuffer(scalar.as_buffer(), np.int8)
+            np.maximum(regs, part, out=regs)
+    return int(round(hll_estimate(regs)))
+
+
+def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users in the event stream + the exact count for
+    the driver's rows-only check; the accuracy bound (±3 σ ≈ 5 %) is
+    asserted in tests."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    approx = hll_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [np.int64(approx)]})
+
+
+# ----------------------------------------------------- histogram quantile sketch
+def quantile_sketch(
+    ds: rd.Dataset, col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 8192,
+) -> dict[float, float]:
+    """Approximate quantiles via a fixed-width histogram sketch: one cheap
+    min/max pass sizes the bins, one pass accumulates per-batch partial
+    histograms (mergeable by vector add), quantiles interpolate within their
+    bin — error ≤ bin width, no sort, no shuffle of values."""
+    import pyarrow.compute as pc
+
+    stats = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t[col]).as_py()], pa.float64()),
+            "hi": pa.array([pc.max(t[col]).as_py()], pa.float64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo, hi, total = float(stats["lo"].min()), float(stats["hi"].max()), int(stats["n"].sum())
+    if total == 0 or hi <= lo:
+        return {q: lo for q in qs}
+    width = (hi - lo) / n_bins
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        h = np.bincount(b, minlength=n_bins).astype(np.int64)
+        return pa.table({"hist": pa.array([h.tobytes()], pa.binary())})
+
+    hist = np.zeros(n_bins, np.int64)
+    for b in ds.map_batches(partial_hist, batch_format="pyarrow").iter_batches(
+        batch_size=256, batch_format="pyarrow"
+    ):
+        col_ = b["hist"]
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        for scalar in col_:
+            hist += np.frombuffer(scalar.as_buffer(), np.int64)
+
+    cum = np.cumsum(hist)
+    out = {}
+    for q in qs:
+        target = q * total
+        bi = int(np.searchsorted(cum, target, side="left"))
+        prev = cum[bi - 1] if bi else 0
+        frac = (target - prev) / max(1, hist[bi]) if hist[bi] else 0.0
+        out[q] = lo + (bi + frac) * width
+    return out
+
+
+def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Approximate p50/p90/p99 of the event value column (permille-scaled
+    integers for a stable rows-only record); accuracy vs exact quantiles is
+    asserted in tests."""
+    ds = _read(sf_dir, "events", ["value"])
+    qd = quantile_sketch(ds, "value")
+    return pd.DataFrame({
+        "q": pd.Series([50, 90, 99], dtype=np.int64),
+        "value_e3": pd.Series(
+            [int(round(qd[0.5] * 1000)), int(round(qd[0.9] * 1000)),
+             int(round(qd[0.99] * 1000))],
+            dtype=np.int64,
+        ),
+    })

@@ -1,0 +1,51 @@
+"""Mergeable sketches: HLL distinct count and histogram quantiles vs exact."""
+
+import numpy as np
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_within_error_bound(ray_session):
+    import duckdb
+
+    from marc_record_merge_melindautils_ray.ops.sketches import q_hll_distinct_users
+
+    approx = int(q_hll_distinct_users(SF)["approx_distinct_users"][0])
+    exact = duckdb.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    # 4096 registers → ~1.6 % σ; assert a generous 3 σ
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_hll_merge_equals_single_pass(ray_session):
+    """Register-wise max of partial sketches == one sketch of the union —
+    the mergeability property the distributed fold relies on."""
+    from marc_record_merge_melindautils_ray.ops.sketches import (
+        _hll_partial,
+        hll_estimate,
+    )
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(1, 1 << 60, 50_000, np.int64).astype(np.uint64)
+    b = rng.integers(1, 1 << 60, 50_000, np.int64).astype(np.uint64)
+    merged = np.maximum(_hll_partial(a), _hll_partial(b))
+    single = _hll_partial(np.concatenate([a, b]))
+    assert (merged == single).all()
+    est = hll_estimate(single)
+    exact = len(np.unique(np.concatenate([a, b])))
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.sketches import q_value_quantiles
+
+    got = dict(zip(q_value_quantiles(SF)["q"], q_value_quantiles(SF)["value_e3"]))
+    vals = pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    spread = float(np.max(vals) - np.min(vals))
+    for q in (50, 90, 99):
+        exact = float(np.quantile(vals, q / 100))
+        # histogram error bound: one bin width plus interpolation slack
+        assert abs(got[q] / 1000 - exact) <= spread / 8192 * 2 + 1e-9, (q, got[q], exact)
