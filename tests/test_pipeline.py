@@ -230,3 +230,29 @@ def test_run_dedup_sharded_index_matches_default(ray_session, corpus, small_cfg)
     cb = sharded["canonical"].to_pandas().sort_values("cluster_id").reset_index(drop=True)
     assert ca["canonical_id"].tolist() == cb["canonical_id"].tolist()
     assert ca["transcript"].tolist() == cb["transcript"].tolist()
+
+
+def test_exact_keyset_hub_shingle_exclusion(ray_session, corpus, small_cfg):
+    """With bucket_cap forced tiny, the corpus's boilerplate hotkey family
+    makes its shingle keys OVER-cap hubs — the exact mode must route them
+    through the Bloom-minus-exact subtraction and still match sampled mode
+    (an FP re-admitting a hub would change candidate sets)."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+
+    clips, _, _ = corpus
+    cfg_s = dataclasses.replace(small_cfg, bucket_cap=4)
+    cfg_e = dataclasses.replace(small_cfg, bucket_cap=4, keyset_mode="exact")
+    a_s = (
+        run_dedup(rd.from_arrow(clips), cfg_s)["assignments"]
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    a_e = (
+        run_dedup(rd.from_arrow(clips), cfg_e)["assignments"]
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert a_s.equals(a_e)
+    assert len(a_e) > 0
