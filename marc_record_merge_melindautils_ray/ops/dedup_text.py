@@ -594,10 +594,13 @@ def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataF
         bufs = col.buffers()
         if bufs[2] is None or len(col) == 0:
             return empty
-        # string-array offsets live in buffers()[1] (int32); honor a possible
-        # slice offset on the array
+        # string-array offsets live in buffers()[1]; width follows the type
+        # (int32 for string, int64 for large_string — misreading a
+        # large_string buffer as int32 would interleave words and attribute
+        # windows to the wrong doc).  Honor a possible slice offset.
+        off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
         offs = np.frombuffer(
-            bufs[1], np.int32, count=col.offset + len(col) + 1
+            bufs[1], off_dtype, count=col.offset + len(col) + 1
         ).astype(np.int64)[col.offset:]
         buf = np.frombuffer(bufs[2], np.uint8, count=int(offs[-1]))
         if int(offs[-1]) - int(offs[0]) < k:

@@ -611,14 +611,15 @@ def q_time_band_join(sf_dir: str, band_us: int = 1_000_000) -> pd.DataFrame:
         for s, e in zip(starts, ends):
             t = ts[s:e]
             hi = np.searchsorted(t, t + band_us, "right")
+            # cnt >= 0 element-wise: hi[i] counts at least the i+1 elements
+            # <= t[i] in a sorted array with band_us > 0
             cnt = hi - np.arange(1, e - s + 1)
-            if cnt.sum() <= 0:
+            if not cnt.any():
                 continue
-            ii = np.repeat(np.arange(e - s), np.maximum(cnt, 0))
+            ii = np.repeat(np.arange(e - s), cnt)
             jj = (
-                np.arange(int(np.maximum(cnt, 0).sum()))
-                - np.repeat(np.cumsum(np.maximum(cnt, 0)) - np.maximum(cnt, 0),
-                            np.maximum(cnt, 0))
+                np.arange(int(cnt.sum()))
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
                 + ii + 1
             )
             keep = uid[s + ii] != uid[s + jj]

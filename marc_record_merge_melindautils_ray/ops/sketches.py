@@ -19,8 +19,7 @@ import ray.data as rd
 from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
 
 
-def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from marc_record_merge_melindautils_ray.ops.relational import _read  # shared read convention
 
 
 # ----------------------------------------------------------------- HyperLogLog
@@ -110,7 +109,9 @@ def quantile_sketch(
         lambda t: pa.table({
             "lo": pa.array([pc.min(t[col]).as_py()], pa.float64()),
             "hi": pa.array([pc.max(t[col]).as_py()], pa.float64()),
-            "n": pa.array([t.num_rows], pa.int64()),
+            # valid (non-null) count: nulls carry no value and must not
+            # enter the quantile denominator
+            "n": pa.array([pc.count(t[col]).as_py()], pa.int64()),
         }),
         batch_format="pyarrow",
     ).to_pandas()
@@ -121,6 +122,7 @@ def quantile_sketch(
 
     def partial_hist(t: pa.Table) -> pa.Table:
         v = np.asarray(t[col], np.float64)
+        v = v[~np.isnan(v)]  # nulls → NaN → would clip into bin 0 and skew low
         b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
         h = np.bincount(b, minlength=n_bins).astype(np.int64)
         return pa.table({"hist": pa.array([h.tobytes()], pa.binary())})

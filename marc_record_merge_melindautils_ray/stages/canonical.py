@@ -176,7 +176,9 @@ class BuildCanonical:
                 to_authority_query,
             )
 
+            tag_type = {"100": "person", "110": "org", "111": "meeting"}
             new_labels = list(cols["author_label"])
+            new_types = list(cols.get("author_type", [None] * n))
             for i, p in enumerate(author_parts):
                 if not p:
                     continue
@@ -187,7 +189,11 @@ class BuildCanonical:
                     continue
                 if q and q["name"]:
                     new_labels[i] = q["name"]
-            cols = {**cols, "author_label": new_labels}
+                    # the name field's TAG is the author type — parts-only
+                    # corpora must still hit the P7 tag-mismatch throw
+                    # (post-merge-modifiers.js:214-216)
+                    new_types[i] = tag_type.get(q["tag"], new_types[i])
+            cols = {**cols, "author_label": new_labels, "author_type": new_types}
 
         # P7 authority normalization with the reference's FULL outcome set
         # (lib/post-merge-modifiers.js:203-240): names differ →

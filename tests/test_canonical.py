@@ -179,3 +179,18 @@ def test_author_parts_full_u22_path():
         {"clip_id": "b"},
     ])
     assert out2["author_conflict"] == "multiple-names"
+
+
+def test_author_parts_tag_mismatch_without_flat_types():
+    """Regression: in a parts-ONLY corpus (no flat author_type column), the
+    name-field TAG carries the author type — 100 vs 110 must still hit the
+    P7 'Author type mismatch.' throw (post-merge-modifiers.js:214-216)."""
+    out = _build([
+        {"clip_id": "a", "author_parts": [
+            {"tag": "100", "subfields": [{"code": "a", "value": "One"}]},
+        ]},
+        {"clip_id": "b", "author_parts": [
+            {"tag": "110", "subfields": [{"code": "a", "value": "Two"}]},
+        ]},
+    ])
+    assert out["author_conflict"] == "author-type-mismatch"

@@ -181,3 +181,24 @@ def test_containment_pairs_exact(ray_session, tmp_path):
     assert (0, 4) not in pairs and (4, 0) not in pairs  # equal length: excluded
     assert (5, 6) not in pairs  # inner below min_len
     assert not any(o == 3 or i == 3 for i, o in pairs)
+
+
+def test_containment_pairs_large_string(ray_session, tmp_path):
+    """Regression: a documents table written as Arrow large_string (int64
+    offsets) must parse doc boundaries correctly — misreading the offsets
+    as int32 attributed windows to the wrong doc."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.dedup_text import q_containment_pairs
+
+    inner = "the quick brown fox jumps over the lazy dog"
+    docs = [inner, f"PREFIX{inner}SUFFIX", "some unrelated filler text here"]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.large_string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = q_containment_pairs(str(tmp_path))
+    assert set(zip(got["id_inner"], got["id_outer"])) == {(0, 1)}
