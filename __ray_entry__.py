@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         sketches,
         text_analysis,
+        tiered,
     )
 
     return {
@@ -128,6 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup_text.q_ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": _ngram_jaccard_capped,
         "containment_pairs": dedup_text.q_containment_pairs,
+        # composed training-data dedup: exact → MinHash near → embedding
+        # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
+        # family + chain-resolution exactness in tests/test_tiered.py)
+        "tiered_dedup": tiered.q_tiered_dedup,
         # similarity search
         "ann_topk": similarity.q_ann_topk,
         "ann_lsh": similarity.q_ann_lsh,

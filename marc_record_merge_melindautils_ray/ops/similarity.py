@@ -323,6 +323,7 @@ def q_embed_dup_pairs(
     sf_dir: str, threshold_permille: int = 400, n_tables: int = 8,
     n_planes: int | None = None, bucket_cap: int = 512, target_bucket: int = 64,
     max_split_depth: int = 8, metrics: dict | None = None,
+    ds: rd.Dataset | None = None, dim: int = 64,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs over the FULL embeddings table —
     the scale path (``q_cosine_pairs`` is the all-pairs oracle demo on a
@@ -344,13 +345,14 @@ def q_embed_dup_pairs(
     from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
     from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
 
-    ds = _emb(sf_dir)
+    if ds is None:
+        ds = _emb(sf_dir)
     n_rows = ds.count()  # parquet metadata count — no data read
     if n_planes is None:
         n_planes = adaptive_planes(n_rows, target_bucket)
     num_parts = adaptive_parts(n_rows * n_tables)
     hashers = [
-        HyperplaneLsh(dim=64, n_planes=n_planes, seed=7000 + t) for t in range(n_tables)
+        HyperplaneLsh(dim=dim, n_planes=n_planes, seed=7000 + t) for t in range(n_tables)
     ]
     planes_ref = ray.put(([h.planes for h in hashers], [h.powers for h in hashers]))
 
