@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": relational.q_asof_join,
         "time_band_join": relational.q_time_band_join,
         "exact_dedup_lineitem": relational.q_exact_dedup_lineitem,
+        "dedup_keep_best": relational.q_dedup_keep_best,
+        "rollup_lineitem": relational.q_rollup_lineitem,
+        "group_quantiles_exact": relational.q_group_quantiles_exact,
+        "brand_revenue": relational.q_brand_revenue,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -145,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_analysis.q_token_counts,
         "quality_signals": text_analysis.q_quality_signals,
         "top_terms": text_analysis.q_top_terms,
+        "bigram_top": text_analysis.q_bigram_top,
         "quality_filter": text_analysis.q_quality_filter,
         "doc_fingerprint": text_analysis.q_doc_fingerprint,
         "lang_id": text_analysis.q_lang_id,
@@ -327,6 +332,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey, total_cents, CAST(rnk AS BIGINT) AS rnk
             FROM r WHERE rnk <= 3
             ORDER BY o_custkey, rnk
+        """,
+        "dedup_keep_best": """
+            SELECT lang, source, doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) = 1
+            ORDER BY lang, source
+        """,
+        "rollup_lineitem": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY rf, ls
+        """,
+        "group_quantiles_exact": """
+            SELECT l_returnflag,
+                   CAST(round(quantile_cont(l_quantity, 0.5) * 100, 0) AS BIGINT)
+                       AS median_qty_c,
+                   CAST(round(quantile_cont(l_quantity, 0.9) * 100, 0) AS BIGINT)
+                       AS p90_qty_c,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "brand_revenue": """
+            SELECT p.p_brand,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                       * 10000, 0) AS BIGINT)) AS BIGINT) AS rev_e4,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand ORDER BY p.p_brand
+        """,
+        "bigram_top": """
+            WITH t AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            ), b AS (
+              SELECT w[i] || ' ' || w[i+1] AS bigram
+              FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) u
+              WHERE len(w) >= 2
+            )
+            SELECT bigram, count(*) AS n FROM b
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
         """,
         "top_terms": """
             WITH t AS (

@@ -646,3 +646,178 @@ def q_time_band_join(sf_dir: str, band_us: int = 1_000_000) -> pd.DataFrame:
         out.drop_duplicates(["id_a", "id_b"]).astype(np.int64)
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- argmax dedup / rollup / quantiles
+def q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Keep-best dedup: one surviving row per (lang, source) group, chosen by
+    (n_chars DESC, doc_id ASC) — the relational form of the reference's
+    preferred-record selection (``lib/mergeability-validators.js:69-81``
+    picks the row carrying the priority property; here the priority key is
+    explicit).  Per-batch partial argmax (each batch forwards at most one
+    candidate row per key) → tiny final pick per group: the shuffle carries
+    O(keys × batches) rows, never the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return df.groupby(["lang", "source"], as_index=False, sort=False).head(1)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return g.head(1)[["lang", "source", "doc_id", "n_chars"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def q_rollup_lineitem(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): leaf aggregate via the
+    pricing-summary combiner (partials per batch, tiny shuffle), then the
+    two super-aggregate levels derived from the 6-row leaf table — rollup
+    levels never require a second pass over the fact table."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "sum_qty": np.asarray(t["l_quantity"], dtype=np.float64).astype(np.int64),
+            "n": np.ones(len(t), dtype=np.int64),
+        })
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "n"])
+        .to_pandas()
+    )
+    leaf.columns = ["rf", "ls", "sum_qty", "n"]
+    lvl1 = leaf.groupby("rf", as_index=False)[["sum_qty", "n"]].sum()
+    lvl1["ls"] = "ALL"
+    total = pd.DataFrame({"rf": ["ALL"], "ls": ["ALL"],
+                          "sum_qty": [leaf["sum_qty"].sum()], "n": [leaf["n"].sum()]})
+    out = pd.concat([leaf, lvl1, total], ignore_index=True)[["rf", "ls", "sum_qty", "n"]]
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["rf", "ls"]).reset_index(drop=True)
+
+
+def _weighted_quantile_cont(values: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """SQL ``quantile_cont`` (linear interpolation at rank (n-1)·q) from a
+    (value, count) histogram — exact, without materializing the n rows."""
+    o = np.argsort(values)
+    v, c = values[o], counts[o]
+    cum = np.cumsum(c)
+    n = cum[-1]
+    pos = (n - 1) * q
+    lo_i = np.searchsorted(cum, np.floor(pos) + 1)
+    hi_i = np.searchsorted(cum, np.floor(pos + 1) + 1) if pos != np.floor(pos) else lo_i
+    frac = pos - np.floor(pos)
+    return float(v[lo_i] * (1 - frac) + v[min(hi_i, len(v) - 1)] * frac)
+
+
+def q_group_quantiles_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group median / p90 of l_quantity at combiner cost: the
+    quantity domain is small-cardinality, so per-batch (group, value) counts
+    shuffle O(groups × |domain|) rows and the interpolated quantiles are
+    recovered exactly from the weighted histogram.  (The continuous-domain
+    counterpart — bounded-error at any cardinality — is the mergeable
+    ``value_quantiles`` sketch in ``ops/sketches.py``.)"""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "q": np.asarray(t["l_quantity"], dtype=np.float64),
+        })
+        g = df.groupby(["l_returnflag", "q"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "q"])
+        .sum(["c"])
+        .to_pandas()
+    )
+    hist.columns = ["l_returnflag", "q", "c"]
+    rows = []
+    for rf, g in hist.groupby("l_returnflag"):
+        v, c = g["q"].to_numpy(), g["c"].to_numpy()
+        rows.append({
+            "l_returnflag": rf,
+            "median_qty_c": int(round(_weighted_quantile_cont(v, c, 0.5) * 100)),
+            "p90_qty_c": int(round(_weighted_quantile_cont(v, c, 0.9) * 100)),
+            "n": int(c.sum()),
+        })
+    return pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+
+
+class _BrandLookup:
+    """partkey → brand dict built once per actor from the broadcast part
+    table (``ray.put`` refs); batches partial-aggregate straight to the
+    25-value brand domain, so the shuffle is trivially small."""
+
+    def __init__(self, refs):
+        import pyarrow as _pa
+
+        from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+        keys, brands = [], []
+        for r in refs:
+            t = maybe_get(r)
+            if isinstance(t, pd.DataFrame):
+                t = _pa.Table.from_pandas(t, preserve_index=False)
+            if len(t):
+                keys.append(np.asarray(t["p_partkey"], dtype=np.int64))
+                brands.append(np.asarray(t["p_brand"].to_pylist(), dtype=object))
+        k = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        b = np.concatenate(brands) if brands else np.empty(0, object)
+        o = np.argsort(k, kind="stable")
+        self.keys, self.brands = k[o], b[o]
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        pk = np.asarray(t["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(self.keys, pk), 0, max(0, len(self.keys) - 1))
+        hit = self.keys[pos] == pk if len(self.keys) else np.zeros(len(pk), bool)
+        rev = np.round(
+            np.asarray(t["l_extendedprice"], dtype=np.float64)
+            * (1.0 - np.asarray(t["l_discount"], dtype=np.float64)) * 10000.0
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "p_brand": self.brands[pos[hit]],
+            "rev_e4": rev[hit],
+            "n_lines": np.ones(int(hit.sum()), np.int64),
+        })
+        return df.groupby("p_brand", as_index=False).sum()
+
+
+def q_brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """Fact ⨝ dimension + aggregate with BOTH scale tricks at once: the
+    dimension side travels as broadcast object-store refs (read once per
+    actor, never per batch), and aggregation is pushed below the exchange —
+    each batch leaves as ≤25 (brand, partial) rows, so the only shuffle is
+    over the brand domain.  Dimension sides too big for one heap use the
+    distributed hash join instead (``q_join_hash``)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).materialize()
+    refs = part.to_arrow_refs()
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    out = (
+        li.map_batches(_BrandLookup, fn_constructor_args=(refs,),
+                       batch_format="pyarrow", concurrency=2)
+        .groupby("p_brand")
+        .sum(["rev_e4", "n_lines"])
+        .to_pandas()
+    )
+    out.columns = ["p_brand", "rev_e4", "n_lines"]
+    out["rev_e4"] = out["rev_e4"].astype(np.int64)
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)

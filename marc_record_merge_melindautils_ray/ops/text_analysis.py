@@ -177,3 +177,48 @@ def lang_id_accuracy(sf_dir: str) -> float:
     truth = _docs(sf_dir, ("doc_id", "lang")).to_pandas()
     m = pred.merge(truth, on="doc_id")
     return float((m["lang_pred"] == m["lang"]).mean())
+
+
+def q_bigram_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus top-k BIGRAMS — the n-gram extension of ``q_top_terms``'s
+    wordcount combiner.  Bigram construction is vectorized on the exploded
+    token stream: adjacent tokens pair wherever the doc index doesn't change
+    (one ``np.char.add`` over shifted arrays, no per-row loop), then per-batch
+    partial counts → tiny ``groupby(bigram).sum`` → per-partition local top-k
+    → driver merge (global top-k under (n DESC, bigram ASC) is a subset of
+    the union of partition top-ks)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.strip().str.lower().str.split()
+        ex = words.explode().dropna()
+        empty = pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(ex) < 2:
+            return empty
+        toks = ex.to_numpy(dtype=object).astype(str)
+        doc = ex.index.to_numpy()
+        same = doc[1:] == doc[:-1]
+        if not same.any():
+            return empty
+        big = np.char.add(np.char.add(toks[:-1][same], " "), toks[1:][same])
+        vc = pd.Series(big).value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bigram")
+        .sum("n")
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        return df.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+
+    parts = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

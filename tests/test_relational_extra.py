@@ -1,0 +1,105 @@
+"""Oracle-parity tests (DuckDB, sf0.001) for the argmax-dedup / rollup /
+exact-quantile / broadcast-dimension-aggregate / bigram operators, plus unit
+coverage of the weighted quantile_cont kernel."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "lineitem", "part"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _assert_frames_equal(got, want):
+    got = got.reset_index(drop=True)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    for c in want.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+def test_dedup_keep_best(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_dedup_keep_best
+
+    want = con.execute("""
+        SELECT lang, source, doc_id, n_chars FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) = 1
+        ORDER BY lang, source""").df()
+    _assert_frames_equal(q_dedup_keep_best(SF), want)
+
+
+def test_rollup_lineitem(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_rollup_lineitem
+
+    want = con.execute("""
+        SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""").df()
+    _assert_frames_equal(q_rollup_lineitem(SF), want)
+
+
+def test_group_quantiles_exact(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_group_quantiles_exact
+
+    want = con.execute("""
+        SELECT l_returnflag,
+               CAST(round(quantile_cont(l_quantity, 0.5)*100, 0) AS BIGINT) AS median_qty_c,
+               CAST(round(quantile_cont(l_quantity, 0.9)*100, 0) AS BIGINT) AS p90_qty_c,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""").df()
+    _assert_frames_equal(q_group_quantiles_exact(SF), want)
+
+
+def test_brand_revenue(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_brand_revenue
+
+    want = con.execute("""
+        SELECT p.p_brand,
+               CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000, 0)
+                   AS BIGINT)) AS BIGINT) AS rev_e4,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand ORDER BY p.p_brand""").df()
+    _assert_frames_equal(q_brand_revenue(SF), want)
+
+
+def test_bigram_top(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.text_analysis import q_bigram_top
+
+    want = con.execute(r"""
+        WITH t AS (
+          SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE length(trim(coalesce(text,''))) > 0
+        ), b AS (
+          SELECT w[i] || ' ' || w[i+1] AS bigram
+          FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) u
+          WHERE len(w) >= 2
+        )
+        SELECT bigram, count(*) AS n FROM b
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""").df()
+    _assert_frames_equal(q_bigram_top(SF), want)
+
+
+def test_weighted_quantile_cont_matches_numpy():
+    from marc_record_merge_melindautils_ray.ops.relational import (
+        _weighted_quantile_cont,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        vals = rng.integers(0, 15, size=rng.integers(1, 200)).astype(np.float64)
+        uniq, counts = np.unique(vals, return_counts=True)
+        # shuffle histogram order: the kernel must sort internally
+        o = rng.permutation(len(uniq))
+        for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+            got = _weighted_quantile_cont(uniq[o], counts[o], q)
+            want = np.quantile(vals, q, method="linear")
+            assert abs(got - want) < 1e-9, (q, got, want)
