@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lineitem": relational.q_rollup_lineitem,
         "group_quantiles_exact": relational.q_group_quantiles_exact,
         "brand_revenue": relational.q_brand_revenue,
+        "pivot_events": relational.q_pivot_events,
+        "running_total": relational.q_running_total,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -150,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": text_analysis.q_quality_signals,
         "top_terms": text_analysis.q_top_terms,
         "bigram_top": text_analysis.q_bigram_top,
+        "top_terms_per_lang": text_analysis.q_top_terms_per_lang,
         "quality_filter": text_analysis.q_quality_filter,
         "doc_fingerprint": text_analysis.q_doc_fingerprint,
         "lang_id": text_analysis.q_lang_id,
@@ -363,6 +366,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand ORDER BY p.p_brand
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS BIGINT) AS cum_spend_c
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "top_terms_per_lang": """
+            WITH t AS (
+              SELECT lang,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            ), c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY lang, term)
+            SELECT lang, term, n FROM c
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) <= 5
+            ORDER BY lang, term
         """,
         "bigram_top": """
             WITH t AS (

@@ -821,3 +821,54 @@ def q_brand_revenue(sf_dir: str) -> pd.DataFrame:
     out["rev_e4"] = out["rev_e4"].astype(np.int64)
     out["n_lines"] = out["n_lines"].astype(np.int64)
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """PIVOT: per-user event counts spread across one column per event type.
+    The fixed type domain makes pivot a pure combiner: each batch emits at
+    most one wide partial row per user (counts crosstab), and the shuffle
+    sums wide rows — no per-user group materialization, no second pass."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in _EVENT_TYPES:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[list(_EVENT_TYPES)].astype(np.int64)
+        ct.columns = [f"n_{t}" for t in _EVENT_TYPES]
+        return ct.reset_index()
+
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .sum(cols)
+        .to_pandas()
+    )
+    out.columns = ["user_id"] + cols
+    out[cols] = out[cols].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Running total (SUM OVER PARTITION BY customer ORDER BY date): the
+    hash-partitioned window pattern — shuffle by the partition key, then one
+    vectorized sort + cumsum per customer group.  Cents-integer amounts keep
+    the cumulative sums float-order-independent."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        cents = np.round(g["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "cum_spend_c": np.cumsum(cents),
+        })
+
+    out = ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)

@@ -222,3 +222,34 @@ def q_bigram_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def q_top_terms_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Grouped top-k: the k most frequent terms PER LANGUAGE.  Same combiner
+    as ``q_top_terms`` with the group key carried through the partial counts;
+    the final per-group selection runs on the already-aggregated (lang, term)
+    table — tiny next to the corpus."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.strip().str.lower().str.split()
+        ex = pd.DataFrame({
+            "lang": df["lang"], "term": words,
+        }).explode("term").dropna(subset=["term"])
+        g = ex.groupby(["lang", "term"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = (
+        _docs(sf_dir, ("lang", "text"))
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "term"])
+        .sum("n")
+    )
+
+    def per_lang_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"sum(n)": "n"})
+        g = g.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        return g[["lang", "term", "n"]]
+
+    out = counts.groupby("lang").map_groups(per_lang_topk, batch_format="pandas").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["lang", "term"]).reset_index(drop=True)

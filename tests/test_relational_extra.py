@@ -103,3 +103,51 @@ def test_weighted_quantile_cont_matches_numpy():
             got = _weighted_quantile_cont(uniq[o], counts[o], q)
             want = np.quantile(vals, q, method="linear")
             assert abs(got - want) < 1e-9, (q, got, want)
+
+
+@pytest.fixture(scope="module")
+def con2():
+    c = duckdb.connect()
+    for t in ("events", "orders", "documents"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_pivot_events(ray_session, con2):
+    from marc_record_merge_melindautils_ray.ops.relational import q_pivot_events
+
+    want = con2.execute("""
+        SELECT user_id,
+               count(*) FILTER (event_type='click') AS n_click,
+               count(*) FILTER (event_type='error') AS n_error,
+               count(*) FILTER (event_type='purchase') AS n_purchase,
+               count(*) FILTER (event_type='signup') AS n_signup,
+               count(*) FILTER (event_type='view') AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id""").df()
+    _assert_frames_equal(q_pivot_events(SF), want)
+
+
+def test_running_total(ray_session, con2):
+    from marc_record_merge_melindautils_ray.ops.relational import q_running_total
+
+    want = con2.execute("""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS BIGINT) AS cum_spend_c
+        FROM orders ORDER BY o_custkey, o_orderkey""").df()
+    _assert_frames_equal(q_running_total(SF), want)
+
+
+def test_top_terms_per_lang(ray_session, con2):
+    from marc_record_merge_melindautils_ray.ops.text_analysis import q_top_terms_per_lang
+
+    want = con2.execute(r"""
+        WITH t AS (
+          SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents WHERE length(trim(coalesce(text,''))) > 0
+        ), c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY lang, term)
+        SELECT lang, term, n FROM c
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) <= 5
+        ORDER BY lang, term""").df()
+    _assert_frames_equal(q_top_terms_per_lang(SF), want)
