@@ -205,18 +205,32 @@ def q_bigram_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pd.DataFrame({"bigram": vc.index.to_numpy(),
                              "n": vc.to_numpy().astype(np.int64)})
 
-    counts = (
+    from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
+
+    nparts = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = (stable_str_hash(df["bigram"].tolist()) % np.uint64(nparts)).astype(
+            np.int64
+        )
+        return df
+
+    def sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # hash partitioning co-locates every partial of a bigram, so ONE
+        # vectorized sum per partition is the exact global count; the local
+        # top-k union is a superset of the global top-k under (n DESC, asc)
+        g = g.groupby("bigram", as_index=False, sort=False)["n"].sum()
+        return g.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+
+    parts = (
         _docs(sf_dir)
         .map_batches(partial, batch_format="pandas")
-        .groupby("bigram")
-        .sum("n")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(sum_topk, batch_format="pandas")
+        .to_pandas()
     )
-
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"sum(n)": "n"})
-        return df.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
-
-    parts = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    parts = parts.drop(columns=["part"], errors="ignore")
     return (
         parts.sort_values(["n", "bigram"], ascending=[False, True])
         .head(k)
