@@ -56,6 +56,7 @@ def run_bench() -> dict:
         relational,
         similarity,
         text_analysis,
+        tiered,
     )
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth_scaled import generate_clips_ds
@@ -96,6 +97,9 @@ def run_bench() -> dict:
         ("ann_topk", similarity.q_ann_topk),
         ("sessionize", relational.q_sessionize),
         ("top_terms", text_analysis.q_top_terms),
+        ("bigram_top", text_analysis.q_bigram_top),
+        ("brand_revenue", relational.q_brand_revenue),
+        ("tiered_dedup", tiered.q_tiered_dedup),
     ]:
         t = time.monotonic()
         out = fn(sf_dir)
