@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": relational.q_brand_revenue,
         "pivot_events": relational.q_pivot_events,
         "running_total": relational.q_running_total,
+        "global_rank": relational.q_global_rank,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -382,6 +383,13 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ) AS BIGINT) AS cum_spend_c
             FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "global_rank": """
+            SELECT CAST(row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+                   o_orderkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+            FROM orders ORDER BY rnk
         """,
         "top_terms_per_lang": """
             WITH t AS (

@@ -890,3 +890,75 @@ def q_running_total(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas").to_pandas()
     return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def q_global_rank(sf_dir: str, nparts: int = 32) -> pd.DataFrame:
+    """EXACT global ROW_NUMBER over a total order (o_totalprice DESC,
+    o_orderkey) — the distributed-sort-with-positions pattern:
+
+    1. deterministic hash-sample of sort keys → range boundaries (driver
+       holds only the tiny boundary list);
+    2. one pass assigns each row its range partition — ``searchsorted`` puts
+       every tie of a boundary value in the same partition, so ranking never
+       splits an equality class across partitions;
+    3. per-partition row counts → driver cumsum = global offsets (≤ nparts
+       integers);
+    4. per-partition vectorized sort + arange + offset = exact global rank.
+
+    The full table is never sorted through one node and never materialized
+    on the driver; skew caveat: a single massively-duplicated key lands in
+    one partition (the standard range-partitioner bound)."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        price_c = _cents(np.asarray(t["o_totalprice"]))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_c": pa.array(price_c, pa.int64()),
+            "neg_price": pa.array(-price_c, pa.int64()),
+        })
+
+    with_key = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def sample(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"], np.int64).view(np.uint64)
+        keep = splitmix64(k) % np.uint64(16) == 0
+        return pa.table({"neg_price": pa.array(
+            np.asarray(t["neg_price"], np.int64)[keep], pa.int64())})
+
+    sampled = np.sort(np.asarray(
+        with_key.map_batches(sample, batch_format="pyarrow")
+        .limit(200_000).to_pandas()["neg_price"], dtype=np.int64
+    ))
+    qs = np.linspace(0, 1, nparts + 1)[1:-1]
+    bounds = np.unique(
+        sampled[np.minimum((qs * len(sampled)).astype(int), len(sampled) - 1)]
+    ) if len(sampled) else np.empty(0, np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        part = np.searchsorted(bounds, np.asarray(t["neg_price"], np.int64),
+                               side="right").astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    assigned = with_key.map_batches(assign, batch_format="pyarrow").materialize()
+    counts = assigned.groupby("part").count().to_pandas()
+    counts.columns = ["part", "n"]
+    counts = counts.sort_values("part")
+    offsets = dict(zip(
+        counts["part"].astype(int),
+        np.r_[0, np.cumsum(counts["n"].to_numpy())[:-1]].astype(np.int64),
+    ))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["neg_price", "o_orderkey"]).reset_index(drop=True)
+        base = offsets[int(g["part"].iloc[0])]
+        return pd.DataFrame({
+            "rnk": base + 1 + np.arange(len(g), dtype=np.int64),
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "price_c": g["price_c"].to_numpy(np.int64),
+        })
+
+    out = assigned.groupby("part").map_groups(rank_part, batch_format="pandas").to_pandas()
+    return out.sort_values("rnk").reset_index(drop=True)

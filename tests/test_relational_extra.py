@@ -151,3 +151,15 @@ def test_top_terms_per_lang(ray_session, con2):
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) <= 5
         ORDER BY lang, term""").df()
     _assert_frames_equal(q_top_terms_per_lang(SF), want)
+
+
+def test_global_rank(ray_session, con2):
+    from marc_record_merge_melindautils_ray.ops.relational import q_global_rank
+
+    want = con2.execute("""
+        SELECT CAST(row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+               o_orderkey, CAST(round(o_totalprice*100, 0) AS BIGINT) AS price_c
+        FROM orders ORDER BY rnk""").df()
+    # nparts > distinct boundary samples exercises degenerate/empty ranges too
+    _assert_frames_equal(q_global_rank(SF, nparts=7), want)
