@@ -577,8 +577,16 @@ def verify_oriented_pairs(
             {"transcript": [pt] if pt else []},
         ):
             diagnostics.append(f"stat-245: {msg}")
-        if au.is_decodable(o["codec"]) and au.is_decodable(pref["codec"]):
-            x, y = au.decode(o["bytes"], o["codec"]), au.decode(pref["bytes"], pref["codec"])
+        ob, pb = o.get("bytes"), pref.get("bytes")
+        if ob is None and pb is None:
+            # text-only pair (API convenience path): the input_hint PCM
+            # invariant is vacuous when neither side carries audio
+            pass
+        elif (
+            ob is not None and pb is not None
+            and au.is_decodable(o["codec"]) and au.is_decodable(pref["codec"])
+        ):
+            x, y = au.decode(ob, o["codec"]), au.decode(pb, pref["codec"])
             m = min(len(x), len(y))
             if len(x) != len(y) and abs(len(x) - len(y)) > max(1, int(0.05 * m)):
                 if "duration-mismatch" not in reasons:
