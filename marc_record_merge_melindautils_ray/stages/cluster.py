@@ -38,8 +38,11 @@ NUM_CC_PARTS = 64
 def adaptive_parts(n_rows: int, rows_per_part: int = 20000, lo: int = 8, hi: int = 256) -> int:
     """Partition count sized to the data: tiny inputs get few partitions (a
     64-way shuffle of 45k rows is pure overhead — measured slower at MORE
-    cpus), huge inputs scale up to ``hi`` (cluster-core order)."""
-    return int(min(hi, max(lo, n_rows // rows_per_part)))
+    cpus), huge inputs scale up to ``hi`` (cluster-core order).  The ``lo``
+    floor (callers pass ~2× cluster cores for data-sized shuffles) is itself
+    capped so a partition never holds fewer than ~500 rows — a 64-way shuffle
+    of a 5k-row table is launch latency, not parallelism."""
+    return int(min(hi, max(1, n_rows // 500), max(lo, n_rows // rows_per_part)))
 
 
 def cluster_parallelism(default: int = 8) -> int:
