@@ -51,7 +51,9 @@ def _fill(row: dict, idx: int, extra_cols=()) -> dict:
     out = dict(_DEFAULTS)
     for c in extra_cols:
         out.setdefault(c, None)
-    out.update({k: v for k, v in row.items() if v is not None or k in row})
+    # None-valued input fields keep the safe defaults (a ported JS record's
+    # null fields must not crash the numeric gates)
+    out.update({k: v for k, v in row.items() if v is not None})
     out.setdefault("clip_id", f"row-{idx}")
     return out
 

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -102,8 +104,12 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         return df.groupby(["user_id", "hour_bucket"], as_index=False).sum()
 
     from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
 
-    nparts = 32
+    # the shuffled rows are post-combiner PARTIALS (≈ distinct keys per
+    # batch), far smaller than the input — size the fan-out to that, not to a
+    # frozen constant
+    nparts = adaptive_parts(ds.count(), rows_per_part=50_000, hi=128)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         u = df["user_id"].to_numpy(np.int64).view(np.uint64)
@@ -303,7 +309,7 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
         .map_batches(AntiFilter, fn_constructor_args=(key_refs,), batch_format="pyarrow",
-                     concurrency=2)
+                     concurrency=actor_pool_size())
         .to_pandas()
     )
     if out.empty:  # all keys matched: empty result still needs its schema
@@ -830,7 +836,7 @@ def q_brand_revenue(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
     out = (
         li.map_batches(_BrandLookup, fn_constructor_args=(refs,),
-                       batch_format="pyarrow", concurrency=2)
+                       batch_format="pyarrow", concurrency=actor_pool_size())
         .groupby("p_brand")
         .sum(["rev_e4", "n_lines"])
         .to_pandas()
@@ -877,19 +883,46 @@ def q_running_total(sf_dir: str) -> pd.DataFrame:
     hash-partitioned window pattern — shuffle by the partition key, then one
     vectorized sort + cumsum per customer group.  Cents-integer amounts keep
     the cumulative sums float-order-independent."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import (
+        adaptive_parts,
+        cluster_parallelism,
+    )
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    nparts = adaptive_parts(ds.count(), lo=max(8, 2 * cluster_parallelism()), hi=512)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["o_custkey"].to_numpy(np.int64).view(np.uint64)
+        df = df.copy()
+        df["part"] = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # hash(custkey) co-locates each customer's orders → one vectorized
+        # sort + grouped cumsum per partition, never a Python UDF per
+        # customer (the map_groups-per-key cost trap; see q_events_hourly)
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).reset_index(drop=True)
         cents = np.round(g["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
         return pd.DataFrame({
             "o_custkey": g["o_custkey"].to_numpy(np.int64),
             "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
-            "cum_spend_c": np.cumsum(cents),
+            "cum_spend_c": pd.Series(cents).groupby(
+                g["o_custkey"].to_numpy(np.int64)
+            ).cumsum().to_numpy(np.int64),
         })
 
-    out = ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas").to_pandas()
-    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    out = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop(columns=["part"], errors="ignore")
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
 
 
 def q_global_rank(sf_dir: str, nparts: int = 32) -> pd.DataFrame:

@@ -206,8 +206,11 @@ def q_bigram_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
                              "n": vc.to_numpy().astype(np.int64)})
 
     from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
 
-    nparts = 32
+    # fan-out sized to the doc count (the shuffled rows are per-batch partial
+    # counts, much smaller than the token stream), not a frozen 32
+    nparts = adaptive_parts(_docs(sf_dir).count(), rows_per_part=10_000, hi=128)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df["part"] = (stable_str_hash(df["bigram"].tolist()) % np.uint64(nparts)).astype(

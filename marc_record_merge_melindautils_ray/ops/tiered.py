@@ -105,18 +105,36 @@ def _exact_tier(docs: rd.Dataset, nparts: int) -> rd.Dataset:
 
 def _min_keeper_edges(clusters: rd.Dataset, id_col: str = "id") -> rd.Dataset:
     """(id, cluster_id) → removal edges (doc_id, keeper) with keeper = the
-    numeric-min member; one tiny vectorized kernel per cluster-key shuffle."""
+    numeric-min member.  Partition-then-vectorize: hash-partition by
+    cluster_id (co-locating each cluster), then ONE vectorized
+    ``transform('min')`` per partition — not a Python UDF per cluster, which
+    at high dup rates is hundreds of thousands of tiny DataFrame builds."""
+    from marc_record_merge_melindautils_ray.stages.cluster import (
+        adaptive_parts,
+        cluster_parallelism,
+    )
 
-    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+    nparts = adaptive_parts(
+        clusters.count(), lo=max(4, 2 * cluster_parallelism()), hi=512
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = splitmix64(stable_str_hash(df["cluster_id"].to_numpy()))
+        df = df.copy()
+        df["part"] = (h % np.uint64(nparts)).astype(np.int64)
+        return df
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy(np.int64)
-        keeper = ids.min()
-        removed = ids[ids != keeper]
-        return pd.DataFrame({
-            "doc_id": removed,
-            "keeper": np.full(len(removed), keeper, np.int64),
-        })
+        keeper = g.groupby("cluster_id")[id_col].transform("min").to_numpy(np.int64)
+        m = ids != keeper
+        return pd.DataFrame({"doc_id": ids[m], "keeper": keeper[m]})
 
-    return clusters.groupby("cluster_id").map_groups(per_cluster, batch_format="pandas")
+    return (
+        clusters.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 class _RemovedFilter:
@@ -161,6 +179,7 @@ def tiered_dedup(
     from marc_record_merge_melindautils_ray.ops.dedup_text import minhash_lsh_clusters
     from marc_record_merge_melindautils_ray.ops.similarity import q_embed_dup_pairs
     from marc_record_merge_melindautils_ray.stages.cluster import (
+        actor_pool_size,
         adaptive_parts,
         cluster_parallelism,
         connected_components,
@@ -198,10 +217,13 @@ def tiered_dedup(
         if n_near:
             removed12 = removed12.union(near_edges.select_columns(["doc_id"]))
         removed12_refs = removed12.materialize().to_arrow_refs()
+        # materialized: q_embed_dup_pairs counts its input before consuming
+        # it — an unmaterialized filter pipeline would re-read and re-filter
+        # the (corpus-sized) embeddings table twice
         emb_surv = emb.map_batches(
             _RemovedFilter, fn_constructor_args=(removed12_refs, "vec_id"),
-            batch_format="pyarrow", concurrency=2,
-        )
+            batch_format="pyarrow", concurrency=actor_pool_size(),
+        ).materialize()
         sem_metrics: dict = {}
         sem_pairs = q_embed_dup_pairs(
             "", threshold_permille=sim_threshold_permille, metrics=sem_metrics,
@@ -327,7 +349,7 @@ def tiered_dedup(
     out = (
         docs.select_columns(["doc_id"])
         .map_batches(TagDocs, fn_constructor_args=(removal_refs, cc_refs),
-                     batch_format="pyarrow", concurrency=2)
+                     batch_format="pyarrow", concurrency=actor_pool_size())
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

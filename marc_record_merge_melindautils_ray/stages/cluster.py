@@ -60,6 +60,14 @@ def cluster_parallelism(default: int = 8) -> int:
     return default
 
 
+def actor_pool_size(lo: int = 2, hi: int = 16) -> int:
+    """Actor-pool width for corpus-scale broadcast-lookup/filter stages:
+    half the cluster cores, clamped — a frozen ``concurrency=2`` throttles a
+    32-cpu box, while one actor per core over-subscribes the stages that run
+    concurrently with shuffles."""
+    return max(lo, min(hi, cluster_parallelism() // 2))
+
+
 def _add_node_part(df: pd.DataFrame, num_parts: int = NUM_CC_PARTS) -> pd.DataFrame:
     with np.errstate(over="ignore"):
         part = (splitmix64(stable_str_hash(df["node"].to_numpy())) % np.uint64(num_parts))

@@ -23,7 +23,8 @@ splits verification into two phases by cost:
 Reason vocabulary (stable strings, asserted by the golden conformance corpus):
 ``deleted suppressed malformed same-source codec-class segment-of
 duration-mismatch transcript-mismatch fingerprint-distance undecodable
-pcm-snr-below-threshold priority-source-orientation diacritics-loss``.
+payload-asymmetry pcm-snr-below-threshold priority-source-orientation
+diacritics-loss``.
 """
 
 from __future__ import annotations
@@ -582,6 +583,11 @@ def verify_oriented_pairs(
             # text-only pair (API convenience path): the input_hint PCM
             # invariant is vacuous when neither side carries audio
             pass
+        elif (ob is None) != (pb is None):
+            # exactly one side carries audio: the PCM-allclose invariant
+            # cannot hold — a distinct reason, not "undecodable" (both
+            # payloads may be perfectly decodable)
+            reasons.append("payload-asymmetry")
         elif (
             ob is not None and pb is not None
             and au.is_decodable(o["codec"]) and au.is_decodable(pref["codec"])

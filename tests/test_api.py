@@ -80,6 +80,33 @@ def test_apply_post_merge_authority_adoption():
     assert out["author_conflict"] is None
 
 
+def test_can_merge_none_fields_take_defaults():
+    # explicit None-valued input fields (ported JS nulls) fall back to the
+    # safe defaults instead of crashing the numeric gates
+    assert can_merge(
+        {"clip_id": "a", "transcript": "sama", "dur_ms": None, "sources": None},
+        {"clip_id": "b", "transcript": "sama", "codec": None},
+    ) == "OK"
+
+
+def test_can_merge_one_sided_payload_is_asymmetry():
+    # exactly one side carrying audio fails with its OWN reason — the PCM
+    # invariant can't hold, but nothing is "undecodable"
+    import numpy as np
+
+    from marc_record_merge_melindautils_ray.functions import audio as au
+
+    rng = np.random.default_rng(1)
+    payload = au.encode(rng.standard_normal(400).astype(np.float32) * 0.1, "pcm16")
+    with pytest.raises(MergeValidationError) as e:
+        can_merge(
+            _clip("a", bytes=payload, codec="pcm16"),
+            _clip("b"),
+        )
+    assert "payload-asymmetry" in e.value.reasons
+    assert "undecodable" not in e.value.reasons
+
+
 def test_make_merge_utils_binds_side_inputs():
     utils = make_merge_utils(host_ids=frozenset({"h1"}))
     assert utils["can_merge"](_clip("a"), _clip("b")) == "OK"
