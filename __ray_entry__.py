@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         similarity,
         sketches,
+        stats,
         text_analysis,
         tiered,
     )
@@ -128,6 +129,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": relational.q_pivot_events,
         "running_total": relational.q_running_total,
         "global_rank": relational.q_global_rank,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "left_join_counts": relational.q_left_join_counts,
+        "except_keys": relational.q_except_keys,
+
+        # statistical / profiling aggregates (ops/stats.py)
+        "group_corr": stats.q_group_corr,
+        "value_histogram": stats.q_value_histogram,
+        "mode_event_type": stats.q_mode_event_type,
+        "event_deltas": stats.q_event_deltas,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -390,6 +401,84 @@ def oracle_sql() -> dict[str, str]:
                    o_orderkey,
                    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
             FROM orders ORDER BY rnk
+        """,
+        "q3_shipping_priority": """
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1996-06-30'
+              AND l.l_shipdate > TIMESTAMP '1996-06-30'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_e4 DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r.r_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS rev_e4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate < DATE '1997-01-01'
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "left_join_counts": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+                   CAST(coalesce(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0)
+                       AS BIGINT) AS sum_total_cents
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey
+        """,
+        "except_keys": """
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+            ORDER BY c_custkey
+        """,
+        "group_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "value_histogram": """
+            SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "mode_event_type": """
+            SELECT user_id, mode_event_type, n FROM (
+                SELECT user_id, event_type AS mode_event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type ASC
+                       ) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "event_deltas": """
+            SELECT user_id,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us,
+                   CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+            FROM (
+                SELECT user_id,
+                       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts)) AS BIGINT) AS gap
+                FROM events
+            ) GROUP BY user_id ORDER BY user_id
         """,
         "top_terms_per_lang": """
             WITH t AS (

@@ -995,3 +995,240 @@ def q_global_rank(sf_dir: str, nparts: int = 32) -> pd.DataFrame:
 
     out = assigned.groupby("part").map_groups(rank_part, batch_format="pandas").to_pandas()
     return out.sort_values("rnk").reset_index(drop=True)
+
+
+# ------------------------------------------------------- multi-table joins
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1996-06-30") -> pd.DataFrame:
+    """TPC-H Q3 shape: customer(segment) ⨝ orders(before cutoff) ⨝
+    lineitem(shipped after cutoff) → revenue per order → top 10.
+
+    Scale shape: the segment customer KEY SET is the only broadcast (a
+    filtered key column, dup-free — Bloom it at 100 TB); orders are
+    semi-filtered against it per batch, then the big lineitem ⨝ orders join
+    is a distributed hash shuffle with revenue partial-aggregated per batch
+    before the final (order-cardinality) groupby and top-k."""
+    import ray
+
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    cut = np.datetime64(cutoff, "us")
+
+    cust_keys = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    key_refs = cust_keys.to_arrow_refs()
+
+    class SegFilter:
+        def __init__(self, refs):
+            parts = [np.asarray(maybe_get(r)["c_custkey"], np.int64)
+                     for r in refs if len(maybe_get(r))]
+            self.keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.less(t["o_orderdate"], pa.scalar(cut))
+            t = t.filter(keep)
+            ck = np.asarray(t["o_custkey"], np.int64)
+            pos = np.clip(np.searchsorted(self.keys, ck), 0, max(0, len(self.keys) - 1))
+            hit = (self.keys[pos] == ck) if len(self.keys) else np.zeros(len(ck), bool)
+            return t.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        SegFilter, fn_constructor_args=(key_refs,), batch_format="pyarrow",
+        concurrency=actor_pool_size(),
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut))).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders, join_type="inner",
+        num_partitions=adaptive_parts(li.count(), rows_per_part=250_000),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rev = np.round(
+            np.asarray(t["l_extendedprice"], np.float64)
+            * (1.0 - np.asarray(t["l_discount"], np.float64)) * 10000.0
+        ).astype(np.int64)
+        days = np.asarray(t["o_orderdate"]).astype("datetime64[D]")
+        df = pd.DataFrame({
+            "l_orderkey": np.asarray(t["l_orderkey"], np.int64),
+            "o_orderdate": np.datetime_as_string(days, unit="D"),
+            "revenue_e4": rev,
+        })
+        return df.groupby(["l_orderkey", "o_orderdate"], as_index=False).sum()
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .sum(["revenue_e4"])
+        .to_pandas()
+    )
+    out.columns = ["l_orderkey", "o_orderdate", "revenue_e4"]
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return (
+        out.sort_values(["revenue_e4", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def q5_region_revenue(sf_dir: str, year: int = 1996) -> pd.DataFrame:
+    """TPC-H Q5 shape: lineitem ⨝ orders(year) ⨝ customer ⨝ nation ⨝ region
+    → revenue per region.  Two DISTRIBUTED hash joins chained on different
+    keys (custkey, then orderkey) carry the growing tables; only the
+    genuinely-bounded nation→region mapping (25 rows) is a driver broadcast.
+    Revenue partials are pushed below the final exchange, so the last
+    shuffle moves ≤ |regions| rows per block."""
+    import ray
+
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(
+        nat["n_nationkey"].astype(int),
+        nat["n_regionkey"].map(dict(zip(reg["r_regionkey"].astype(int), reg["r_name"]))),
+    ))
+    n2r_ref = ray.put(n2r)
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ord_nat = orders.join(
+        cust, join_type="inner",
+        num_partitions=adaptive_parts(orders.count(), rows_per_part=250_000),
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = li.join(
+        ord_nat, join_type="inner",
+        num_partitions=adaptive_parts(li.count(), rows_per_part=250_000),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        n2r_ = maybe_get(n2r_ref)
+        rev = np.round(
+            np.asarray(t["l_extendedprice"], np.float64)
+            * (1.0 - np.asarray(t["l_discount"], np.float64)) * 10000.0
+        ).astype(np.int64)
+        names = np.array(
+            [n2r_.get(int(k)) for k in np.asarray(t["c_nationkey"])], dtype=object
+        )
+        df = pd.DataFrame({"r_name": names, "rev_e4": rev})
+        return df.groupby("r_name", as_index=False).sum()
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .sum(["rev_e4"])
+        .to_pandas()
+    )
+    out.columns = ["r_name", "rev_e4"]
+    out["rev_e4"] = out["rev_e4"].astype(np.int64)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q_left_join_counts(sf_dir: str) -> pd.DataFrame:
+    """customer LEFT OUTER JOIN per-customer order aggregate: customers with
+    no orders surface with zero counts — the outer-join semantics
+    ``Dataset.join(join_type='left_outer')`` provides distributed.  The
+    orders side is pre-aggregated to customer cardinality BEFORE the join
+    (partial per batch + groupby-sum), so the join moves one row per
+    customer, not one per order."""
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_custkey": np.asarray(t["o_custkey"], np.int64),
+            "n_orders": np.ones(len(t), np.int64),
+            "sum_total_cents": _cents(np.asarray(t["o_totalprice"])),
+        })
+        return df.groupby("o_custkey", as_index=False).sum()
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum(["n_orders", "sum_total_cents"])
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = cust.join(
+        agg, join_type="left_outer",
+        num_partitions=adaptive_parts(cust.count(), rows_per_part=250_000),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fill(t: pa.Table) -> pd.DataFrame:
+        n = t.column("sum(n_orders)") if "sum(n_orders)" in t.column_names else t["n_orders"]
+        s = (
+            t.column("sum(sum_total_cents)")
+            if "sum(sum_total_cents)" in t.column_names
+            else t["sum_total_cents"]
+        )
+        return pd.DataFrame({
+            "c_custkey": np.asarray(t["c_custkey"], np.int64),
+            "c_name": t["c_name"].to_pandas(),
+            "n_orders": np.asarray(pc.fill_null(n, 0), np.int64),
+            "sum_total_cents": np.asarray(pc.fill_null(s, 0), np.int64),
+        })
+
+    out = joined.map_batches(fill, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_except_keys(sf_dir: str, year_a: int = 1995, year_b: int = 1996) -> pd.DataFrame:
+    """Key-set EXCEPT without a join: customers with orders in ``year_a``
+    but none in ``year_b``.  One pass over orders emits per-batch
+    (custkey, in_a, in_b) partial flags; the groupby-sum over customer
+    cardinality decides membership — set difference as an aggregate, the
+    shuffle-minimal expression (SURVEY.md §2.7 set ops)."""
+    a_lo, a_hi = np.datetime64(f"{year_a}-01-01", "us"), np.datetime64(f"{year_a + 1}-01-01", "us")
+    b_lo, b_hi = np.datetime64(f"{year_b}-01-01", "us"), np.datetime64(f"{year_b + 1}-01-01", "us")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = np.asarray(t["o_orderdate"]).astype("datetime64[us]")
+        in_a = ((d >= a_lo) & (d < a_hi)).astype(np.int64)
+        in_b = ((d >= b_lo) & (d < b_hi)).astype(np.int64)
+        df = pd.DataFrame({
+            "c_custkey": np.asarray(t["o_custkey"], np.int64),
+            "in_a": in_a, "in_b": in_b,
+        })
+        df = df[(df["in_a"] > 0) | (df["in_b"] > 0)]
+        return df.groupby("c_custkey", as_index=False).sum()
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .sum(["in_a", "in_b"])
+        .to_pandas()
+    )
+    agg.columns = ["c_custkey", "in_a", "in_b"]
+    out = agg[(agg["in_a"] > 0) & (agg["in_b"] == 0)][["c_custkey"]]
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)

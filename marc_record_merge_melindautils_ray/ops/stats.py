@@ -1,0 +1,193 @@
+"""Statistical / profiling operators over the driver tables.
+
+Each operator is a single streaming pass with MERGEABLE per-batch partials
+(the combiner pattern): moment sketches for correlation, bucket counts for
+histograms, (key, value) partial counts for modes, hash-partitioned lag
+scans for inter-arrival deltas.  Nothing materializes the input on the
+driver; every shuffle moves key-cardinality partials, not rows.
+
+Reference ancestry: the reference's only aggregation is per-record field
+counting (``lib/mergeability-validators.js:117-122``); these are the outer
+profiling layers a corpus-scale dedup/training-data pipeline needs
+(SURVEY.md §2.7 aggregations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ------------------------------------------------------------- grouped corr
+def q_group_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of (l_quantity, l_extendedprice) per
+    l_returnflag via mergeable moment sketches: each batch emits
+    (n, Σx, Σy, Σx², Σy², Σxy) per group — six float64s — and the final
+    correlation is computed from the summed moments.  One pass, one tiny
+    shuffle over the 3-key group domain; the classic distributed-statistics
+    shape (no per-row data ever crosses the exchange)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = np.asarray(t["l_quantity"], dtype=np.float64)
+        y = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "n": np.ones(len(x)),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        return df.groupby("l_returnflag", as_index=False).sum()
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+        .to_pandas()
+    )
+    m.columns = ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"]
+    cov = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    var = (m["n"] * m["sxx"] - m["sx"] ** 2) * (m["n"] * m["syy"] - m["sy"] ** 2)
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        # round to 6 dp: moment-order float noise is ~1e-12, the oracle
+        # rounds identically, so value-hash comparison is exact
+        "corr_qty_price": (cov / np.sqrt(var)).round(6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# --------------------------------------------------------------- histogram
+def q_value_histogram(sf_dir: str, bucket_width: float = 100.0) -> pd.DataFrame:
+    """Fixed-width histogram of the event value distribution: per-batch
+    bucket counts (a dict-sized partial) → one tiny groupby-sum over the
+    bucket domain.  The profiling primitive for corpus QA dashboards."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = np.asarray(t["value"], dtype=np.float64)
+        b = np.floor(v / bucket_width).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": bins, "n": counts.astype(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum(["n"])
+        .to_pandas()
+    )
+    out.columns = ["bucket", "n"]
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- grouped mode
+def q_mode_event_type(sf_dir: str) -> pd.DataFrame:
+    """Per-user modal event type (ties → lexicographically smallest):
+    per-batch (user, type) partial counts → hash-partition by user → ONE
+    vectorized sum + argmax per partition.  The categorical-mode aggregate
+    Ray Data lacks natively, built from the same partial-count machinery as
+    the wordcount combiner."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nparts = adaptive_parts(ds.count(), rows_per_part=50_000, hi=128)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "event_type": t["event_type"].to_pandas(),
+            "n": np.ones(len(t), dtype=np.int64),
+        })
+        g = df.groupby(["user_id", "event_type"], as_index=False).sum()
+        u = g["user_id"].to_numpy(np.int64).view(np.uint64)
+        g["part"] = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # co-located by user: global counts per (user, type), then the
+        # stable-sort argmax picks (n DESC, event_type ASC) per user
+        g = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        g = g.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True]
+        )
+        top = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(np.int64),
+            "mode_event_type": top["event_type"].to_numpy(object),
+            "n": top["n"].to_numpy(np.int64),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop(columns=["part"], errors="ignore")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------- lag / deltas
+def q_event_deltas(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-arrival statistics (LAG window analog): hash-partition
+    by user co-locates each user's events, one vectorized sort + diff per
+    partition computes every user's gap sequence, aggregated to
+    (n_gaps, sum_gap_us, max_gap_us) — integer µs end to end, so the oracle
+    comparison is exact.  Users with a single event emit n_gaps=0."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64).view(np.uint64)
+        part = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "sum_gap_us": pd.Series([], dtype=np.int64),
+                "max_gap_us": pd.Series([], dtype=np.int64),
+            })
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.r_[np.int64(0), us[1:] - us[:-1]]
+        df = pd.DataFrame({"user_id": uid, "gap": np.where(same, gap, 0),
+                           "is_gap": same.astype(np.int64)})
+        agg = df.groupby("user_id", as_index=False).agg(
+            n_gaps=("is_gap", "sum"), sum_gap_us=("gap", "sum"),
+        )
+        mx = df[df["is_gap"] == 1].groupby("user_id", as_index=False)["gap"].max()
+        agg = agg.merge(mx.rename(columns={"gap": "max_gap_us"}),
+                        on="user_id", how="left")
+        agg["max_gap_us"] = agg["max_gap_us"].fillna(0).astype(np.int64)
+        return agg
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop(columns=["part"], errors="ignore")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

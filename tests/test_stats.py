@@ -1,0 +1,161 @@
+"""Oracle-parity (DuckDB, sf0.001) + edge-semantics tests for the
+statistical/profiling operators (ops/stats.py) and the new multi-table
+join/set operators (ops/relational.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region", "events"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _eq(got, want):
+    got = got.reset_index(drop=True)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    for c in want.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+def test_group_corr(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.stats import q_group_corr
+
+    want = con.execute("""
+        SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6)
+            AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""").df()
+    _eq(q_group_corr(SF), want)
+
+
+def test_value_histogram(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.stats import q_value_histogram
+
+    want = con.execute("""
+        SELECT CAST(floor(value/100.0) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1 ORDER BY 1""").df()
+    _eq(q_value_histogram(SF), want)
+
+
+def test_mode_event_type_tie_break(ray_session):
+    """Ties resolve to the lexicographically smallest type — verified on a
+    constructed corpus where user 1 has a 2-2 tie."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops import stats
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2],
+        "event_type": ["view", "view", "click", "click", "view", "view", "click"],
+    })
+    orig = stats._read
+    try:
+        stats._read = lambda sf, t, cols: rd.from_pandas(df[cols])
+        out = stats.q_mode_event_type("ignored")
+    finally:
+        stats._read = orig
+    assert out["mode_event_type"].tolist() == ["click", "view"]  # tie → asc
+    assert out["n"].tolist() == [2, 2]
+
+
+def test_event_deltas_single_event_user(ray_session):
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops import stats
+
+    df = pd.DataFrame({
+        "user_id": [7, 5, 5, 5],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:00",
+            "2024-01-01 00:00:10", "2024-01-01 00:00:13",
+        ]),
+    })
+    orig = stats._read
+    try:
+        stats._read = lambda sf, t, cols: rd.from_pandas(df[cols])
+        out = stats.q_event_deltas("ignored")
+    finally:
+        stats._read = orig
+    assert out.loc[out["user_id"] == 7, "n_gaps"].item() == 0
+    assert out.loc[out["user_id"] == 7, "max_gap_us"].item() == 0
+    assert out.loc[out["user_id"] == 5, "n_gaps"].item() == 2
+    assert out.loc[out["user_id"] == 5, "sum_gap_us"].item() == 13_000_000
+    assert out.loc[out["user_id"] == 5, "max_gap_us"].item() == 10_000_000
+
+
+def test_event_deltas_oracle(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.stats import q_event_deltas
+
+    want = con.execute("""
+        SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us,
+               CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+        FROM (SELECT user_id,
+                     CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts)) AS BIGINT) AS gap
+              FROM events)
+        GROUP BY user_id ORDER BY user_id""").df()
+    _eq(q_event_deltas(SF), want)
+
+
+def test_left_join_counts_zero_order_customers(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_left_join_counts
+
+    got = q_left_join_counts(SF)
+    want = con.execute("""
+        SELECT c.c_custkey, c.c_name, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(coalesce(sum(CAST(round(o.o_totalprice*100,0) AS BIGINT)),0) AS BIGINT)
+                   AS sum_total_cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""").df()
+    _eq(got, want)
+
+
+def test_left_join_counts_outer_semantics(ray_session):
+    """A customer with no orders must surface with zero counts (the
+    left_outer join path — the sf fixtures have no such customer)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops import relational
+
+    tables = {
+        "customer": pd.DataFrame({
+            "c_custkey": [1, 2, 3], "c_name": ["a", "b", "c"],
+        }),
+        "orders": pd.DataFrame({
+            "o_custkey": [1, 1, 3], "o_totalprice": [10.0, 5.5, 2.25],
+        }),
+    }
+    orig = relational._read
+    try:
+        relational._read = lambda sf, t, cols: rd.from_pandas(tables[t][cols])
+        out = relational.q_left_join_counts("ignored")
+    finally:
+        relational._read = orig
+    assert out["c_custkey"].tolist() == [1, 2, 3]
+    assert out["n_orders"].tolist() == [2, 0, 1]
+    assert out["sum_total_cents"].tolist() == [1550, 0, 225]
+
+
+def test_q5_region_revenue(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q5_region_revenue
+
+    want = con.execute("""
+        SELECT r.r_name,
+               CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000,0)
+                   AS BIGINT)) AS BIGINT) AS rev_e4
+        FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+        JOIN customer c ON o.o_custkey=c.c_custkey
+        JOIN nation n ON c.c_nationkey=n.n_nationkey
+        JOIN region r ON n.n_regionkey=r.r_regionkey
+        WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+        GROUP BY r.r_name ORDER BY r.r_name""").df()
+    _eq(q5_region_revenue(SF), want)
