@@ -11,6 +11,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
 from marc_record_merge_melindautils_ray.config import DedupConfig
 from marc_record_merge_melindautils_ray.functions.hashing import MinHasher, stable_str_hash
 from marc_record_merge_melindautils_ray.functions.textnorm import normalize_transcript_array
@@ -112,7 +114,7 @@ def minhash_lsh_clusters(
             })
 
     nparts = _doc_parts(ds)
-    band_rows = ds.map_batches(Sig, batch_format="pyarrow", concurrency=2).map_batches(
+    band_rows = ds.map_batches(Sig, batch_format="pyarrow", concurrency=actor_pool_size()).map_batches(
         lambda t: _add_int_part(t, "band_key", nparts), batch_format="pyarrow"
     )
 
@@ -711,7 +713,7 @@ def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataF
         .map_groups(candidates, batch_format="pandas")
         .map_batches(
             VerifySubstring, fn_constructor_args=(norm_refs,),
-            batch_format="pyarrow", concurrency=2,
+            batch_format="pyarrow", concurrency=actor_pool_size(),
         )
         .to_pandas()
     )

@@ -18,6 +18,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
 
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic stand-in for an image decoder: payload bytes → (h, w)
@@ -108,7 +110,7 @@ def synth_binary_items(sf_dir: str, frame_bytes: int = 256) -> rd.Dataset:
 def q_image_features(sf_dir: str) -> pd.DataFrame:
     items = synth_binary_items(sf_dir)
     out = items.map_batches(
-        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=2
+        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=actor_pool_size()
     ).to_pandas()
     return (
         out[["item_id", "feat_mean_e3"]]
@@ -121,7 +123,7 @@ def q_image_features(sf_dir: str) -> pd.DataFrame:
 def q_frame_sample_counts(sf_dir: str) -> pd.DataFrame:
     items = synth_binary_items(sf_dir)
     frames = items.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=2
+        FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=actor_pool_size()
     )
     out = frames.groupby("item_id").count().to_pandas()
     out.columns = ["item_id", "n_frames_sampled"]

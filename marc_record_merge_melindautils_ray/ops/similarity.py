@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
 from marc_record_merge_melindautils_ray.functions.util import maybe_get
 
 _log = logging.getLogger(__name__)
@@ -343,7 +345,7 @@ def q_embed_dup_pairs(
     fraction are surfaced through ``metrics`` (and logged), not dropped.
     Output: (id_a, id_b, sim_permille) with sim ≥ threshold."""
     from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
-    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size, adaptive_parts
 
     if ds is None:
         ds = _emb(sf_dir)
@@ -591,7 +593,7 @@ def q_ann_ivf(
 def lsh_bucket_counts(sf_dir: str) -> pd.DataFrame:
     ds = _emb(sf_dir)
     out = (
-        ds.map_batches(HyperplaneLsh, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(HyperplaneLsh, batch_format="pyarrow", concurrency=actor_pool_size())
         .groupby("bucket")
         .count()
         .to_pandas()

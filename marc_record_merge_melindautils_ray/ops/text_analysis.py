@@ -17,6 +17,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
@@ -163,7 +165,7 @@ class LangId:
 
 
 def q_lang_id(sf_dir: str) -> rd.Dataset:
-    return _docs(sf_dir).map_batches(LangId, batch_format="pandas", concurrency=2)
+    return _docs(sf_dir).map_batches(LangId, batch_format="pandas", concurrency=actor_pool_size())
 
 
 def lang_id_accuracy(sf_dir: str) -> float:
@@ -206,7 +208,7 @@ def q_bigram_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
                              "n": vc.to_numpy().astype(np.int64)})
 
     from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
-    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size, adaptive_parts
 
     # fan-out sized to the doc count (the shuffled rows are per-batch partial
     # counts, much smaller than the token stream), not a frozen 32
