@@ -455,7 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": """
             SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket,
                    CAST(count(*) AS BIGINT) AS n
-            FROM events GROUP BY 1 ORDER BY 1
+            FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
         """,
         "mode_event_type": """
             SELECT user_id, mode_event_type, n FROM (

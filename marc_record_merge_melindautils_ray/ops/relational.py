@@ -1008,8 +1008,6 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     semi-filtered against it per batch, then the big lineitem ⨝ orders join
     is a distributed hash shuffle with revenue partial-aggregated per batch
     before the final (order-cardinality) groupby and top-k."""
-    import ray
-
     from marc_record_merge_melindautils_ray.functions.util import maybe_get
     from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
 
@@ -1027,8 +1025,8 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     class SegFilter:
         def __init__(self, refs):
-            parts = [np.asarray(maybe_get(r)["c_custkey"], np.int64)
-                     for r in refs if len(maybe_get(r))]
+            tables = [maybe_get(r) for r in refs]
+            parts = [np.asarray(t["c_custkey"], np.int64) for t in tables if len(t)]
             self.keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -1044,8 +1042,12 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         concurrency=actor_pool_size(),
     )
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
+    li_base = _read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    # size the join from the metadata-cheap base row count — counting the
+    # filtered lineage would execute the read+filter a second time
+    n_li = li_base.count()
+    li = li_base.map_batches(
         lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut))).select(
             ["l_orderkey", "l_extendedprice", "l_discount"]
         ),
@@ -1054,7 +1056,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     joined = li.join(
         orders, join_type="inner",
-        num_partitions=adaptive_parts(li.count(), rows_per_part=250_000),
+        num_partitions=adaptive_parts(n_li, rows_per_part=250_000),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -1108,7 +1110,12 @@ def q5_region_revenue(sf_dir: str, year: int = 1996) -> pd.DataFrame:
 
     lo = np.datetime64(f"{year}-01-01", "us")
     hi = np.datetime64(f"{year + 1}-01-01", "us")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+    orders_base = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    # metadata-cheap count on the base read (counting the filtered lineage
+    # would run the read+filter twice); the filter only shrinks it, and
+    # adaptive_parts caps at ~500 rows/partition anyway
+    n_orders = orders_base.count()
+    orders = orders_base.map_batches(
         lambda t: t.filter(pc.and_(
             pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
             pc.less(t["o_orderdate"], pa.scalar(hi)),
@@ -1118,7 +1125,7 @@ def q5_region_revenue(sf_dir: str, year: int = 1996) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     ord_nat = orders.join(
         cust, join_type="inner",
-        num_partitions=adaptive_parts(orders.count(), rows_per_part=250_000),
+        num_partitions=adaptive_parts(n_orders, rows_per_part=250_000),
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "c_nationkey"])
 

@@ -20,11 +20,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from marc_record_merge_melindautils_ray.ops.relational import _read
 from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
-
-
-def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ------------------------------------------------------------- grouped corr
@@ -38,6 +35,8 @@ def q_group_corr(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        # SQL corr() skips rows where either operand is NULL
+        t = t.drop_null()
         x = np.asarray(t["l_quantity"], dtype=np.float64)
         y = np.asarray(t["l_extendedprice"], dtype=np.float64)
         df = pd.DataFrame({
@@ -54,13 +53,17 @@ def q_group_corr(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     m.columns = ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"]
-    cov = m["n"] * m["sxy"] - m["sx"] * m["sy"]
-    var = (m["n"] * m["sxx"] - m["sx"] ** 2) * (m["n"] * m["syy"] - m["sy"] ** 2)
+    cov = (m["n"] * m["sxy"] - m["sx"] * m["sy"]).to_numpy()
+    var = ((m["n"] * m["sxx"] - m["sx"] ** 2)
+           * (m["n"] * m["syy"] - m["sy"] ** 2)).to_numpy()
+    # zero-variance / singleton groups: SQL corr() returns NULL, not NaN-by-
+    # division — emit NaN deliberately (pandas NULL) without the warning
+    corr = np.where(var > 0, np.divide(cov, np.sqrt(np.where(var > 0, var, 1.0))), np.nan)
     out = pd.DataFrame({
         "l_returnflag": m["l_returnflag"],
         # round to 6 dp: moment-order float noise is ~1e-12, the oracle
         # rounds identically, so value-hash comparison is exact
-        "corr_qty_price": (cov / np.sqrt(var)).round(6),
+        "corr_qty_price": pd.Series(corr).round(6),
     })
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
@@ -73,7 +76,10 @@ def q_value_histogram(sf_dir: str, bucket_width: float = 100.0) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["value"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        v = np.asarray(t["value"], dtype=np.float64)
+        # NULL values are excluded on both sides (the oracle SQL filters
+        # value IS NOT NULL): floor(NaN).astype(int64) would otherwise
+        # fabricate an INT64_MIN bucket
+        v = np.asarray(t.drop_null()["value"], dtype=np.float64)
         b = np.floor(v / bucket_width).astype(np.int64)
         bins, counts = np.unique(b, return_counts=True)
         return pd.DataFrame({"bucket": bins, "n": counts.astype(np.int64)})

@@ -5,6 +5,7 @@ join/set operators (ops/relational.py)."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -159,3 +160,71 @@ def test_q5_region_revenue(ray_session, con):
         WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
         GROUP BY r.r_name ORDER BY r.r_name""").df()
     _eq(q5_region_revenue(SF), want)
+
+
+def test_q3_shipping_priority(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q3_shipping_priority
+
+    want = con.execute("""
+        SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000,0)
+                   AS BIGINT)) AS BIGINT) AS revenue_e4
+        FROM customer c JOIN orders o ON o.o_custkey=c.c_custkey
+        JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+        WHERE c.c_mktsegment='BUILDING' AND o.o_orderdate < DATE '1996-06-30'
+          AND l.l_shipdate > TIMESTAMP '1996-06-30'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue_e4 DESC, l.l_orderkey LIMIT 10""").df()
+    _eq(q3_shipping_priority(SF), want)
+
+
+def test_except_keys(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_except_keys
+
+    want = con.execute("""
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        ORDER BY c_custkey""").df()
+    _eq(q_except_keys(SF), want)
+
+
+def test_group_corr_zero_variance_is_null(ray_session, tmp_path):
+    """A constant-valued group (and a singleton group) must yield NULL like
+    SQL corr(), not a divide-by-zero NaN warning or a garbage value."""
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.stats import q_group_corr
+
+    df = pd.DataFrame({
+        "l_returnflag": ["C", "C", "C", "S", "V", "V", "V"],
+        "l_quantity":   [5.0, 5.0, 5.0, 1.0, 1.0, 2.0, 3.0],
+        "l_extendedprice": [10.0, 20.0, 30.0, 9.0, 10.0, 20.0, 30.0],
+    })
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "lineitem.parquet")
+    got = q_group_corr(str(tmp_path))
+    want = duckdb.connect().execute(
+        "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6)"
+        " AS corr_qty_price FROM read_parquet(?) GROUP BY l_returnflag"
+        " ORDER BY l_returnflag", [str(tmp_path / "lineitem.parquet")]).df()
+    assert got["l_returnflag"].tolist() == ["C", "S", "V"]
+    # constant group C and singleton S: NULL on both sides; V: exact corr
+    assert np.isnan(got["corr_qty_price"].iloc[0]) and pd.isna(want["corr_qty_price"].iloc[0])
+    assert np.isnan(got["corr_qty_price"].iloc[1]) and pd.isna(want["corr_qty_price"].iloc[1])
+    assert got["corr_qty_price"].iloc[2] == want["corr_qty_price"].iloc[2]
+
+
+def test_value_histogram_null_values_excluded(ray_session, tmp_path):
+    """NULL event values are excluded on both sides (the oracle filters
+    value IS NOT NULL); floor(NaN)->int64 must never fabricate a bucket."""
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.stats import q_value_histogram
+
+    t = pa.table({"value": pa.array([5.0, None, 150.0, None, -20.0], pa.float64())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_value_histogram(str(tmp_path))
+    assert got["bucket"].tolist() == [-1, 0, 1]
+    assert got["n"].tolist() == [1, 1, 1]
