@@ -112,13 +112,15 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     """
     if ref.shape != test.shape or ref.size == 0:
         return float("-inf")
-    # BLAS dot in the native dtype (pairwise accumulation): measured 4.5x
-    # faster than the float64-cast sum-of-squares and identical to 4 decimals
-    # at 30 dB across 1e-3..1e3 amplitudes — this kernel is the DRAM-bound
-    # inner loop of phase-2 verify, so the saved traffic is saved wall time
+    # einsum in the native dtype: identical to 4 decimals at 30 dB across
+    # 1e-3..1e3 amplitudes vs the float64-cast sum-of-squares, without the
+    # float64 temps.  Deliberately NOT np.dot: this runs inside ~30 verify
+    # actors at once, and OpenBLAS (pthreads build) spin-waits its pool
+    # between calls — measured as a 2x phase-2 stage regression from cross-
+    # actor CPU theft; einsum is always single-threaded
     d = ref - test
-    noise = float(np.dot(d, d))
-    signal = float(np.dot(ref, ref))
+    noise = float(np.einsum("i,i->", d, d))
+    signal = float(np.einsum("i,i->", ref, ref))
     if noise == 0.0:
         return float("inf")
     if signal == 0.0:
