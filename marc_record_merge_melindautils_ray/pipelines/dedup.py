@@ -561,13 +561,21 @@ def run_dedup(
         _t2 = _lap("payload_blocks", _t2)
         # location resolution happens inside the verify actors (each holds an
         # ArrowBlockIndex built once in __init__) — no separate locate stage,
-        # one fewer materialization barrier
+        # one fewer materialization barrier.
+        # Pool width tracks the measured pair count, not the config ceiling:
+        # the kernel costs ~0.1-1 ms/pair, so a mid-size survivor stream is a
+        # few core-seconds of work — spinning the full ceiling of fresh actor
+        # processes (imports + per-actor index build) costs more than the
+        # kernels themselves (measured: stage wall ~90 % fixed overhead at
+        # 326 k clips / 68 k pairs).  ~6 k pairs per actor keeps each actor
+        # busy for ~1 s+; huge streams still clamp to cfg.verify_concurrency.
+        pool = max(2, min(cfg.verify_concurrency, n_survivor_pairs // 6000))
         out = sv.map_batches(
             PairPcmVerify,
             fn_constructor_args=(cfg, refs, direct_payloads),
             batch_format="pandas",
             batch_size=cfg.verify_batch_size,
-            concurrency=cfg.verify_concurrency,
+            concurrency=pool,
         ).map_batches(
             lambda df: df[df["ok"]][["id_a", "id_b", "rel", "ok", "snr", "parent", "reasons"]],
             batch_format="pandas",
