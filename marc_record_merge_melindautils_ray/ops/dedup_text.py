@@ -16,6 +16,7 @@ from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
 from marc_record_merge_melindautils_ray.config import DedupConfig
 from marc_record_merge_melindautils_ray.functions.hashing import MinHasher, stable_str_hash
 from marc_record_merge_melindautils_ray.functions.textnorm import normalize_transcript_array
+from marc_record_merge_melindautils_ray.functions.util import task_stage
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -47,7 +48,7 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
 NUM_DOC_PARTS = 64  # fallback fan-out when no row count is at hand
 
 
-def _doc_parts(ds) -> int:
+def _doc_parts(ds, n_rows: int | None = None) -> int:
     """Partition-then-vectorize fan-out sized to the table (metadata-cheap
     row count) instead of a fixed constant that starves bigger corpora and
     over-shuffles small ones (see stages.cluster.adaptive_parts)."""
@@ -57,7 +58,8 @@ def _doc_parts(ds) -> int:
     )
 
     return adaptive_parts(
-        ds.count(), rows_per_part=5000, lo=max(8, 2 * cluster_parallelism()), hi=512
+        ds.count() if n_rows is None else n_rows,
+        rows_per_part=5000, lo=max(8, 2 * cluster_parallelism()), hi=512,
     )
 
 
@@ -114,7 +116,11 @@ def minhash_lsh_clusters(
             })
 
     nparts = _doc_parts(ds)
-    band_rows = ds.map_batches(Sig, batch_format="pyarrow", concurrency=actor_pool_size()).map_batches(
+    band_rows = ds.map_batches(
+        task_stage(Sig, (), key=("mh_sig", cfg.num_perms, cfg.minhash_seed,
+                                 cfg.shingle_k, cfg.num_bands, id_col, text_col)),
+        batch_format="pyarrow",
+    ).map_batches(
         lambda t: _add_int_part(t, "band_key", nparts), batch_format="pyarrow"
     )
 
@@ -712,8 +718,9 @@ def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataF
         .groupby("part")
         .map_groups(candidates, batch_format="pandas")
         .map_batches(
-            VerifySubstring, fn_constructor_args=(norm_refs,),
-            batch_format="pyarrow", concurrency=actor_pool_size(),
+            task_stage(VerifySubstring, (norm_refs,),
+                       key=("vsub", k, min_len, *norm_refs)),
+            batch_format="pyarrow",
         )
         .to_pandas()
     )

@@ -107,10 +107,19 @@ def synth_binary_items(sf_dir: str, frame_bytes: int = 256) -> rd.Dataset:
     return ds.map_batches(kern, batch_format="pandas")
 
 
+def _doc_rows(sf_dir: str) -> int:
+    """Metadata-only row count of the documents table (the synth payload
+    source) — sizes actor pools without executing the synth transform."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
 def q_image_features(sf_dir: str) -> pd.DataFrame:
     items = synth_binary_items(sf_dir)
     out = items.map_batches(
-        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=actor_pool_size()
+        ImageFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=actor_pool_size(rows=_doc_rows(sf_dir), rows_per_actor=500),
     ).to_pandas()
     return (
         out[["item_id", "feat_mean_e3"]]
@@ -123,7 +132,8 @@ def q_image_features(sf_dir: str) -> pd.DataFrame:
 def q_frame_sample_counts(sf_dir: str) -> pd.DataFrame:
     items = synth_binary_items(sf_dir)
     frames = items.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=actor_pool_size()
+        FrameSampler, batch_format="pyarrow", batch_size=64,
+        concurrency=actor_pool_size(rows=_doc_rows(sf_dir), rows_per_actor=500),
     )
     out = frames.groupby("item_id").count().to_pandas()
     out.columns = ["item_id", "n_frames_sampled"]

@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from marc_record_merge_melindautils_ray.functions.util import task_stage
 from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
 
 
@@ -308,8 +309,8 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
 
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(AntiFilter, fn_constructor_args=(key_refs,), batch_format="pyarrow",
-                     concurrency=actor_pool_size())
+        .map_batches(task_stage(AntiFilter, (key_refs,), key=("anti", *key_refs)),
+                     batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:  # all keys matched: empty result still needs its schema
@@ -835,8 +836,8 @@ def q_brand_revenue(sf_dir: str) -> pd.DataFrame:
     refs = part.to_arrow_refs()
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
     out = (
-        li.map_batches(_BrandLookup, fn_constructor_args=(refs,),
-                       batch_format="pyarrow", concurrency=actor_pool_size())
+        li.map_batches(task_stage(_BrandLookup, (refs,), key=("brand", *refs)),
+                       batch_format="pyarrow")
         .groupby("p_brand")
         .sum(["rev_e4", "n_lines"])
         .to_pandas()
@@ -1038,8 +1039,8 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             return t.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        SegFilter, fn_constructor_args=(key_refs,), batch_format="pyarrow",
-        concurrency=actor_pool_size(),
+        task_stage(SegFilter, (key_refs,), key=("seg", cut, *key_refs)),
+        batch_format="pyarrow",
     )
 
     li_base = _read(sf_dir, "lineitem",

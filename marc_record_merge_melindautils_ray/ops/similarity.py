@@ -22,7 +22,7 @@ import ray.data as rd
 
 from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
 
-from marc_record_merge_melindautils_ray.functions.util import maybe_get
+from marc_record_merge_melindautils_ray.functions.util import maybe_get, task_stage
 
 _log = logging.getLogger(__name__)
 
@@ -593,7 +593,8 @@ def q_ann_ivf(
 def lsh_bucket_counts(sf_dir: str) -> pd.DataFrame:
     ds = _emb(sf_dir)
     out = (
-        ds.map_batches(HyperplaneLsh, batch_format="pyarrow", concurrency=actor_pool_size())
+        ds.map_batches(task_stage(HyperplaneLsh, (), key=("hlsh", 64, 8, 99)),
+                       batch_format="pyarrow")
         .groupby("bucket")
         .count()
         .to_pandas()

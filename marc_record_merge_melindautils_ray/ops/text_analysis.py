@@ -165,7 +165,10 @@ class LangId:
 
 
 def q_lang_id(sf_dir: str) -> rd.Dataset:
-    return _docs(sf_dir).map_batches(LangId, batch_format="pandas", concurrency=actor_pool_size())
+    docs = _docs(sf_dir)
+    return docs.map_batches(
+        LangId, batch_format="pandas", concurrency=actor_pool_size(rows=docs.count())
+    )
 
 
 def lang_id_accuracy(sf_dir: str) -> float:

@@ -46,7 +46,7 @@ from marc_record_merge_melindautils_ray.functions.hashing import (
     splitmix64,
     stable_str_hash,
 )
-from marc_record_merge_melindautils_ray.functions.util import maybe_get
+from marc_record_merge_melindautils_ray.functions.util import maybe_get, task_stage
 
 _log = logging.getLogger(__name__)
 
@@ -185,14 +185,27 @@ def tiered_dedup(
         connected_components,
     )
 
+    import time as _time
+
     cfg = cfg or DedupConfig()
+    _stage_sec: dict[str, float] = {}
+    _t = _time.monotonic()
+
+    def _lap(name: str) -> None:
+        nonlocal _t
+        now = _time.monotonic()
+        _stage_sec[name] = round(now - _t, 3)
+        _t = now
+
     n_docs = docs.count()
+    _lap("count")
     nparts = adaptive_parts(
         n_docs, rows_per_part=20_000, lo=max(4, 2 * cluster_parallelism()), hi=512
     )
 
     # ---- tier 1: exact ---------------------------------------------------
     exact = _exact_tier(docs, nparts).materialize()
+    _lap("exact")
     exact_edges = exact.filter(expr="doc_id != keeper").select_columns(
         ["doc_id", "keeper"]
     )
@@ -200,8 +213,10 @@ def tiered_dedup(
 
     # ---- tier 2: near (MinHash/LSH over exact survivors) ------------------
     near_clusters = minhash_lsh_clusters(surv1, "doc_id", "text", cfg)
+    _lap("near_clusters")
     near_edges = _min_keeper_edges(near_clusters).materialize()
     n_near = near_edges.count()
+    _lap("near_edges")
 
     # ---- tier 3: semantic (embedding LSH over near survivors) -------------
     sem_edges: rd.Dataset | None = None
@@ -221,14 +236,17 @@ def tiered_dedup(
         # it — an unmaterialized filter pipeline would re-read and re-filter
         # the (corpus-sized) embeddings table twice
         emb_surv = emb.map_batches(
-            _RemovedFilter, fn_constructor_args=(removed12_refs, "vec_id"),
-            batch_format="pyarrow", concurrency=actor_pool_size(),
+            task_stage(_RemovedFilter, (removed12_refs, "vec_id"),
+                       key=("tiered_rmf", *removed12_refs)),
+            batch_format="pyarrow",
         ).materialize()
+        _lap("emb_filter")
         sem_metrics: dict = {}
         sem_pairs = q_embed_dup_pairs(
             "", threshold_permille=sim_threshold_permille, metrics=sem_metrics,
             ds=emb_surv, dim=emb_dim,
         )
+        _lap("sem_pairs")
         if metrics is not None:
             metrics["semantic_lsh"] = sem_metrics
         if len(sem_pairs):
@@ -248,6 +266,7 @@ def tiered_dedup(
 
             sem_edges = sem_cc.map_batches(cc_to_edges, batch_format="pandas").materialize()
             n_sem = sem_edges.count()
+            _lap("sem_cc")
 
     # ---- attribution + final keeper resolution ----------------------------
     def tag(ds: rd.Dataset, tier: str) -> rd.Dataset:
@@ -271,6 +290,7 @@ def tiered_dedup(
             edge_sets[0].union(*edge_sets[1:]) if len(edge_sets) > 1 else edge_sets[0]
         ).materialize()
         n_edges = all_edges.count()
+        _lap("union_edges")
 
     if n_edges == 0:
         out = docs.select_columns(["doc_id"]).to_pandas()
@@ -291,6 +311,7 @@ def tiered_dedup(
         ),
         cfg, n_edges=n_edges,
     ).materialize()
+    _lap("cc_all")
 
     removal_refs = all_edges.select_columns(["doc_id", "tier"]).materialize().to_arrow_refs()
     cc_refs = cc_all.to_arrow_refs()
@@ -348,12 +369,16 @@ def tiered_dedup(
 
     out = (
         docs.select_columns(["doc_id"])
-        .map_batches(TagDocs, fn_constructor_args=(removal_refs, cc_refs),
-                     batch_format="pyarrow", concurrency=actor_pool_size())
+        .map_batches(
+            task_stage(TagDocs, (removal_refs, cc_refs),
+                       key=("tiered_tag", *removal_refs, *cc_refs)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    _lap("tag_docs")
     counts = out["tier"].value_counts()
     meta = {
         "n_docs": int(n_docs),
@@ -362,6 +387,7 @@ def tiered_dedup(
         "removed_semantic": int(counts.get(TIER_SEMANTIC, 0)),
         "n_kept": int(counts.get(TIER_KEPT, 0)),
     }
+    meta["stage_sec"] = _stage_sec
     _log.info("tiered_dedup metrics: %s", meta)
     if metrics is not None:
         metrics.update(meta)

@@ -60,12 +60,21 @@ def cluster_parallelism(default: int = 8) -> int:
     return default
 
 
-def actor_pool_size(lo: int = 2, hi: int = 16) -> int:
+def actor_pool_size(
+    lo: int = 2, hi: int = 16, rows: int | None = None, rows_per_actor: int = 2000
+) -> int:
     """Actor-pool width for corpus-scale broadcast-lookup/filter stages:
     half the cluster cores, clamped — a frozen ``concurrency=2`` throttles a
     32-cpu box, while one actor per core over-subscribes the stages that run
-    concurrently with shuffles."""
-    return max(lo, min(hi, cluster_parallelism() // 2))
+    concurrently with shuffles.
+
+    Pass ``rows`` when the caller knows the stage's input size (metadata-cheap
+    on parquet reads, already-counted elsewhere): spinning a 16-process pool
+    for a 5k-row table costs more in actor startup than the kernels themselves
+    (the phase-2 verify lesson, ``pipelines/dedup.py``); ~``rows_per_actor``
+    rows keep one actor busy for roughly a second."""
+    cap = hi if rows is None else max(lo, min(hi, rows // rows_per_actor))
+    return max(lo, min(cap, cluster_parallelism() // 2))
 
 
 def _add_node_part(df: pd.DataFrame, num_parts: int = NUM_CC_PARTS) -> pd.DataFrame:
