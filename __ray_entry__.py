@@ -133,6 +133,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": relational.q5_region_revenue,
         "left_join_counts": relational.q_left_join_counts,
         "except_keys": relational.q_except_keys,
+        "q4_order_priority": relational.q4_order_priority,
+        "q12_priority_lines": relational.q12_priority_lines,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q18_big_spenders": relational.q18_big_spenders,
+        "order_quartiles": relational.q_order_quartiles,
 
         # statistical / profiling aggregates (ops/stats.py)
         "group_corr": stats.q_group_corr,
@@ -165,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": text_analysis.q_top_terms,
         "bigram_top": text_analysis.q_bigram_top,
         "top_terms_per_lang": text_analysis.q_top_terms_per_lang,
+        "tfidf_top": text_analysis.q_tfidf_top,
         "quality_filter": text_analysis.q_quality_filter,
         "doc_fingerprint": text_analysis.q_doc_fingerprint,
         "lang_id": text_analysis.q_lang_id,
@@ -429,6 +435,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_orderdate >= DATE '1996-01-01'
               AND o.o_orderdate < DATE '1997-01-01'
             GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q12_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "q14_promo_revenue": """
+            WITH s AS (SELECT
+              CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS total_rev_e4
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT promo_rev_e4, total_rev_e4,
+                   CAST(round(10000.0 * promo_rev_e4 / total_rev_e4, 0) AS BIGINT)
+                       AS promo_permyriad
+            FROM s
+        """,
+        "q18_big_spenders": """
+            WITH s AS (SELECT o_custkey,
+                              CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                                  AS BIGINT) AS total_cents
+                       FROM orders GROUP BY o_custkey HAVING total_cents > 30000000)
+            SELECT c_custkey, c_name, total_cents
+            FROM s JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_cents DESC, c_custkey
+        """,
+        "order_quartiles": """
+            WITH t AS (SELECT o_orderkey,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+                              ntile(4) OVER (ORDER BY CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT), o_orderkey) AS tile
+                       FROM orders)
+            SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(price_c) AS BIGINT) AS sum_cents
+            FROM t GROUP BY tile ORDER BY tile
+        """,
+        "tfidf_top": """
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+            dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tok GROUP BY term),
+            scored AS (SELECT doc_id, tf.term,
+                              tf * CAST(round(ln(n * 1.0 / df) * 1000000, 0) AS BIGINT)
+                                  AS tfidf_e6
+                       FROM tf, nd JOIN dfq ON tf.term = dfq.term),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf_e6 DESC, term) AS rk FROM scored)
+            SELECT doc_id, term, tfidf_e6, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 3 ORDER BY doc_id, rk
         """,
         "left_join_counts": """
             SELECT c.c_custkey, c.c_name,

@@ -1240,3 +1240,342 @@ def q_except_keys(sf_dir: str, year_a: int = 1995, year_b: int = 1996) -> pd.Dat
     out = agg[(agg["in_a"] > 0) & (agg["in_b"] == 0)][["c_custkey"]]
     out["c_custkey"] = out["c_custkey"].astype(np.int64)
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------- semi-join (Q4)
+def q4_order_priority(sf_dir: str, flag: str = "R") -> pd.DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders per priority that have at
+    least one returned lineitem.  The DISTINCT matching-orderkey set is
+    computed in Ray (per-batch filter + unique → key-cardinality groupby)
+    and broadcast as sorted-int64 block refs; the orders scan keeps matching
+    rows and the groupby moves only the 5-value priority domain.  At 100 TB
+    the key set outgrows one heap → shard it with
+    ``state.broadcast_index.shard_side_table`` and route orders by
+    ``shard_of(o_orderkey)`` (the clip pipeline's ``cfg.index_shards``
+    path), or flip to the distributed hash join of ``q_join_hash``."""
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+    keys_ds = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+        .map_batches(
+            lambda t: pa.table({"k": pc.unique(
+                t.filter(pc.equal(t["l_returnflag"], flag))["l_orderkey"].combine_chunks()
+            )}),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .count()
+        .materialize()
+    )
+    key_refs = keys_ds.to_arrow_refs()
+
+    class SemiFilter:
+        def __init__(self, refs):
+            parts = []
+            for r in refs:
+                t = maybe_get(r)
+                if len(t) and "k" in t.column_names:
+                    parts.append(np.asarray(t["k"], np.int64))
+            self.keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ok = np.asarray(t["o_orderkey"], np.int64)
+            pos = np.clip(np.searchsorted(self.keys, ok), 0, max(0, len(self.keys) - 1))
+            hit = (self.keys[pos] == ok) if len(self.keys) else np.zeros(len(ok), bool)
+            return t.filter(pa.array(hit)).select(["o_orderpriority"])
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(task_stage(SemiFilter, (key_refs,), key=("q4", flag, *key_refs)),
+                     batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .count()
+        .to_pandas()
+    )
+    out.columns = ["o_orderpriority", "order_count"]
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ------------------------------------------------- conditional agg (Q12)
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation — per lineitem
+    linestatus, how many lines belong to high-priority (1-URGENT/2-HIGH)
+    orders vs low.  The orders side collapses to (orderkey, is_high) —
+    broadcast as two sorted key arrays (high / all) — and each lineitem
+    batch partial-aggregates CASE-WHEN counts straight to the 2-key
+    linestatus domain, so the only shuffle is over that domain.  Same
+    100 TB sharding note as ``q4_order_priority``."""
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+    orders_keys = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: pa.table({
+                "k": t["o_orderkey"],
+                "high": pc.is_in(t["o_orderpriority"],
+                                 value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            }),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    key_refs = orders_keys.to_arrow_refs()
+
+    class PriorityLookup:
+        def __init__(self, refs):
+            all_k, high_k = [], []
+            for r in refs:
+                t = maybe_get(r)
+                if len(t) and "k" in t.column_names:
+                    k = np.asarray(t["k"], np.int64)
+                    h = np.asarray(t["high"]).astype(bool)
+                    all_k.append(k)
+                    high_k.append(k[h])
+            self.all = np.sort(np.concatenate(all_k)) if all_k else np.empty(0, np.int64)
+            hk = [a for a in high_k if len(a)]
+            self.high = np.sort(np.concatenate(hk)) if hk else np.empty(0, np.int64)
+
+        @staticmethod
+        def _member(sorted_keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
+            if not len(sorted_keys):
+                return np.zeros(len(ids), bool)
+            pos = np.clip(np.searchsorted(sorted_keys, ids), 0, len(sorted_keys) - 1)
+            return sorted_keys[pos] == ids
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            ok = np.asarray(t["l_orderkey"], np.int64)
+            # inner-join semantics: drop lineitems with no order row
+            keep = self._member(self.all, ok)
+            high = self._member(self.high, ok[keep])
+            df = pd.DataFrame({
+                "l_linestatus": t["l_linestatus"].to_pandas()[keep].reset_index(drop=True),
+                "high_line_count": high.astype(np.int64),
+                "low_line_count": (~high).astype(np.int64),
+            })
+            return df.groupby("l_linestatus", as_index=False).sum()
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
+        .map_batches(task_stage(PriorityLookup, (key_refs,), key=("q12", *key_refs)),
+                     batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .sum(["high_line_count", "low_line_count"])
+        .to_pandas()
+    )
+    out.columns = ["l_linestatus", "high_line_count", "low_line_count"]
+    out[["high_line_count", "low_line_count"]] = out[
+        ["high_line_count", "low_line_count"]].astype(np.int64)
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+# ------------------------------------------------------ promo ratio (Q14)
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio — share of revenue from PROMO
+    parts, as an exact-integer permyriad.  Both operands are summed as
+    integer e4 units (each side applies identical per-row rounding), so the
+    final division is over exact integers and the result is reproducible
+    regardless of summation order — the float-robust pattern every ratio
+    aggregate here uses.  Broadcast side: the PROMO partkey set."""
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+    promo_keys = (
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {"k": t.filter(pc.equal(t["p_type"], "PROMO"))["p_partkey"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    key_refs = promo_keys.to_arrow_refs()
+
+    class PromoPartial:
+        def __init__(self, refs):
+            parts = []
+            for r in refs:
+                t = maybe_get(r)
+                if len(t) and "k" in t.column_names:
+                    parts.append(np.asarray(t["k"], np.int64))
+            self.keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            rev = np.round(
+                np.asarray(t["l_extendedprice"], np.float64)
+                * (1.0 - np.asarray(t["l_discount"], np.float64)) * 10000.0
+            ).astype(np.int64)
+            pk = np.asarray(t["l_partkey"], np.int64)
+            pos = np.clip(np.searchsorted(self.keys, pk), 0, max(0, len(self.keys) - 1))
+            promo = (self.keys[pos] == pk) if len(self.keys) else np.zeros(len(pk), bool)
+            return pd.DataFrame({
+                "promo_rev_e4": [int(rev[promo].sum())],
+                "total_rev_e4": [int(rev.sum())],
+            })
+
+    sums = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(task_stage(PromoPartial, (key_refs,), key=("q14", *key_refs)),
+                     batch_format="pyarrow")
+        .sum(["promo_rev_e4", "total_rev_e4"])
+    )
+    promo_e4 = int(sums["sum(promo_rev_e4)"])
+    total_e4 = int(sums["sum(total_rev_e4)"])
+    permyriad = int(round(10000.0 * promo_e4 / total_e4)) if total_e4 else 0
+    return pd.DataFrame({
+        "promo_rev_e4": [promo_e4],
+        "total_rev_e4": [total_e4],
+        "promo_permyriad": [permyriad],
+    })
+
+
+# ------------------------------------------- HAVING + join-back (Q18)
+def q18_big_spenders(sf_dir: str, threshold_cents: int = 30_000_000) -> pd.DataFrame:
+    """TPC-H Q18 shape: grouped HAVING filter, then join the survivors back
+    to the dimension table for attributes.  The per-customer totals are
+    partial-aggregated per batch (integer cents) before the
+    customer-cardinality groupby; only the HAVING SURVIVORS (a tiny set) are
+    broadcast to the customer scan — never the full aggregate."""
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "c_custkey": np.asarray(t["o_custkey"], np.int64),
+            "total_cents": _cents(np.asarray(t["o_totalprice"])),
+        })
+        return df.groupby("c_custkey", as_index=False).sum()
+
+    totals = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .sum(["total_cents"])
+        .map_batches(
+            lambda df: df[df.iloc[:, 1] > threshold_cents].set_axis(
+                ["c_custkey", "total_cents"], axis=1),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    surv_refs = totals.to_arrow_refs()
+
+    class SpenderLookup:
+        def __init__(self, refs):
+            ks, vs = [], []
+            for r in refs:
+                t = maybe_get(r)
+                if isinstance(t, pd.DataFrame):
+                    t = pa.Table.from_pandas(t, preserve_index=False)
+                if len(t) and "c_custkey" in t.column_names:
+                    ks.append(np.asarray(t["c_custkey"], np.int64))
+                    vs.append(np.asarray(t["total_cents"], np.int64))
+            k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+            v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+            o = np.argsort(k, kind="stable")
+            self.keys, self.vals = k[o], v[o]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = np.asarray(t["c_custkey"], np.int64)
+            pos = np.clip(np.searchsorted(self.keys, ck), 0, max(0, len(self.keys) - 1))
+            hit = (self.keys[pos] == ck) if len(self.keys) else np.zeros(len(ck), bool)
+            t = t.filter(pa.array(hit))
+            return t.append_column(
+                "total_cents", pa.array(self.vals[pos[hit]], pa.int64())
+            )
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(task_stage(SpenderLookup, (surv_refs,),
+                                key=("q18", threshold_cents, *surv_refs)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                            "c_name": pd.Series([], dtype=str),
+                            "total_cents": pd.Series([], dtype=np.int64)})
+    return (
+        out.sort_values(["total_cents", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+# ------------------------------------------------------- ntile window
+def q_order_quartiles(sf_dir: str, k: int = 4, nparts: int = 32) -> pd.DataFrame:
+    """NTILE(k) over a global total order (o_totalprice ASC, o_orderkey) +
+    per-tile aggregate — built on the exact distributed-rank machinery of
+    ``q_global_rank`` (range partition on sampled boundaries → per-partition
+    counts → driver cumsum offsets → per-partition sort + arange).  The tile
+    of a global rank follows DuckDB/ANSI NTILE: the first ``N mod k`` tiles
+    hold ``floor(N/k)+1`` rows.  Per-tile partials are aggregated inside the
+    rank partitions, so the final shuffle moves ≤ k rows per partition."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        price_c = _cents(np.asarray(t["o_totalprice"]))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    with_key = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def sample(t: pa.Table) -> pa.Table:
+        kk = np.asarray(t["o_orderkey"], np.int64).view(np.uint64)
+        keep = splitmix64(kk) % np.uint64(16) == 0
+        return pa.table({"price_c": pa.array(
+            np.asarray(t["price_c"], np.int64)[keep], pa.int64())})
+
+    sampled = np.sort(np.asarray(
+        with_key.map_batches(sample, batch_format="pyarrow")
+        .limit(200_000).to_pandas()["price_c"], dtype=np.int64
+    ))
+    qs = np.linspace(0, 1, nparts + 1)[1:-1]
+    bounds = np.unique(
+        sampled[np.minimum((qs * len(sampled)).astype(int), len(sampled) - 1)]
+    ) if len(sampled) else np.empty(0, np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        part = np.searchsorted(bounds, np.asarray(t["price_c"], np.int64),
+                               side="right").astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    assigned = with_key.map_batches(assign, batch_format="pyarrow").materialize()
+    counts = assigned.groupby("part").count().to_pandas()
+    counts.columns = ["part", "n"]
+    counts = counts.sort_values("part")
+    n_total = int(counts["n"].sum())
+    offsets = dict(zip(
+        counts["part"].astype(int),
+        np.r_[0, np.cumsum(counts["n"].to_numpy())[:-1]].astype(np.int64),
+    ))
+    q, r = divmod(n_total, k)
+    boundary = r * (q + 1)  # ranks ≤ boundary land in the big tiles
+
+    def tile_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_c", "o_orderkey"]).reset_index(drop=True)
+        rank = offsets[int(g["part"].iloc[0])] + 1 + np.arange(len(g), dtype=np.int64)
+        big = rank <= boundary
+        tile = np.where(
+            big,
+            (rank - 1) // (q + 1) + 1,
+            r + (rank - 1 - boundary) // max(q, 1) + 1,
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "tile": tile,
+            "n": np.ones(len(g), dtype=np.int64),
+            "sum_cents": g["price_c"].to_numpy(np.int64),
+        })
+        return df.groupby("tile", as_index=False).sum()
+
+    out = (
+        assigned.groupby("part").map_groups(tile_part, batch_format="pandas")
+        .groupby("tile")
+        .sum(["n", "sum_cents"])
+        .to_pandas()
+    )
+    out.columns = ["tile", "n", "sum_cents"]
+    out[["tile", "n", "sum_cents"]] = out[["tile", "n", "sum_cents"]].astype(np.int64)
+    return out.sort_values("tile").reset_index(drop=True)

@@ -275,3 +275,80 @@ def q_top_terms_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
     out = counts.groupby("lang").map_groups(per_lang_topk, batch_format="pandas").to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["lang", "term"]).reset_index(drop=True)
+
+
+def q_tfidf_top(sf_dir: str, topk: int = 3) -> pd.DataFrame:
+    """Per-document TF-IDF top-k terms — the relevance-scoring primitive a
+    training-data curation pipeline uses for keyword extraction and topical
+    filtering.  Two partitioned passes, no driver-side tables:
+
+    1. per-batch tokenize → exact (doc_id, term, tf) rows (a document lives
+       in one row, so its tf is complete within the batch — no tf shuffle);
+    2. hash-partition by TERM → per-partition df counts → integer-micro idf
+       (``round(ln(N/df)·1e6)``) → score = tf × idf_e6 (exact int, so the
+       oracle comparison is float-order-immune);
+    3. hash-partition by DOC → per-partition vectorized sort + cumcount
+       rank → top-k rows per document.
+
+    N (docs with non-empty text) is a one-number aggregate.  Skew note: a
+    stop-word term row set is df-sized (bounded by corpus docs), never
+    quadratic — unlike pair emission there is no hub blow-up here."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64, stable_str_hash
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    docs = _docs(sf_dir)
+    nparts = adaptive_parts(docs.count(), rows_per_part=5000)
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.strip().str.lower().str.split()
+        ex = pd.DataFrame({"doc_id": df["doc_id"], "term": words}).explode("term")
+        ex = ex.dropna(subset=["term"])
+        g = ex.groupby(["doc_id", "term"], as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    def n_docs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ne = (df["text"].fillna("").str.strip().str.len() > 0).sum()
+        return pd.DataFrame({"n": [int(ne)]})
+
+    n_docs = int(docs.map_batches(n_docs_partial, batch_format="pandas").sum("n"))
+    tf_rows = docs.map_batches(tok, batch_format="pandas")
+
+    def part_by(col: str):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            if col == "term":
+                h = splitmix64(stable_str_hash(df["term"].to_numpy()))
+            else:
+                h = splitmix64(df["doc_id"].to_numpy(np.int64).view(np.uint64))
+            df = df.copy()
+            df["part"] = (h % np.uint64(nparts)).astype(np.int64)
+            return df
+        return add
+
+    def score_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # every (doc, term) row of a term is co-located → df = term row count
+        dfreq = g.groupby("term")["doc_id"].transform("size").to_numpy(np.float64)
+        idf_e6 = np.round(np.log(n_docs / dfreq) * 1_000_000.0).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "term": g["term"].to_numpy(),
+            "tfidf_e6": g["tf"].to_numpy(np.int64) * idf_e6,
+        })
+
+    def topk_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tfidf_e6", "term"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+        rk = g.groupby("doc_id").cumcount().to_numpy() + 1
+        g = g.assign(rk=rk.astype(np.int64))
+        return g[g["rk"] <= topk][["doc_id", "term", "tfidf_e6", "rk"]]
+
+    out = (
+        tf_rows.map_batches(part_by("term"), batch_format="pandas")
+        .groupby("part")
+        .map_groups(score_partition, batch_format="pandas")
+        .map_batches(part_by("doc_id"), batch_format="pandas")
+        .groupby("part")
+        .map_groups(topk_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.drop(columns=["part"], errors="ignore")
+    return out.sort_values(["doc_id", "rk"]).reset_index(drop=True)
