@@ -53,7 +53,9 @@ def maybe_get(ref):
 # (decoded-payload caches, model weights): an actor pool caps the number of
 # live copies at the pool width; the task path caps it at the worker count.
 
-_STAGE_CACHE: dict = {}
+from collections import OrderedDict
+
+_STAGE_CACHE: "OrderedDict" = OrderedDict()
 _STAGE_CACHE_MAX = 8
 
 
@@ -61,16 +63,32 @@ def task_stage(cls, ctor_args: tuple, key: tuple):
     """Wrap callable-class ``cls`` as a plain function for ``map_batches``:
     the instance is constructed once per worker process per ``key`` (must
     uniquely identify ``ctor_args`` — ObjectRefs are hashable and make good
-    key components) and cached in a small per-process LRU."""
+    key components) and cached in a small per-process LRU (a hit refreshes
+    recency, so interleaved streaming stages don't evict each other's
+    still-active state)."""
 
     def fn(batch, _cls=cls, _args=ctor_args, _key=key):
         inst = _STAGE_CACHE.get(_key)
         if inst is None:
             inst = _cls(*_args)
             if len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
-                _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+                _STAGE_CACHE.popitem(last=False)
             _STAGE_CACHE[_key] = inst
+        else:
+            _STAGE_CACHE.move_to_end(_key)
         return inst(batch)
 
     fn.__name__ = f"task_{getattr(cls, '__name__', 'stage')}"
     return fn
+
+
+def sorted_membership(sorted_keys, ids):
+    """Vectorized membership of int64 ``ids`` in ascending ``sorted_keys``
+    (the broadcast-key-set filter idiom: clip + searchsorted + equality).
+    Returns a bool mask; empty key sets match nothing."""
+    import numpy as np
+
+    if not len(sorted_keys):
+        return np.zeros(len(ids), bool)
+    pos = np.clip(np.searchsorted(sorted_keys, ids), 0, len(sorted_keys) - 1)
+    return sorted_keys[pos] == ids

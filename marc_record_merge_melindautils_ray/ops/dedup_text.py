@@ -48,7 +48,7 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
 NUM_DOC_PARTS = 64  # fallback fan-out when no row count is at hand
 
 
-def _doc_parts(ds, n_rows: int | None = None) -> int:
+def _doc_parts(ds) -> int:
     """Partition-then-vectorize fan-out sized to the table (metadata-cheap
     row count) instead of a fixed constant that starves bigger corpora and
     over-shuffles small ones (see stages.cluster.adaptive_parts)."""
@@ -58,8 +58,7 @@ def _doc_parts(ds, n_rows: int | None = None) -> int:
     )
 
     return adaptive_parts(
-        ds.count() if n_rows is None else n_rows,
-        rows_per_part=5000, lo=max(8, 2 * cluster_parallelism()), hi=512,
+        ds.count(), rows_per_part=5000, lo=max(8, 2 * cluster_parallelism()), hi=512
     )
 
 
@@ -718,9 +717,12 @@ def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataF
         .groupby("part")
         .map_groups(candidates, batch_format="pandas")
         .map_batches(
-            task_stage(VerifySubstring, (norm_refs,),
-                       key=("vsub", k, min_len, *norm_refs)),
+            # corpus-sized text index = heavy state -> real actor pool (copy
+            # count capped at the pool width, freed when the pool dies), not
+            # a task_stage cache entry that would pin one index per worker
+            VerifySubstring, fn_constructor_args=(norm_refs,),
             batch_format="pyarrow",
+            concurrency=actor_pool_size(rows=norm.count()),
         )
         .to_pandas()
     )

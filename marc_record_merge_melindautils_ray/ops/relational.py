@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from marc_record_merge_melindautils_ray.functions.util import task_stage
+from marc_record_merge_melindautils_ray.functions.util import sorted_membership, task_stage
 from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
 
 
@@ -926,24 +926,53 @@ def q_running_total(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q_global_rank(sf_dir: str, nparts: int = 32) -> pd.DataFrame:
-    """EXACT global ROW_NUMBER over a total order (o_totalprice DESC,
-    o_orderkey) — the distributed-sort-with-positions pattern:
-
-    1. deterministic hash-sample of sort keys → range boundaries (driver
-       holds only the tiny boundary list);
-    2. one pass assigns each row its range partition — ``searchsorted`` puts
-       every tie of a boundary value in the same partition, so ranking never
-       splits an equality class across partitions;
-    3. per-partition row counts → driver cumsum = global offsets (≤ nparts
-       integers);
-    4. per-partition vectorized sort + arange + offset = exact global rank.
-
-    The full table is never sorted through one node and never materialized
-    on the driver; skew caveat: a single massively-duplicated key lands in
-    one partition (the standard range-partitioner bound)."""
+def _range_rank_partitions(with_key, sort_col: str, nparts: int):
+    """Shared scaffolding for exact distributed ranking over a total order
+    (``q_global_rank``, ``q_order_quartiles``): deterministic hash-sample of
+    the sort key → range boundaries (driver holds only the boundary list) →
+    one pass assigns range partitions (``searchsorted`` keeps every tie of a
+    boundary value in one partition) → per-partition counts → driver cumsum
+    offsets.  Returns ``(assigned_ds, offsets, n_total)``; callers sort each
+    partition locally and add its offset for exact global positions."""
     from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
 
+    def sample(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"], np.int64).view(np.uint64)
+        keep = splitmix64(k) % np.uint64(16) == 0
+        return pa.table({sort_col: pa.array(
+            np.asarray(t[sort_col], np.int64)[keep], pa.int64())})
+
+    sampled = np.sort(np.asarray(
+        with_key.map_batches(sample, batch_format="pyarrow")
+        .limit(200_000).to_pandas()[sort_col], dtype=np.int64
+    ))
+    qs = np.linspace(0, 1, nparts + 1)[1:-1]
+    bounds = np.unique(
+        sampled[np.minimum((qs * len(sampled)).astype(int), len(sampled) - 1)]
+    ) if len(sampled) else np.empty(0, np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        part = np.searchsorted(bounds, np.asarray(t[sort_col], np.int64),
+                               side="right").astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    assigned = with_key.map_batches(assign, batch_format="pyarrow").materialize()
+    counts = assigned.groupby("part").count().to_pandas()
+    counts.columns = ["part", "n"]
+    counts = counts.sort_values("part")
+    n_total = int(counts["n"].sum())
+    offsets = dict(zip(
+        counts["part"].astype(int),
+        np.r_[0, np.cumsum(counts["n"].to_numpy())[:-1]].astype(np.int64),
+    ))
+    return assigned, offsets, n_total
+
+
+def q_global_rank(sf_dir: str, nparts: int = 32) -> pd.DataFrame:
+    """EXACT global ROW_NUMBER over a total order (o_totalprice DESC,
+    o_orderkey) — per-partition vectorized sort + arange + the partition's
+    global offset from ``_range_rank_partitions`` (see its docstring for the
+    machinery and the duplicated-key skew caveat)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def keyed(t: pa.Table) -> pa.Table:
@@ -955,35 +984,7 @@ def q_global_rank(sf_dir: str, nparts: int = 32) -> pd.DataFrame:
         })
 
     with_key = ds.map_batches(keyed, batch_format="pyarrow").materialize()
-
-    def sample(t: pa.Table) -> pa.Table:
-        k = np.asarray(t["o_orderkey"], np.int64).view(np.uint64)
-        keep = splitmix64(k) % np.uint64(16) == 0
-        return pa.table({"neg_price": pa.array(
-            np.asarray(t["neg_price"], np.int64)[keep], pa.int64())})
-
-    sampled = np.sort(np.asarray(
-        with_key.map_batches(sample, batch_format="pyarrow")
-        .limit(200_000).to_pandas()["neg_price"], dtype=np.int64
-    ))
-    qs = np.linspace(0, 1, nparts + 1)[1:-1]
-    bounds = np.unique(
-        sampled[np.minimum((qs * len(sampled)).astype(int), len(sampled) - 1)]
-    ) if len(sampled) else np.empty(0, np.int64)
-
-    def assign(t: pa.Table) -> pa.Table:
-        part = np.searchsorted(bounds, np.asarray(t["neg_price"], np.int64),
-                               side="right").astype(np.int64)
-        return t.append_column("part", pa.array(part, pa.int64()))
-
-    assigned = with_key.map_batches(assign, batch_format="pyarrow").materialize()
-    counts = assigned.groupby("part").count().to_pandas()
-    counts.columns = ["part", "n"]
-    counts = counts.sort_values("part")
-    offsets = dict(zip(
-        counts["part"].astype(int),
-        np.r_[0, np.cumsum(counts["n"].to_numpy())[:-1]].astype(np.int64),
-    ))
+    assigned, offsets, _ = _range_rank_partitions(with_key, "neg_price", nparts)
 
     def rank_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["neg_price", "o_orderkey"]).reset_index(drop=True)
@@ -1033,9 +1034,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         def __call__(self, t: pa.Table) -> pa.Table:
             keep = pc.less(t["o_orderdate"], pa.scalar(cut))
             t = t.filter(keep)
-            ck = np.asarray(t["o_custkey"], np.int64)
-            pos = np.clip(np.searchsorted(self.keys, ck), 0, max(0, len(self.keys) - 1))
-            hit = (self.keys[pos] == ck) if len(self.keys) else np.zeros(len(ck), bool)
+            hit = sorted_membership(self.keys, np.asarray(t["o_custkey"], np.int64))
             return t.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
@@ -1279,9 +1278,7 @@ def q4_order_priority(sf_dir: str, flag: str = "R") -> pd.DataFrame:
             self.keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ok = np.asarray(t["o_orderkey"], np.int64)
-            pos = np.clip(np.searchsorted(self.keys, ok), 0, max(0, len(self.keys) - 1))
-            hit = (self.keys[pos] == ok) if len(self.keys) else np.zeros(len(ok), bool)
+            hit = sorted_membership(self.keys, np.asarray(t["o_orderkey"], np.int64))
             return t.filter(pa.array(hit)).select(["o_orderpriority"])
 
     out = (
@@ -1336,18 +1333,11 @@ def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
             hk = [a for a in high_k if len(a)]
             self.high = np.sort(np.concatenate(hk)) if hk else np.empty(0, np.int64)
 
-        @staticmethod
-        def _member(sorted_keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
-            if not len(sorted_keys):
-                return np.zeros(len(ids), bool)
-            pos = np.clip(np.searchsorted(sorted_keys, ids), 0, len(sorted_keys) - 1)
-            return sorted_keys[pos] == ids
-
         def __call__(self, t: pa.Table) -> pd.DataFrame:
             ok = np.asarray(t["l_orderkey"], np.int64)
             # inner-join semantics: drop lineitems with no order row
-            keep = self._member(self.all, ok)
-            high = self._member(self.high, ok[keep])
+            keep = sorted_membership(self.all, ok)
+            high = sorted_membership(self.high, ok[keep])
             df = pd.DataFrame({
                 "l_linestatus": t["l_linestatus"].to_pandas()[keep].reset_index(drop=True),
                 "high_line_count": high.astype(np.int64),
@@ -1405,9 +1395,7 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
                 np.asarray(t["l_extendedprice"], np.float64)
                 * (1.0 - np.asarray(t["l_discount"], np.float64)) * 10000.0
             ).astype(np.int64)
-            pk = np.asarray(t["l_partkey"], np.int64)
-            pos = np.clip(np.searchsorted(self.keys, pk), 0, max(0, len(self.keys) - 1))
-            promo = (self.keys[pos] == pk) if len(self.keys) else np.zeros(len(pk), bool)
+            promo = sorted_membership(self.keys, np.asarray(t["l_partkey"], np.int64))
             return pd.DataFrame({
                 "promo_rev_e4": [int(rev[promo].sum())],
                 "total_rev_e4": [int(rev.sum())],
@@ -1476,11 +1464,11 @@ def q18_big_spenders(sf_dir: str, threshold_cents: int = 30_000_000) -> pd.DataF
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ck = np.asarray(t["c_custkey"], np.int64)
-            pos = np.clip(np.searchsorted(self.keys, ck), 0, max(0, len(self.keys) - 1))
-            hit = (self.keys[pos] == ck) if len(self.keys) else np.zeros(len(ck), bool)
+            hit = sorted_membership(self.keys, ck)
             t = t.filter(pa.array(hit))
+            idx = np.searchsorted(self.keys, ck[hit])
             return t.append_column(
-                "total_cents", pa.array(self.vals[pos[hit]], pa.int64())
+                "total_cents", pa.array(self.vals[idx], pa.int64())
             )
 
     out = (
@@ -1509,8 +1497,6 @@ def q_order_quartiles(sf_dir: str, k: int = 4, nparts: int = 32) -> pd.DataFrame
     of a global rank follows DuckDB/ANSI NTILE: the first ``N mod k`` tiles
     hold ``floor(N/k)+1`` rows.  Per-tile partials are aggregated inside the
     rank partitions, so the final shuffle moves ≤ k rows per partition."""
-    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
-
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def keyed(t: pa.Table) -> pa.Table:
@@ -1521,36 +1507,7 @@ def q_order_quartiles(sf_dir: str, k: int = 4, nparts: int = 32) -> pd.DataFrame
         })
 
     with_key = ds.map_batches(keyed, batch_format="pyarrow").materialize()
-
-    def sample(t: pa.Table) -> pa.Table:
-        kk = np.asarray(t["o_orderkey"], np.int64).view(np.uint64)
-        keep = splitmix64(kk) % np.uint64(16) == 0
-        return pa.table({"price_c": pa.array(
-            np.asarray(t["price_c"], np.int64)[keep], pa.int64())})
-
-    sampled = np.sort(np.asarray(
-        with_key.map_batches(sample, batch_format="pyarrow")
-        .limit(200_000).to_pandas()["price_c"], dtype=np.int64
-    ))
-    qs = np.linspace(0, 1, nparts + 1)[1:-1]
-    bounds = np.unique(
-        sampled[np.minimum((qs * len(sampled)).astype(int), len(sampled) - 1)]
-    ) if len(sampled) else np.empty(0, np.int64)
-
-    def assign(t: pa.Table) -> pa.Table:
-        part = np.searchsorted(bounds, np.asarray(t["price_c"], np.int64),
-                               side="right").astype(np.int64)
-        return t.append_column("part", pa.array(part, pa.int64()))
-
-    assigned = with_key.map_batches(assign, batch_format="pyarrow").materialize()
-    counts = assigned.groupby("part").count().to_pandas()
-    counts.columns = ["part", "n"]
-    counts = counts.sort_values("part")
-    n_total = int(counts["n"].sum())
-    offsets = dict(zip(
-        counts["part"].astype(int),
-        np.r_[0, np.cumsum(counts["n"].to_numpy())[:-1]].astype(np.int64),
-    ))
+    assigned, offsets, n_total = _range_rank_partitions(with_key, "price_c", nparts)
     q, r = divmod(n_total, k)
     boundary = r * (q + 1)  # ranks ≤ boundary land in the big tiles
 

@@ -593,8 +593,10 @@ def q_ann_ivf(
 def lsh_bucket_counts(sf_dir: str) -> pd.DataFrame:
     ds = _emb(sf_dir)
     out = (
-        ds.map_batches(task_stage(HyperplaneLsh, (), key=("hlsh", 64, 8, 99)),
-                       batch_format="pyarrow")
+        ds.map_batches(
+            task_stage(HyperplaneLsh, (64, 8, 99), key=("hlsh", 64, 8, 99)),
+            batch_format="pyarrow",
+        )
         .groupby("bucket")
         .count()
         .to_pandas()

@@ -292,7 +292,13 @@ def q_tfidf_top(sf_dir: str, topk: int = 3) -> pd.DataFrame:
 
     N (docs with non-empty text) is a one-number aggregate.  Skew note: a
     stop-word term row set is df-sized (bounded by corpus docs), never
-    quadratic — unlike pair emission there is no hub blow-up here."""
+    quadratic — unlike pair emission there is no hub blow-up here.
+
+    Tokenization contract (shared with the other text queries): pandas
+    ``strip()/split()`` vs the oracle's ``trim() + regexp_split '\\s+'``
+    agree on space-separated text — the documents corpus — but diverge on
+    tab/newline-adjacent or unicode whitespace (SQL trim strips only spaces;
+    RE2 ``\\s`` is ASCII).  Documented narrowing, same as ``q_top_terms``."""
     from marc_record_merge_melindautils_ray.functions.hashing import splitmix64, stable_str_hash
     from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
 

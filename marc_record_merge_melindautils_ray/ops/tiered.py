@@ -139,7 +139,10 @@ def _min_keeper_edges(clusters: rd.Dataset, id_col: str = "id") -> rd.Dataset:
 
 class _RemovedFilter:
     """Drop rows whose id is in the broadcast removed-id block refs
-    (vectorized sorted-int64 membership, built once per actor)."""
+    (vectorized sorted-int64 membership, built once per worker process via
+    ``task_stage``).  State is REMOVAL-set sized (dup count, not corpus
+    count); if dup rates make it heap-order, switch this stage back to a
+    bounded actor pool or shard with ``shard_side_table`` (module note)."""
 
     def __init__(self, refs, id_col: str):
         parts = []
@@ -151,13 +154,10 @@ class _RemovedFilter:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from marc_record_merge_melindautils_ray.functions.util import sorted_membership
+
         ids = np.asarray(t[self.id_col], dtype=np.int64)
-        pos = np.searchsorted(self.removed, ids)
-        pos = np.clip(pos, 0, max(0, len(self.removed) - 1))
-        hit = (
-            (self.removed[pos] == ids) if len(self.removed) else np.zeros(len(ids), bool)
-        )
-        return t.filter(pa.array(~hit))
+        return t.filter(pa.array(~sorted_membership(self.removed, ids)))
 
 
 def tiered_dedup(

@@ -569,7 +569,7 @@ def run_dedup(
         # kernels themselves (measured: stage wall ~90 % fixed overhead at
         # 326 k clips / 68 k pairs).  ~6 k pairs per actor keeps each actor
         # busy for ~1 s+; huge streams still clamp to cfg.verify_concurrency.
-        pool = max(2, min(cfg.verify_concurrency, n_survivor_pairs // 6000))
+        pool = min(cfg.verify_concurrency, max(2, n_survivor_pairs // 6000))
         out = sv.map_batches(
             PairPcmVerify,
             fn_constructor_args=(cfg, refs, direct_payloads),
