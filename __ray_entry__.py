@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q18_big_spenders": relational.q18_big_spenders,
         "order_quartiles": relational.q_order_quartiles,
+        "q10_returned_items": relational.q10_returned_items,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "hash_sample": relational.q_hash_sample,
+        "distinct_suppliers_per_flag": relational.q_distinct_suppliers_per_flag,
 
         # statistical / profiling aggregates (ops/stats.py)
         "group_corr": stats.q_group_corr,
@@ -483,6 +487,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(price_c) AS BIGINT) AS sum_cents
             FROM t GROUP BY tile ORDER BY tile
+        """,
+        "q10_returned_items": """
+            WITH rev AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate <  DATE '1996-07-01'
+              GROUP BY o_custkey)
+            SELECT c.c_custkey, c_name, revenue_e4,
+                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_c, n_name
+            FROM rev JOIN customer c ON rev.c_custkey = c.c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "hash_sample": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c
+            FROM lineitem
+            WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
+                  < 268435456
+        """,
+        "distinct_suppliers_per_flag": """
+            SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "tfidf_top": """
             WITH tok AS (

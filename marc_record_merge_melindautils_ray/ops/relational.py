@@ -1536,3 +1536,267 @@ def q_order_quartiles(sf_dir: str, k: int = 4, nparts: int = 32) -> pd.DataFrame
     out.columns = ["tile", "n", "sum_cents"]
     out[["tile", "n", "sum_cents"]] = out[["tile", "n", "sum_cents"]].astype(np.int64)
     return out.sort_values("tile").reset_index(drop=True)
+
+
+def _join_or_empty(consume, empty):
+    """Run ``consume()`` (a pipeline that executes a Dataset.join) and map
+    the one Ray hash-shuffle failure mode that means "a join side filtered
+    to zero rows" — empty blocks lose their schema, so Acero raises
+    ``No match ... for key field reference`` — to the query's typed empty
+    result.  Any other error propagates untouched."""
+    import ray.exceptions
+
+    try:
+        return consume()
+    except ray.exceptions.RayTaskError as e:
+        if "No match or multiple matches for key field reference" in str(e):
+            return empty
+        raise
+
+
+# ------------------------------------------- returned-item revenue (Q10)
+def q10_returned_items(sf_dir: str, date_lo: str = "1996-01-01",
+                       date_hi: str = "1996-07-01", k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer over a
+    date window, top-k customers with their nation attributes.
+
+    Scale shape: the window-filtered orders (orderkey → custkey) join the
+    returned lineitem rows in a DISTRIBUTED hash shuffle sized by
+    ``adaptive_parts``; revenue is partial-aggregated per batch by custkey
+    BEFORE the customer-cardinality groupby; the groupby output never lands
+    on the driver whole — each output block reduces to a local top-k and
+    only ``k × blocks`` candidate rows merge driver-side.  Customer/nation
+    attributes are then attached by broadcasting just the k winning custkeys
+    to a pruned customer scan (nation is a 25-row broadcast dict)."""
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    lo, hi = np.datetime64(date_lo, "us"), np.datetime64(date_hi, "us")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    li_base = _read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    n_li = li_base.count()
+    li = li_base.map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders, join_type="inner",
+        num_partitions=adaptive_parts(n_li, rows_per_part=250_000),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rev = np.round(
+            np.asarray(t["l_extendedprice"], np.float64)
+            * (1.0 - np.asarray(t["l_discount"], np.float64)) * 10000.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"c_custkey": np.asarray(t["o_custkey"], np.int64),
+                           "revenue_e4": rev})
+        return df.groupby("c_custkey", as_index=False).sum()
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.set_axis(["c_custkey", "revenue_e4"], axis=1)
+        return df.sort_values(["revenue_e4", "c_custkey"],
+                              ascending=[False, True]).head(k)
+
+    cand = _join_or_empty(
+        lambda: (
+            joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_custkey").sum(["revenue_e4"])
+            .map_batches(local_topk, batch_format="pandas")
+            .to_pandas()
+        ),
+        pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                      "revenue_e4": pd.Series([], dtype=np.int64)}),
+    )
+    top = (cand.sort_values(["revenue_e4", "c_custkey"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    if top.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                             "c_name": pd.Series([], dtype=str),
+                             "revenue_e4": pd.Series([], dtype=np.int64),
+                             "acctbal_c": pd.Series([], dtype=np.int64),
+                             "n_name": pd.Series([], dtype=str)})
+
+    win_keys = np.sort(top["c_custkey"].to_numpy(np.int64))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_names = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        hit = sorted_membership(win_keys, np.asarray(t["c_custkey"], np.int64))
+        t = t.filter(pa.array(hit))
+        names = [n_names.get(int(x), "") for x in np.asarray(t["c_nationkey"], np.int64)]
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "acctbal_c": pa.array(_cents(np.asarray(t["c_acctbal"])), pa.int64()),
+            "n_name": pa.array(names, pa.string()),
+        })
+
+    attrs = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(attach, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = top.merge(attrs, on="c_custkey", how="inner")
+    out = out[["c_custkey", "c_name", "revenue_e4", "acctbal_c", "n_name"]]
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    out["acctbal_c"] = out["acctbal_c"].astype(np.int64)
+    return (out.sort_values(["revenue_e4", "c_custkey"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+# ------------------------------------------- disjunctive predicates (Q19)
+_Q19_BRANCHES = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) — AND within, OR across
+    ("Brand#3", 1, 15, 1, 11),
+    ("Brand#7", 1, 25, 10, 20),
+    ("Brand#12", 1, 35, 20, 30),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning BOTH join sides (part
+    brand/size × lineitem quantity) over lineitem ⨝ part.
+
+    Scale shape: each side is pre-filtered to ITS OWN disjunction envelope
+    before the shuffle (parts to the union of brand/size branches, lineitem
+    to the quantity hull) — the join then moves only plausible rows; the
+    full cross-side disjunction evaluates vectorized on the joined batches
+    and reduces to a single (revenue, count) row via per-batch partials."""
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    qty_lo = min(b[3] for b in _Q19_BRANCHES)
+    qty_hi = max(b[4] for b in _Q19_BRANCHES)
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        size = np.asarray(t["p_size"], np.int64)
+        brand = np.asarray(t["p_brand"]).astype(str)
+        keep = np.zeros(len(t), bool)
+        for b, slo, shi, _, _ in _Q19_BRANCHES:
+            keep |= (brand == b) & (size >= slo) & (size <= shi)
+        return t.filter(pa.array(keep)).select(["p_partkey", "p_brand", "p_size"])
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_filter, batch_format="pyarrow")
+
+    li_base = _read(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    n_li = li_base.count()
+    li = li_base.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["l_quantity"], pa.scalar(float(qty_lo))),
+                    pc.less_equal(t["l_quantity"], pa.scalar(float(qty_hi))))),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        parts, join_type="inner",
+        num_partitions=adaptive_parts(n_li, rows_per_part=250_000),
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        qty = np.asarray(t["l_quantity"], np.float64)
+        size = np.asarray(t["p_size"], np.int64)
+        brand = np.asarray(t["p_brand"]).astype(str)
+        keep = np.zeros(len(t), bool)
+        for b, slo, shi, qlo, qhi in _Q19_BRANCHES:
+            keep |= ((brand == b) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        rev = np.round(
+            np.asarray(t["l_extendedprice"], np.float64)[keep]
+            * (1.0 - np.asarray(t["l_discount"], np.float64)[keep]) * 10000.0
+        ).astype(np.int64)
+        return pd.DataFrame({"revenue_e4": [int(rev.sum())],
+                             "n_lines": [int(keep.sum())]})
+
+    def consume():
+        sums = joined.map_batches(partial, batch_format="pyarrow").sum(
+            ["revenue_e4", "n_lines"])
+        return pd.DataFrame({"revenue_e4": [int(sums["sum(revenue_e4)"])],
+                             "n_lines": [int(sums["sum(n_lines)"])]})
+
+    return _join_or_empty(
+        consume, pd.DataFrame({"revenue_e4": [0], "n_lines": [0]}))
+
+
+# ------------------------------------------- deterministic hash sampling
+_SAMPLE_MULT = 2_654_435_761  # Knuth multiplicative constant
+_SAMPLE_MIX = 40_503
+_SAMPLE_MOD = 1 << 32
+
+
+def q_hash_sample(sf_dir: str, rate_num: int = 1, rate_den: int = 16) -> rd.Dataset:
+    """Deterministic multiplicative-hash row sampling — the reproducible
+    alternative to ``Dataset.random_sample`` for corpus subsetting: keep a
+    row iff ``(l_orderkey·M + l_linenumber·X) mod 2³² < 2³²·rate``.  The
+    predicate is pure integer arithmetic on the row's own key, so the SAME
+    rows are selected on any cluster size, any block layout, and in the SQL
+    oracle — sampling as a stateless embarrassingly-parallel filter, no
+    shuffle, no seed exchange.  (At 100 TB the multiply stays exact: numpy
+    uint64 here, HUGEINT in the warehouse when keys approach 2⁵³.)"""
+    thresh = (_SAMPLE_MOD * rate_num) // rate_den
+
+    def kern(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"], np.uint64)
+        ln = np.asarray(t["l_linenumber"], np.uint64)
+        h = (ok * np.uint64(_SAMPLE_MULT) + ln * np.uint64(_SAMPLE_MIX)) % np.uint64(_SAMPLE_MOD)
+        t = t.filter(pa.array(h < np.uint64(thresh)))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "qty_c": pa.array(_cents(np.asarray(t["l_quantity"])), pa.int64()),
+        })
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        kern, batch_format="pyarrow")
+
+
+# ------------------------------------------- grouped COUNT(DISTINCT ...)
+def q_distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT l_suppkey) per l_returnflag — the two-level
+    distinct-aggregate pattern: per-batch local pair dedup (the combiner —
+    collapses each batch to ≤ |flags|×|batch suppliers| rows), one shuffle
+    keyed on the (flag, suppkey) PAIR to finish the dedup, then a trivially
+    small per-flag count.  Nothing key-cardinality ever aggregates on the
+    driver; the approximate sibling is ``hll_distinct_users``
+    (``ops/sketches.py``), which replaces the pair shuffle with 4 KB
+    register partials when exactness is negotiable."""
+
+    def local_pairs(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_returnflag": np.asarray(t["l_returnflag"]).astype(str),
+            "l_suppkey": np.asarray(t["l_suppkey"], np.int64),
+        })
+        return df.drop_duplicates()
+
+    pairs = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+        .map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_suppkey"]).count()
+    )
+
+    def flag_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_returnflag", as_index=False).size()
+        return out.rename(columns={"size": "n_supp"})
+
+    out = (
+        pairs.map_batches(flag_partial, batch_format="pandas")
+        .groupby("l_returnflag").sum(["n_supp"])
+        .to_pandas()
+    )
+    out.columns = ["l_returnflag", "n_supp"]
+    out["n_supp"] = out["n_supp"].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
