@@ -156,6 +156,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup_text.q_ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": _ngram_jaccard_capped,
         "containment_pairs": dedup_text.q_containment_pairs,
+        # MOSS-style winnowing fingerprints: partial-overlap detection
+        # (non-SQL: windowed argmin over rolling hashes; pinned pair-for-pair
+        # to a pure-Python reference in tests/test_winnow.py)
+        "winnow_dup_pairs": dedup_text.q_winnow_dup_pairs,
         # composed training-data dedup: exact → MinHash near → embedding
         # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
         # family + chain-resolution exactness in tests/test_tiered.py)

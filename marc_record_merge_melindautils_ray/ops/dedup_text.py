@@ -734,3 +734,168 @@ def q_containment_pairs(sf_dir: str, min_len: int = 20, k: int = 16) -> pd.DataF
         out[["id_inner", "id_outer"]].astype(np.int64)
         .sort_values(["id_inner", "id_outer"]).reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------------- winnowing
+WINNOW_K = 7          # char k-gram length (post-normalization)
+WINNOW_W = 8          # winnowing window: guarantees a shared fingerprint for
+                      # any common substring of length ≥ K + W − 1
+WINNOW_MIN_PERMILLE = 300  # report pairs with shared/min(n_a,n_b) ≥ this
+_WINNOW_B = np.uint64(1_099_511_628_211)  # FNV-64 prime as the rolling base
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> np.ndarray:
+    """MOSS-style robust winnowing fingerprints of one document (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03): normalize to lowercase alphanumerics
+    (whitespace/punct/format changes don't move fingerprints), hash every
+    char k-gram with a 64-bit polynomial, then keep the RIGHTMOST minimum of
+    each window of ``w`` consecutive hashes.  Guarantee: any match of length
+    ≥ ``k + w − 1`` shares at least one selected fingerprint; density ≈
+    2/(w+1).  Returns the distinct selected hashes as uint64 (empty for docs
+    shorter than ``k`` normalized chars).
+
+    The whole per-doc path is numpy: a byte-mask normalization filter, k
+    shifted multiply-adds for the rolling hashes, one ``sliding_window_view``
+    argmin for the window minima.  Normalization is pinned to ASCII
+    alphanumerics of the lowercased UTF-8 bytes (non-ASCII codepoints drop
+    entirely) — a deterministic, vectorizable definition; the test reference
+    mirrors it byte-for-byte."""
+    raw = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    keep = ((raw >= 48) & (raw <= 57)) | ((raw >= 97) & (raw <= 122))
+    b = raw[keep].astype(np.uint64)
+    n = len(b)
+    if n < k:
+        return np.empty(0, np.uint64)
+    m = n - k + 1
+    h = np.zeros(m, np.uint64)
+    for j in range(k):
+        h = h * _WINNOW_B + b[j : j + m]
+    if m <= w:
+        sel = np.array([m - 1 - int(np.argmin(h[::-1]))])
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        # rightmost min per window: argmin over the reversed window axis
+        right = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        sel = np.unique(np.arange(len(win)) + right)
+    return np.unique(h[sel])
+
+
+def q_winnow_dup_pairs(
+    sf_dir: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_permille: int = WINNOW_MIN_PERMILLE,
+    hub_guard: int = 1_000_000,
+) -> pd.DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints — the copy-detection
+    primitive that catches PARTIAL overlap (a paragraph lifted into a longer
+    doc) that whole-set Jaccard dilutes away, at ~2/(w+1) of the n-gram
+    join's row volume.  Distributed exactly like the gram join: per-doc
+    fingerprint rows → fingerprint-hash partition → vectorized co-occurrence
+    pair emission (hub fingerprints guarded, never silent) → pair-keyed
+    shared counts.  Score = 1000·|shared| / min(n_a, n_b) (containment-style:
+    a short doc fully inside a long one scores 1000, where Jaccard → 0).
+
+    Output: (id_a, id_b, shared, overlap_permille), sorted.  Non-SQL (the
+    winnow selection is a windowed argmin over rolling hashes); exactness is
+    pinned by a pure-Python reference in ``tests/test_winnow.py``."""
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        fps, idxs, ns = [], [], []
+        for i, s in enumerate(t["text"].to_pylist()):
+            f = winnow_fingerprints(s or "", k, w)
+            fps.append(f)
+            idxs.append(np.full(len(f), i, np.int64))
+            ns.append(np.full(len(f), len(f), np.int64))
+        fcat = np.concatenate(fps) if fps else np.empty(0, np.uint64)
+        icat = np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+        ncat = np.concatenate(ns) if ns else np.empty(0, np.int64)
+        return pa.table({
+            "fp": pa.array(fcat.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[icat], pa.int64()),
+            "n": pa.array(ncat, pa.int64()),
+        })
+
+    nparts = _doc_parts(_docs(sf_dir))
+    rows = (
+        _docs(sf_dir)
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .map_batches(lambda t: _add_int_part(t, "fp", nparts), batch_format="pyarrow")
+    )
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"]).reset_index(drop=True)
+        keys = g["fp"].to_numpy()
+        n = len(g)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64),
+            "n_a": pd.Series([], dtype=np.int64), "n_b": pd.Series([], dtype=np.int64),
+        })
+        if n < 2:
+            return empty
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        if int(sizes.max()) > hub_guard:
+            raise ValueError(
+                f"winnow fingerprint shared by {int(sizes.max())} docs exceeds "
+                f"hub_guard {hub_guard}; raise the guard or pre-filter "
+                "boilerplate (visible failure, not an OOM)"
+            )
+        lo_list, hi_list = [], []
+        emit = sizes >= 2
+        for sz in np.unique(sizes[emit]):
+            ii, jj = np.triu_indices(int(sz), k=1)
+            st = starts[emit & (sizes == sz)]
+            lo_list.append((st[:, None] + ii[None, :]).ravel())
+            hi_list.append((st[:, None] + jj[None, :]).ravel())
+        if not lo_list:
+            return empty
+        lo, hi = np.concatenate(lo_list), np.concatenate(hi_list)
+        ids = g["doc_id"].to_numpy()
+        ns = g["n"].to_numpy()
+        return pd.DataFrame({"id_a": ids[lo], "id_b": ids[hi],
+                             "n_a": ns[lo], "n_b": ns[hi]})
+
+    pair_rows = (
+        rows.groupby("part")
+        .map_groups(cooccur, batch_format="pandas")
+        .map_batches(
+            lambda t: _add_int_part(
+                t.append_column(
+                    "pk",
+                    pa.array(
+                        (np.asarray(t["id_a"], np.int64) << 32)
+                        ^ np.asarray(t["id_b"], np.int64),
+                        pa.int64(),
+                    ),
+                ),
+                "pk",
+                nparts,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
+            shared=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        denom = np.minimum(agg["n_a"].to_numpy(), agg["n_b"].to_numpy())
+        agg["overlap_permille"] = (1000 * agg["shared"].to_numpy()) // np.maximum(denom, 1)
+        agg = agg[agg["overlap_permille"] >= min_permille]
+        return agg[["id_a", "id_b", "shared", "overlap_permille"]].astype(np.int64)
+
+    out = (
+        pair_rows.groupby("part")
+        .map_groups(score, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "shared": pd.Series([], dtype=np.int64),
+            "overlap_permille": pd.Series([], dtype=np.int64),
+        })
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
