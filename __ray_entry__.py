@@ -75,6 +75,24 @@ def _clips_canonical(sf_dir: str) -> Any:
                 "audit_agent", "audit_at"]]
 
 
+def _clips_audio_features(sf_dir: str) -> Any:
+    """Payload-axis feature extraction: decode every clip's audio and emit
+    integer loudness/silence/ZCR/spectral-centroid features via the
+    actor-pool stage (non-SQL: real PCM decode + FFT; pinned to a direct
+    per-clip numpy computation in tests/test_audio_features.py)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_audio_features
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    return (
+        clip_audio_features(rd.from_arrow(clips), concurrency=2)
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 NGRAM_CAP_DF = 50  # df cap for the capped scale variant (mirrored in its oracle)
 
 
@@ -160,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (non-SQL: windowed argmin over rolling hashes; pinned pair-for-pair
         # to a pure-Python reference in tests/test_winnow.py)
         "winnow_dup_pairs": dedup_text.q_winnow_dup_pairs,
+        # payload-axis audio features (decode + DSP over clip bytes)
+        "clips_audio_features": _clips_audio_features,
         # composed training-data dedup: exact → MinHash near → embedding
         # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
         # family + chain-resolution exactness in tests/test_tiered.py)

@@ -1,0 +1,104 @@
+"""Audio feature extraction over clip payloads — the payload-axis operators
+a training-data pipeline runs BEFORE dedup (quality gates, corpus profiling):
+loudness, silence ratio, zero-crossing rate, spectral centroid, all computed
+from REAL decoded PCM (the same G.711/PCM16/f32 codecs the verify stage
+uses, ``functions/audio.py``).
+
+Stage shape: a stateful actor pool over ``batch_format="pyarrow"`` batches —
+decode is per-row (payloads are variable-length opaque binary, the
+``input_hint`` layout), every feature kernel inside is vectorized numpy, and
+payload bytes never leave the stage: the output is a narrow numeric table.
+At 100 TB this is the canonical "map the heavy column, ship the light one"
+pattern: run it early, write the features, and let every downstream query
+prune the binary column at the read.
+
+Mirror of the reference's field-analysis utilities (record-utils.js) lifted
+to the audio domain: where melindautils inspects MARC control fields to
+describe a record, these inspect the signal to describe a clip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from marc_record_merge_melindautils_ray.functions.audio import decode, is_decodable
+
+SILENCE_THRESH = 0.01  # |sample| below this counts as silence
+
+
+def clip_features_row(pcm: np.ndarray, sr_hz: int) -> dict:
+    """Feature dict for one decoded clip (float32 PCM in [-1, 1]).  All
+    outputs are integers (centi-dB / permille / Hz / counts) so results are
+    bit-stable across summation orders and machines."""
+    n = int(pcm.size)
+    if n == 0:
+        return {"n_samples": 0, "rms_cdb": -12000, "silence_permille": 1000,
+                "zcr_per_min": 0, "centroid_hz": 0}
+    x = pcm.astype(np.float32, copy=False)
+    energy = float(np.einsum("i,i->", x, x))  # single-pass, no x**2 temp
+    rms = np.sqrt(energy / n)
+    rms_cdb = int(round(20.0 * np.log10(rms) * 100)) if rms > 1e-6 else -12000
+    silence = int(round(1000.0 * float(np.count_nonzero(np.abs(x) < SILENCE_THRESH)) / n))
+    sgn = x >= 0.0
+    crossings = int(np.count_nonzero(sgn[1:] != sgn[:-1]))
+    zcr_per_min = int(round(60.0 * crossings * sr_hz / n)) if n > 1 else 0
+    spec = np.abs(np.fft.rfft(x.astype(np.float64)))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr_hz)
+    denom = float(spec.sum())
+    centroid = int(round(float((freqs * spec).sum()) / denom)) if denom > 0 else 0
+    return {"n_samples": n, "rms_cdb": rms_cdb, "silence_permille": silence,
+            "zcr_per_min": zcr_per_min, "centroid_hz": centroid}
+
+
+class ClipAudioFeatures:
+    """Actor-pool stage: (clip_id, bytes, sr_hz, codec) batches → feature
+    rows.  Undecodable codecs (the honest stubs) yield ``decode_ok=False``
+    with zeroed features instead of poisoning the batch."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["clip_id"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        srs = np.asarray(t["sr_hz"], np.int64)
+        payloads = t["bytes"].to_pylist()
+        rows = {"n_samples": [], "rms_cdb": [], "silence_permille": [],
+                "zcr_per_min": [], "centroid_hz": []}
+        ok = []
+        for payload, codec, sr in zip(payloads, codecs, srs):
+            if payload is not None and is_decodable(codec):
+                feat = clip_features_row(decode(payload, codec), int(sr))
+                ok.append(True)
+            else:
+                feat = {"n_samples": 0, "rms_cdb": 0, "silence_permille": 0,
+                        "zcr_per_min": 0, "centroid_hz": 0}
+                ok.append(False)
+            for k, v in feat.items():
+                rows[k].append(v)
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+            **{k: pa.array(v, pa.int64()) for k, v in rows.items()},
+        })
+
+
+def clip_audio_features(clips: rd.Dataset, concurrency: int | None = None,
+                        batch_size: int = 256) -> rd.Dataset:
+    """Run the feature stage over a clips Dataset (input_hint schema).
+    Columns are pruned to the four the stage needs BEFORE the actor pool, so
+    transcript/metadata never ride along with the binary payloads."""
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
+    if concurrency is None:
+        try:
+            n = clips.count()
+        except Exception:
+            n = None
+        concurrency = actor_pool_size(rows=n, rows_per_actor=4000)
+    return clips.select_columns(["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
+        ClipAudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,85 @@
+"""Clip audio-feature extraction: the distributed actor-pool stage must
+equal a direct per-clip numpy computation exactly (integer features), and
+undecodable codecs must degrade to decode_ok=False, never poison a batch."""
+
+import numpy as np
+import pytest
+
+
+def test_features_match_direct_computation(ray_session, corpus):
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.functions.audio import decode, is_decodable
+    from marc_record_merge_melindautils_ray.ops.audio_features import (
+        clip_audio_features,
+        clip_features_row,
+    )
+
+    clips, _, _ = corpus
+    got = clip_audio_features(rd.from_arrow(clips), concurrency=2).to_pandas()
+    got = got.set_index("clip_id")
+    assert len(got) == clips.num_rows
+
+    n_checked = n_stub = 0
+    for i in range(clips.num_rows):
+        cid = clips["clip_id"][i].as_py()
+        codec = clips["codec"][i].as_py()
+        payload = clips["bytes"][i].as_py()
+        row = got.loc[cid]
+        if payload is None or not is_decodable(codec):
+            assert not row["decode_ok"]
+            n_stub += 1
+            continue
+        assert row["decode_ok"]
+        want = clip_features_row(decode(payload, codec),
+                                 int(clips["sr_hz"][i].as_py()))
+        for k, v in want.items():
+            assert int(row[k]) == v, (cid, k)
+        n_checked += 1
+    assert n_checked > 20
+    assert n_stub > 0  # the corpus plants fm-synth (undecodable) rows
+
+
+def test_feature_values_sane(ray_session, corpus):
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_audio_features
+
+    clips, _, _ = corpus
+    got = clip_audio_features(rd.from_arrow(clips), concurrency=2).to_pandas()
+    ok = got[got["decode_ok"]]
+    # synthetic clips are audible tones: loud-ish, mostly non-silent, with a
+    # spectral centroid inside the Nyquist band
+    assert (ok["rms_cdb"] > -6000).all()
+    assert (ok["silence_permille"] <= 1000).all()
+    assert (ok["centroid_hz"] > 0).all()
+    assert (ok["centroid_hz"] < 24_000).all()
+    assert (ok["n_samples"] > 0).all()
+
+
+def test_known_signal_features(ray_session):
+    """A pure 1 kHz sine at 16 kHz: centroid ≈ 1000 Hz, RMS ≈ −3.01 dB,
+    zero silence — pinned against closed-form values."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.functions.audio import encode
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_audio_features
+
+    sr = 16_000
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 s
+    # 997 Hz, not 1000: an integer samples-per-cycle ratio phase-locks the
+    # sampling grid onto the zero crossings (125/1000 samples exactly zero)
+    pcm = (0.999 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+    clips = pa.table({
+        "clip_id": pa.array(["sine"], pa.string()),
+        "bytes": pa.array([encode(pcm, "f32")], pa.binary()),
+        "sr_hz": pa.array([sr], pa.int32()),
+        "codec": pa.array(["f32"], pa.string()),
+    })
+    row = clip_audio_features(rd.from_arrow(clips), concurrency=1).to_pandas().iloc[0]
+    assert row["decode_ok"]
+    assert abs(row["centroid_hz"] - 997) <= 3
+    assert abs(row["rms_cdb"] - (-302)) <= 3  # sine RMS = A/√2 → −3.02 dB
+    assert row["silence_permille"] < 10
+    assert abs(row["zcr_per_min"] - 2 * 997 * 60) <= 200  # 2 crossings/cycle
