@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "hash_sample": relational.q_hash_sample,
         "distinct_suppliers_per_flag": relational.q_distinct_suppliers_per_flag,
+        "q7_nation_trade": relational.q7_nation_trade,
 
         # statistical / profiling aggregates (ops/stats.py)
         "group_corr": stats.q_group_corr,
@@ -550,6 +551,25 @@ def oracle_sql() -> dict[str, str]:
         "distinct_suppliers_per_flag": """
             SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q7_nation_trade": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(rev) AS BIGINT) AS revenue_e4
+            FROM (
+              SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                         AS BIGINT) AS rev
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "tfidf_top": """
             WITH tok AS (

@@ -1800,3 +1800,106 @@ def q_distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
     out.columns = ["l_returnflag", "n_supp"]
     out["n_supp"] = out["n_supp"].astype(np.int64)
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ------------------------------------------- nation-pair volume (Q7)
+def q7_nation_trade(sf_dir: str, nation_a: str = "NATION_1",
+                    nation_b: str = "NATION_2") -> pd.DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by shipping year,
+    in BOTH directions (supplier in A shipping to customer in B, and vice
+    versa) — a fact table enriched from two independent dimension chains.
+
+    Scale shape: the customer chain (orders ⨝ customer for the order's
+    nation) is a distributed hash join — customer is fact-scale; the
+    supplier chain is a broadcast suppkey→nationkey dict (suppliers are
+    dimension-scale; the sharded ``ArrowBlockIndex`` path takes over past
+    one actor's heap).  The nation-pair filter collapses each batch before
+    the tiny (2 × years)-row final groupby."""
+    import ray
+
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    key2name = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+    wanted = {nation_a, nation_b}
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = {
+        int(k): key2name.get(int(v), "")
+        for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
+        if key2name.get(int(v), "") in wanted
+    }
+    supp_ref = ray.put(supp_nat)
+
+    orders_base = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = orders_base.count()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ord_nat = orders_base.join(
+        cust, join_type="inner",
+        num_partitions=adaptive_parts(n_orders, rows_per_part=250_000),
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    joined = li.join(
+        ord_nat, join_type="inner",
+        num_partitions=adaptive_parts(li.count(), rows_per_part=250_000),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        sn = maybe_get(supp_ref)
+        supp_nation = np.array(
+            [sn.get(int(k), "") for k in np.asarray(t["l_suppkey"], np.int64)],
+            dtype=object,
+        )
+        cust_nation = np.array(
+            [key2name.get(int(k), "") for k in np.asarray(t["c_nationkey"], np.int64)],
+            dtype=object,
+        )
+        keep = (((supp_nation == nation_a) & (cust_nation == nation_b))
+                | ((supp_nation == nation_b) & (cust_nation == nation_a)))
+        if not keep.any():
+            return pd.DataFrame({
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype=np.int64),
+                "revenue_e4": pd.Series([], dtype=np.int64),
+            })
+        rev = np.round(
+            np.asarray(t["l_extendedprice"], np.float64)[keep]
+            * (1.0 - np.asarray(t["l_discount"], np.float64)[keep]) * 10000.0
+        ).astype(np.int64)
+        years = np.asarray(t["l_shipdate"])[keep].astype("datetime64[Y]").astype(
+            np.int64) + 1970
+        df = pd.DataFrame({
+            "supp_nation": supp_nation[keep],
+            "cust_nation": cust_nation[keep],
+            "l_year": years,
+            "revenue_e4": rev,
+        })
+        return df.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False).sum()
+
+    out = _join_or_empty(
+        lambda: (
+            joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .sum(["revenue_e4"])
+            .to_pandas()
+        ),
+        pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                      "cust_nation": pd.Series([], dtype=object),
+                      "l_year": pd.Series([], dtype=np.int64),
+                      "revenue_e4": pd.Series([], dtype=np.int64)}),
+    )
+    if out.empty:  # zero matching pairs → aggregate yields a column-less frame
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype=np.int64),
+                             "revenue_e4": pd.Series([], dtype=np.int64)})
+    out.columns = ["supp_nation", "cust_nation", "l_year", "revenue_e4"]
+    out[["l_year", "revenue_e4"]] = out[["l_year", "revenue_e4"]].astype(np.int64)
+    return (out.sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))

@@ -115,3 +115,51 @@ def test_distinct_suppliers_per_flag(ray_session, con):
         SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""").df()
     _eq(q_distinct_suppliers_per_flag(SF), want)
+
+
+def test_q7_nation_trade(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q7_nation_trade
+
+    con.execute(f"CREATE VIEW IF NOT EXISTS supplier AS "
+                f"SELECT * FROM read_parquet('{SF}/supplier.parquet')")
+    want = con.execute("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(rev) AS BIGINT) AS revenue_e4
+        FROM (
+          SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT) AS rev
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE (n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+             OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""").df()
+    # default pair has zero rows at sf0.001: exercises the typed-empty path
+    assert len(q7_nation_trade(SF)) == len(want) == 0
+
+    # a pair that trades at this sf: full oracle parity
+    want2 = con.execute("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(rev) AS BIGINT) AS revenue_e4
+        FROM (
+          SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT) AS rev
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE (n1.n_name='NATION_11' AND n2.n_name='NATION_20')
+             OR (n1.n_name='NATION_20' AND n2.n_name='NATION_11'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""").df()
+    got2 = q7_nation_trade(SF, nation_a="NATION_11", nation_b="NATION_20")
+    assert len(got2) > 0
+    _eq(got2, want2)
