@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": relational.q_hash_sample,
         "distinct_suppliers_per_flag": relational.q_distinct_suppliers_per_flag,
         "q7_nation_trade": relational.q7_nation_trade,
+        "segments_per_nation": relational.q_segments_per_nation,
+        "percent_rank_orders": relational.q_percent_rank_orders,
+        "daily_active_users": relational.q_daily_active_users,
 
         # statistical / profiling aggregates (ops/stats.py)
         "group_corr": stats.q_group_corr,
@@ -570,6 +573,28 @@ def oracle_sql() -> dict[str, str]:
                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "segments_per_nation": """
+            SELECT n_name,
+                   string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+                       AS segments
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "percent_rank_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+                   CAST(round(percent_rank() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                                o_orderkey) * 1000000, 0) AS BIGINT) AS pr_e6
+            FROM orders
+            ORDER BY o_custkey, price_c, o_orderkey
+        """,
+        "daily_active_users": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "tfidf_top": """
             WITH tok AS (

@@ -1903,3 +1903,111 @@ def q7_nation_trade(sf_dir: str, nation_a: str = "NATION_1",
     out[["l_year", "revenue_e4"]] = out[["l_year", "revenue_e4"]].astype(np.int64)
     return (out.sort_values(["supp_nation", "cust_nation", "l_year"])
             .reset_index(drop=True))
+
+
+# ------------------------------------------- ordered string aggregation
+def q_segments_per_nation(sf_dir: str) -> pd.DataFrame:
+    """Ordered string_agg: per nation, the comma-joined SORTED DISTINCT set
+    of its customers' market segments — the list-typed aggregate pattern
+    (string_agg / array_agg with ORDER BY).  Two-level like every distinct
+    aggregate here: per-batch pair dedup (combiner) → pair-keyed shuffle
+    finishes the dedup → per-nation assembly is a trivially small sort+join
+    (≤ |nations| × |segments| rows ever reach it)."""
+
+    def local_pairs(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_nationkey": np.asarray(t["c_nationkey"], np.int64),
+            "seg": np.asarray(t["c_mktsegment"]).astype(str),
+        }).drop_duplicates()
+
+    pairs = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+        .map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["c_nationkey", "seg"]).count()
+    )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seg")
+        return pd.DataFrame({
+            "c_nationkey": [np.int64(df["c_nationkey"].iloc[0])],
+            "segments": [",".join(df["seg"])],
+        })
+
+    out = (
+        pairs.groupby("c_nationkey").map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = out.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out[["n_name", "segments"]]
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ------------------------------------------- percent_rank window
+def q_percent_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """ANSI percent_rank() PARTITION BY customer ORDER BY (price, orderkey),
+    as an exact e6 integer: (rank−1)/(n−1), 0 for singleton groups.  Window
+    partitions hash-shuffle by customer; each group ranks vectorized
+    (lexsort + arange) — nothing global, no driver pass."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_c": pa.array(_cents(np.asarray(t["o_totalprice"])), pa.int64()),
+        })
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_c", "o_orderkey"]).reset_index(drop=True)
+        n = len(g)
+        pr = (np.arange(n, dtype=np.float64) / (n - 1)) if n > 1 else np.zeros(n)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "price_c": g["price_c"].to_numpy(np.int64),
+            "pr_e6": np.round(pr * 1_000_000).astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["o_custkey", "price_c", "o_orderkey"])
+            .reset_index(drop=True)
+            [["o_orderkey", "o_custkey", "price_c", "pr_e6"]])
+
+
+# ------------------------------------------- daily distinct actives
+def q_daily_active_users(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT user) per calendar day — time-bucketed distinct
+    aggregation (date_trunc + two-level dedup): per-batch (day, user) pair
+    dedup → pair-keyed shuffle → per-day count."""
+
+    def local_pairs(t: pa.Table) -> pd.DataFrame:
+        days = np.asarray(t["ts"]).astype("datetime64[D]")
+        return pd.DataFrame({
+            "day": np.datetime_as_string(days, unit="D"),
+            "user_id": np.asarray(t["user_id"], np.int64),
+        }).drop_duplicates()
+
+    pairs = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"]).count()
+    )
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("day", as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    out = (
+        pairs.map_batches(day_partial, batch_format="pandas")
+        .groupby("day").sum(["n_users"])
+        .to_pandas()
+    )
+    out.columns = ["day", "n_users"]
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)

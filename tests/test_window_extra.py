@@ -1,0 +1,64 @@
+"""Oracle-parity (DuckDB, sf0.001) for ordered string_agg, percent_rank,
+and time-bucketed distinct actives."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("customer", "nation", "orders", "events"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _eq(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.reset_index(drop=True)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    for c in want.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+def test_segments_per_nation(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_segments_per_nation
+
+    want = con.execute("""
+        SELECT n_name,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""").df()
+    _eq(q_segments_per_nation(SF), want)
+
+
+def test_percent_rank_orders(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_percent_rank_orders
+
+    want = con.execute("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c,
+               CAST(round(percent_rank() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT), o_orderkey)
+                   * 1000000, 0) AS BIGINT) AS pr_e6
+        FROM orders ORDER BY o_custkey, price_c, o_orderkey""").df()
+    got = q_percent_rank_orders(SF)
+    # singleton customer groups must rank 0, extremes 0 and 1e6
+    assert got["pr_e6"].min() == 0
+    assert got["pr_e6"].max() == 1_000_000
+    _eq(got, want)
+
+
+def test_daily_active_users(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_daily_active_users
+
+    want = con.execute("""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1""").df()
+    got = q_daily_active_users(SF)
+    assert len(got) > 1  # multiple day buckets at this sf
+    _eq(got, want)
