@@ -93,6 +93,24 @@ def _clips_audio_features(sf_dir: str) -> Any:
     )
 
 
+def _clips_gain_normalize(sf_dir: str) -> Any:
+    """Payload→payload transform: peak-normalize every clip to −1 dBFS,
+    re-encoded in its own codec (non-SQL: PCM decode/encode; exactness in
+    tests/test_gain_normalize.py).  Returns the per-clip audit columns."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_gain_normalize
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    out = clip_gain_normalize(rd.from_arrow(clips), concurrency=2)
+    return (
+        out.select_columns(["clip_id", "codec", "normalized", "gain_e6"])
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 NGRAM_CAP_DF = 50  # df cap for the capped scale variant (mirrored in its oracle)
 
 
@@ -184,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_dup_pairs": dedup_text.q_winnow_dup_pairs,
         # payload-axis audio features (decode + DSP over clip bytes)
         "clips_audio_features": _clips_audio_features,
+        "clips_gain_normalize": _clips_gain_normalize,
         # composed training-data dedup: exact → MinHash near → embedding
         # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
         # family + chain-resolution exactness in tests/test_tiered.py)

@@ -102,3 +102,78 @@ def clip_audio_features(clips: rd.Dataset, concurrency: int | None = None,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+TARGET_PEAK = 0.89125  # −1 dBFS
+
+
+class ClipGainNormalize:
+    """Payload→payload transform stage: decode, scale to a target peak
+    (−1 dBFS), re-encode IN THE SAME CODEC, emit new bytes — the canonical
+    heavy-column rewrite (what a resample / loudness-conform / transcode
+    stage looks like).  Batches stay narrow: only the payload column is
+    rewritten; undecodable codecs pass through untouched with
+    ``normalized=False`` (same honesty contract as the feature stage).
+
+    Scale note: output bytes are the same order of magnitude as input bytes,
+    so this stage's blocks are payload-sized — write it straight to a
+    partitioned sink (``pipelines/io.py``) rather than materializing, and
+    keep ``batch_size`` small enough that batch × concurrency fits the heap.
+    """
+
+    def __init__(self, target_peak: float = TARGET_PEAK):
+        self.target = float(target_peak)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from marc_record_merge_melindautils_ray.functions.audio import encode
+
+        out_payloads: list[bytes | None] = []
+        normalized = []
+        gain_e6 = []
+        for payload, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
+            if payload is None or not is_decodable(codec):
+                out_payloads.append(payload)
+                normalized.append(False)
+                gain_e6.append(0)
+                continue
+            pcm = decode(payload, codec)
+            peak = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+            if peak <= 0.0:
+                out_payloads.append(payload)  # silence: nothing to scale
+                normalized.append(False)
+                gain_e6.append(0)
+                continue
+            g = self.target / peak
+            out_payloads.append(encode((pcm * g).astype(np.float32), codec))
+            normalized.append(True)
+            gain_e6.append(int(round(g * 1_000_000)))
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "bytes": pa.array(out_payloads, pa.binary()),
+            "sr_hz": t["sr_hz"],
+            "codec": t["codec"],
+            "normalized": pa.array(normalized, pa.bool_()),
+            "gain_e6": pa.array(gain_e6, pa.int64()),
+        })
+
+
+def clip_gain_normalize(clips: rd.Dataset, concurrency: int | None = None,
+                        batch_size: int = 128,
+                        target_peak: float = TARGET_PEAK) -> rd.Dataset:
+    """Gain-normalize every clip payload (input_hint schema in, same schema
+    out plus normalized/gain_e6 audit columns)."""
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
+    if concurrency is None:
+        try:
+            n = clips.count()
+        except Exception:
+            n = None
+        concurrency = actor_pool_size(rows=n, rows_per_actor=4000)
+    return clips.select_columns(["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
+        ClipGainNormalize,
+        fn_constructor_args=(target_peak,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
