@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         stats,
         text_analysis,
         tiered,
+        tpch_more,
     )
 
     return {
@@ -182,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segments_per_nation": relational.q_segments_per_nation,
         "percent_rank_orders": relational.q_percent_rank_orders,
         "daily_active_users": relational.q_daily_active_users,
+        # correlated / global-scalar TPC-H shapes (ops/tpch_more.py)
+        "q17_small_qty_revenue": tpch_more.q17_small_qty_revenue,
+        "q22_idle_customers": tpch_more.q22_idle_customers,
+        "q15_top_supplier": tpch_more.q15_top_supplier,
+        "q11_important_parts": tpch_more.q11_important_parts,
+        "q13_order_counts": tpch_more.q13_order_count_distribution,
 
         # statistical / profiling aggregates (ops/stats.py)
         "group_corr": stats.q_group_corr,
@@ -573,6 +580,69 @@ def oracle_sql() -> dict[str, str]:
         "distinct_suppliers_per_flag": """
             SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q17_small_qty_revenue": """
+            WITH agg AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                     CAST(count(*) AS BIGINT) AS ct
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#3' GROUP BY l_partkey)
+            SELECT COALESCE(CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT))
+                       AS BIGINT), 0) AS total_c,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN agg ON lineitem.l_partkey = agg.l_partkey
+            WHERE 5 * CAST(l_quantity AS BIGINT) * ct < sq
+        """,
+        "q22_idle_customers": """
+            WITH pos AS (
+              SELECT CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM customer WHERE CAST(round(c_acctbal*100,0) AS BIGINT) > 0)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT)
+                       AS sum_bal_c
+            FROM customer, pos
+            WHERE CAST(round(c_acctbal*100,0) AS BIGINT) * pos.n > pos.s
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0)
+                          AS BIGINT)) AS BIGINT) AS total_e4
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_e4
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT))
+                         AS BIGINT) AS value_c
+              FROM lineitem GROUP BY l_partkey)
+            SELECT p_partkey, value_c FROM v
+            WHERE value_c * (SELECT count(*) FROM v) * 2
+                  > (SELECT sum(value_c) FROM v) * 3
+            ORDER BY value_c DESC, p_partkey
+        """,
+        "q13_order_counts": """
+            WITH c_orders AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM c_orders GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "q7_nation_trade": """
             SELECT supp_nation, cust_nation, l_year,
