@@ -111,6 +111,63 @@ def _clips_gain_normalize(sf_dir: str) -> Any:
     )
 
 
+def _clips_resample(sf_dir: str) -> Any:
+    """Payload→payload transform: linear-interp resample of every clip to
+    16 kHz, re-encoded in its own codec (non-SQL: PCM decode/encode;
+    closed-form sine accuracy in tests/test_audio_transforms.py).  Returns
+    the per-clip audit columns."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import clip_resample
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    out = clip_resample(rd.from_arrow(clips), target_sr=16_000, concurrency=2)
+    return (
+        out.select_columns(["clip_id", "codec", "sr_hz", "resampled", "out_n_samples"])
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
+def _clips_silence_trim(sf_dir: str) -> Any:
+    """Payload→payload transform: strip leading/trailing silence with 20 ms
+    pads (non-SQL: PCM decode/encode; exact-boundary tests in
+    tests/test_audio_transforms.py).  Returns the per-clip audit columns."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import clip_silence_trim
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    out = clip_silence_trim(rd.from_arrow(clips), concurrency=2)
+    return (
+        out.select_columns(["clip_id", "codec", "trimmed", "trimmed_front_ms",
+                            "trimmed_back_ms", "out_dur_ms"])
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
+def _clips_segments(sf_dir: str) -> Any:
+    """1→N payload expansion: fixed 1 s windows with parent/seg lineage —
+    frame-aligned codecs slice encoded bytes with NO decode (non-SQL;
+    byte-identical-slice tests in tests/test_audio_transforms.py)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import clip_segments
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    out = clip_segments(rd.from_arrow(clips), seg_ms=1000)
+    return (
+        out.select_columns(["clip_id", "parent_id", "seg_idx", "codec",
+                            "seg_dur_ms", "segmented"])
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 NGRAM_CAP_DF = 50  # df cap for the capped scale variant (mirrored in its oracle)
 
 
@@ -210,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # payload-axis audio features (decode + DSP over clip bytes)
         "clips_audio_features": _clips_audio_features,
         "clips_gain_normalize": _clips_gain_normalize,
+        "clips_resample": _clips_resample,
+        "clips_silence_trim": _clips_silence_trim,
+        "clips_segments": _clips_segments,
         # composed training-data dedup: exact → MinHash near → embedding
         # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
         # family + chain-resolution exactness in tests/test_tiered.py)
