@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segments_per_nation": relational.q_segments_per_nation,
         "percent_rank_orders": relational.q_percent_rank_orders,
         "daily_active_users": relational.q_daily_active_users,
+        "cube_lineitem": relational.q_cube_lineitem,
+        "rank_orders": relational.q_rank_orders,
         # correlated / global-scalar TPC-H shapes (ops/tpch_more.py)
         "q17_small_qty_revenue": tpch_more.q17_small_qty_revenue,
         "q22_idle_customers": tpch_more.q22_idle_customers,
@@ -640,6 +642,25 @@ def oracle_sql() -> dict[str, str]:
         "distinct_suppliers_per_flag": """
             SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "cube_lineitem": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY rf, ls
+        """,
+        "rank_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c,
+                   CAST(rank() OVER (PARTITION BY o_custkey
+                        ORDER BY round(o_totalprice*100,0) DESC) AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY o_custkey
+                        ORDER BY round(o_totalprice*100,0) DESC) AS BIGINT) AS drnk
+            FROM orders
+            ORDER BY o_custkey, rnk, o_orderkey
         """,
         "q17_small_qty_revenue": """
             WITH agg AS (

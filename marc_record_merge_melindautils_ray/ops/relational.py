@@ -2011,3 +2011,88 @@ def q_daily_active_users(sf_dir: str) -> pd.DataFrame:
     out.columns = ["day", "n_users"]
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)
+
+
+# ------------------------------------------- CUBE super-aggregates
+def q_cube_lineitem(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four aggregation
+    levels (leaf, by flag, by status, grand total).  Like the ROLLUP
+    operator, every super-aggregate derives from the tiny leaf table — the
+    fact table is scanned ONCE; at 100 TB the cube costs one combiner
+    shuffle plus driver arithmetic on a |flags|×|statuses| frame."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "sum_qty": np.asarray(t["l_quantity"], np.float64).astype(np.int64),
+            "n": np.ones(len(t), np.int64),
+        })
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "n"])
+        .to_pandas()
+    )
+    leaf.columns = ["rf", "ls", "sum_qty", "n"]
+    by_rf = leaf.groupby("rf", as_index=False)[["sum_qty", "n"]].sum()
+    by_rf["ls"] = "ALL"
+    by_ls = leaf.groupby("ls", as_index=False)[["sum_qty", "n"]].sum()
+    by_ls["rf"] = "ALL"
+    total = pd.DataFrame({"rf": ["ALL"], "ls": ["ALL"],
+                          "sum_qty": [leaf["sum_qty"].sum()],
+                          "n": [leaf["n"].sum()]})
+    out = pd.concat([leaf, by_rf, by_ls, total],
+                    ignore_index=True)[["rf", "ls", "sum_qty", "n"]]
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["rf", "ls"]).reset_index(drop=True)
+
+
+# ------------------------------------------- RANK / DENSE_RANK with ties
+def q_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """ANSI rank() and dense_rank() PARTITION BY customer ORDER BY price
+    DESC — ties share a rank (rank skips, dense_rank doesn't), which is the
+    semantics ROW_NUMBER-based top-k can't express.  Window partitions
+    hash-shuffle by customer; each group ranks vectorized (sort + first-
+    occurrence index for rank, cumulative-unique for dense_rank)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_c": pa.array(_cents(np.asarray(t["o_totalprice"])), pa.int64()),
+        })
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_c", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+        price = g["price_c"].to_numpy(np.int64)
+        new_val = np.ones(len(g), bool)
+        new_val[1:] = price[1:] != price[:-1]
+        # rank: 1-based index of each value's FIRST row; dense: running count
+        idx = np.arange(len(g), dtype=np.int64)
+        first_idx = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rnk = first_idx + 1
+        drnk = np.cumsum(new_val).astype(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "price_c": price,
+            "rnk": rnk,
+            "drnk": drnk,
+        })
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["o_custkey", "rnk", "o_orderkey"])
+            .reset_index(drop=True)
+            [["o_orderkey", "o_custkey", "price_c", "rnk", "drnk"]])

@@ -202,3 +202,53 @@ def test_q13_zero_bucket(ray_session):
     assert dict(zip(got["c_count"], got["custdist"])) == {0: 2, 1: 1, 2: 1}
     # ordering: custdist desc, c_count desc
     assert got["c_count"].tolist() == [0, 2, 1]
+
+
+def test_cube_lineitem(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_cube_lineitem
+
+    want = con.execute("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""").df()
+    _eq(q_cube_lineitem(SF), want)
+
+
+def test_rank_orders(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_rank_orders
+
+    want = con.execute("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c,
+               CAST(rank() OVER (PARTITION BY o_custkey
+                    ORDER BY round(o_totalprice*100,0) DESC) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY o_custkey
+                    ORDER BY round(o_totalprice*100,0) DESC) AS BIGINT) AS drnk
+        FROM orders ORDER BY o_custkey, rnk, o_orderkey""").df()
+    _eq(q_rank_orders(SF), want)
+
+
+def test_rank_ties_semantics(ray_session):
+    """rank skips after a tie, dense_rank doesn't — pinned on a constructed
+    partition with a 2-way tie at the top."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = "/tmp/rank_ties"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([7, 7, 7], pa.int64()),
+        "o_totalprice": pa.array([50.0, 50.0, 10.0]),
+    }), f"{tmp}/orders.parquet")
+
+    from marc_record_merge_melindautils_ray.ops.relational import q_rank_orders
+
+    got = q_rank_orders(tmp)
+    assert got["rnk"].tolist() == [1, 1, 3]
+    assert got["drnk"].tolist() == [1, 1, 2]
