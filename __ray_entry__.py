@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segments_per_nation": relational.q_segments_per_nation,
         "percent_rank_orders": relational.q_percent_rank_orders,
         "daily_active_users": relational.q_daily_active_users,
+        # grouped mergeable sketch: approx distinct users per event type
+        # (non-SQL fold; ≤5% accuracy + block-layout invariance in
+        # tests/test_sketches.py)
+        "hll_users_per_type": sketches.q_hll_users_per_type,
         "cube_lineitem": relational.q_cube_lineitem,
         "rank_orders": relational.q_rank_orders,
         # correlated / global-scalar TPC-H shapes (ops/tpch_more.py)

@@ -162,3 +162,71 @@ def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
             dtype=np.int64,
         ),
     })
+
+
+# ----------------------------------------------------- grouped HyperLogLog
+def hll_distinct_by(ds: rd.Dataset, group_col: str, key_col: str,
+                    p: int = HLL_P) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT key_col) GROUP BY group_col — the sketch
+    path for grouped distinct counts whose key sets are too large to
+    shuffle.  Per batch, ONE vectorized pass computes every present group's
+    register partial (flat ``group_idx·m + register_idx`` scatter-max, no
+    per-group Python loop); the shuffle then carries one 2^p-byte blob per
+    (group, batch) — O(groups × batches), independent of key cardinality —
+    and ``map_groups`` folds register-wise max and estimates.
+
+    Partitioning assumption: group cardinality is the SMALL side (flags,
+    types, languages).  For high-cardinality groups the blobs dominate and
+    the exact pair-dedup path (``q_distinct_suppliers_per_flag``) is the
+    right operator instead."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = np.asarray(t[group_col]).astype(str)
+        k = np.asarray(t[key_col]).view(np.uint64)
+        uniq, g_idx = np.unique(g, return_inverse=True)
+        with np.errstate(over="ignore"):
+            h = splitmix64(k)
+        reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        bl = np.zeros(len(rest), np.int64)
+        r = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = r >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            r[big] >>= np.uint64(shift)
+        bl += (r >= 1).astype(np.int64)
+        rho = (64 - bl + 1).astype(np.int8)
+        regs = np.zeros(len(uniq) * m, np.int8)
+        np.maximum.at(regs, g_idx * m + reg_idx, rho)
+        return pa.table({
+            group_col: pa.array(uniq, pa.string()),
+            "regs": pa.array([regs[i * m:(i + 1) * m].tobytes()
+                              for i in range(len(uniq))], pa.binary()),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, np.int8)
+        for blob in df["regs"]:
+            np.maximum(regs, np.frombuffer(blob, np.int8), out=regs)
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            "approx_distinct": [np.int64(round(hll_estimate(regs)))],
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["approx_distinct"] = out["approx_distinct"].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def q_hll_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users PER EVENT TYPE (grouped sketch; accuracy
+    vs the exact grouped distinct and block-layout invariance are asserted
+    in tests/test_sketches.py)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct_by(ds, "event_type", "user_id")

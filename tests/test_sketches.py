@@ -49,3 +49,29 @@ def test_quantile_sketch_accuracy(ray_session):
         exact = float(np.quantile(vals, q / 100))
         # histogram error bound: one bin width plus interpolation slack
         assert abs(got[q] / 1000 - exact) <= spread / 8192 * 2 + 1e-9, (q, got[q], exact)
+
+
+def test_hll_grouped_accuracy_and_layout_invariance(ray_session):
+    """Per-group estimates within the HLL error bound of the exact grouped
+    distinct, and IDENTICAL across different block layouts (register max is
+    associative/commutative, so batch boundaries can't change the answer)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.sketches import hll_distinct_by
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    exact = (
+        t.to_pandas().groupby("event_type")["user_id"].nunique().sort_index()
+    )
+
+    a = hll_distinct_by(rd.from_arrow(t), "event_type", "user_id")
+    b = hll_distinct_by(
+        rd.from_arrow(t).repartition(7), "event_type", "user_id")
+    assert a["event_type"].tolist() == b["event_type"].tolist()
+    assert a["approx_distinct"].tolist() == b["approx_distinct"].tolist()
+
+    assert a["event_type"].tolist() == exact.index.tolist()
+    for g, got in zip(a["event_type"], a["approx_distinct"]):
+        want = int(exact[g])
+        assert abs(got - want) / want < 0.05, (g, got, want)
