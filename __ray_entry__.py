@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_sketches.py)
         "hll_users_per_type": sketches.q_hll_users_per_type,
         "cube_lineitem": relational.q_cube_lineitem,
+        "hopping_window": relational.q_hopping_window,
         "rank_orders": relational.q_rank_orders,
         # correlated / global-scalar TPC-H shapes (ops/tpch_more.py)
         "q17_small_qty_revenue": tpch_more.q17_small_qty_revenue,
@@ -646,6 +647,15 @@ def oracle_sql() -> dict[str, str]:
         "distinct_suppliers_per_flag": """
             SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "hopping_window": """
+            SELECT CAST(epoch_us(ts) // 900000000 - off AS BIGINT)
+                       AS window_start_slot,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS off) offs
+            GROUP BY 1 ORDER BY 1
         """,
         "cube_lineitem": """
             SELECT COALESCE(l_returnflag, 'ALL') AS rf,

@@ -2096,3 +2096,48 @@ def q_rank_orders(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["o_custkey", "rnk", "o_orderkey"])
             .reset_index(drop=True)
             [["o_orderkey", "o_custkey", "price_c", "rnk", "drnk"]])
+
+
+# ------------------------------------------- hopping-window aggregate
+def q_hopping_window(sf_dir: str, window_min: int = 60,
+                     hop_min: int = 15) -> pd.DataFrame:
+    """Hopping (sliding-with-stride) event-time windows: per 60-minute
+    window advancing every 15 minutes, event count + value sum — the
+    overlapping-window sibling of the tumbling ``events_hourly``.
+
+    Scale shape: each event expands to its ``window/hop`` covering windows
+    VECTORIZED (np.repeat + tiled offsets — the expansion factor is the
+    constant 4, not data-dependent), then per-batch partials combine before
+    one small groupby keyed on window start.  Only windows an event actually
+    covers are emitted, so the output is bounded by active windows, never
+    the time axis."""
+    assert window_min % hop_min == 0, "window must be a multiple of hop"
+    k = window_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        cents = _cents(np.asarray(t["value"]))
+        slot = ts // hop_us  # last hop-slot whose window contains the event
+        # windows starting at slot-k+1 .. slot cover the event
+        starts = (np.repeat(slot, k)
+                  - np.tile(np.arange(k - 1, -1, -1, dtype=np.int64), len(slot)))
+        df = pd.DataFrame({
+            "window_start_slot": starts,
+            "n_events": np.ones(len(starts), np.int64),
+            "sum_value_cents": np.repeat(cents, k),
+        })
+        return df.groupby("window_start_slot", as_index=False).sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start_slot")
+        .sum(["n_events", "sum_value_cents"])
+        .to_pandas()
+    )
+    out.columns = ["window_start_slot", "n_events", "sum_value_cents"]
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value_cents"] = out["sum_value_cents"].astype(np.int64)
+    return out.sort_values("window_start_slot").reset_index(drop=True)

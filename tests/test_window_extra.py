@@ -62,3 +62,29 @@ def test_daily_active_users(ray_session, con):
     got = q_daily_active_users(SF)
     assert len(got) > 1  # multiple day buckets at this sf
     _eq(got, want)
+
+
+def test_hopping_window_oracle(ray_session):
+    """60-min windows hopping every 15 min vs the DuckDB window-expansion
+    oracle, plus the coverage invariant sum(window counts) == 4 × events."""
+    import duckdb
+
+    from marc_record_merge_melindautils_ray.ops.relational import q_hopping_window
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = con.execute("""
+        SELECT CAST(epoch_us(ts) // 900000000 - off AS BIGINT) AS window_start_slot,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS off) offs
+        GROUP BY 1 ORDER BY 1""").df()
+    got = q_hopping_window(sf)
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert int(got["n_events"].sum()) == 4 * n_events
