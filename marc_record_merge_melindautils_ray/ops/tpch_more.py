@@ -27,12 +27,21 @@ from marc_record_merge_melindautils_ray.functions.util import maybe_get, sorted_
 from marc_record_merge_melindautils_ray.ops.relational import _cents, _read
 
 
-def _collect_int64(ds: rd.Dataset, col: str) -> np.ndarray:
-    """Materialize one small int64 column (a grouped / dimension-sized
-    result, never a fact table) into a sorted numpy array on the driver."""
-    parts = [np.asarray(t[col], np.int64) for t in
-             ds.select_columns([col]).iter_batches(batch_format="pyarrow")
-             if len(t)]
+def _key_refs(ds: rd.Dataset):
+    """Materialize a keyed Dataset into object-store block refs — the
+    broadcast-key-set idiom: the DRIVER only ever holds ObjectRefs; each
+    consumer task assembles its sorted key array from the refs inside the
+    worker (so a dimension-sized key set never lands in driver heap)."""
+    return ds.materialize().to_arrow_refs()
+
+
+def _assemble_int64(refs, col: str) -> np.ndarray:
+    """Worker-side: concatenate + sort one int64 column from block refs."""
+    parts = []
+    for r in refs:
+        t = maybe_get(r)
+        if len(t) and col in t.column_names:
+            parts.append(np.asarray(t[col], np.int64))
     return np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
 
 
@@ -48,11 +57,10 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#3") -> pd.DataFrame:
     per partkey — a part-dimension-sized result.  The avg gate is evaluated
     in EXACT integers (quantities are integral): ``l_quantity < 0.2 *
     (sum/cnt)`` ⟺ ``5·qty·cnt < sum_qty``, so no float division can
-    disagree with the oracle.  Pass 2 broadcasts the (partkey → sum, cnt)
-    arrays once via the object store and reduces to one (total_c, n_lines)
-    row via per-batch partials."""
-    import ray
-
+    disagree with the oracle.  Both side tables (brand partkeys, per-part
+    aggregates) travel as object-store block refs assembled INSIDE each
+    worker — the driver never holds a key array (the repo's broadcast-key
+    idiom; a Bloom pre-filter is the >10⁸-key escalation)."""
     bp = (
         _read(sf_dir, "part", ["p_partkey", "p_brand"])
         .map_batches(
@@ -61,14 +69,13 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#3") -> pd.DataFrame:
             batch_format="pyarrow",
         )
     )
-    brand_keys = _collect_int64(bp, "k")
-    key_ref = ray.put(brand_keys)
+    key_refs = tuple(_key_refs(bp))
 
     class BrandQty:
         """Pass-1 kernel: prune to brand parts, partial (sum_qty, cnt)."""
 
-        def __init__(self, ref):
-            self.keys = maybe_get(ref)
+        def __init__(self, refs):
+            self.keys = _assemble_int64(refs, "k")
 
         def __call__(self, t: pa.Table) -> pd.DataFrame:
             pk = np.asarray(t["l_partkey"], np.int64)
@@ -80,26 +87,33 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#3") -> pd.DataFrame:
 
     per_part = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-        .map_batches(task_stage(BrandQty, (key_ref,), key=("q17a", key_ref)),
+        .map_batches(task_stage(BrandQty, (key_refs,), key=("q17a", *key_refs)),
                      batch_format="pyarrow")
         .groupby("l_partkey")
         .sum(["sum_qty", "cnt"])
-        .to_pandas()
     )
-    if len(per_part) == 0:
+    per_part = per_part.materialize()
+    if per_part.count() == 0:  # metadata-only on a materialized dataset
         return pd.DataFrame({"total_c": [0], "n_lines": [0]})
-    pk_sorted = per_part["l_partkey"].to_numpy(np.int64)
-    order = np.argsort(pk_sorted)
-    pk_sorted = pk_sorted[order]
-    sums = per_part["sum(sum_qty)"].to_numpy(np.int64)[order]
-    cnts = per_part["sum(cnt)"].to_numpy(np.int64)[order]
-    agg_ref = ray.put((pk_sorted, sums, cnts))
+    agg_refs = tuple(per_part.to_arrow_refs())
 
     class SmallQtyGate:
-        """Pass-2 kernel: exact-integer correlated gate + revenue partial."""
+        """Pass-2 kernel: exact-integer correlated gate + revenue partial.
+        The per-part aggregate table assembles from block refs in-worker."""
 
-        def __init__(self, ref):
-            self.pk, self.sums, self.cnts = maybe_get(ref)
+        def __init__(self, refs):
+            pk_parts, sum_parts, cnt_parts = [], [], []
+            for r in refs:
+                t = maybe_get(r)
+                if len(t):
+                    pk_parts.append(np.asarray(t["l_partkey"], np.int64))
+                    sum_parts.append(np.asarray(t["sum(sum_qty)"], np.int64))
+                    cnt_parts.append(np.asarray(t["sum(cnt)"], np.int64))
+            pk = np.concatenate(pk_parts)
+            order = np.argsort(pk)
+            self.pk = pk[order]
+            self.sums = np.concatenate(sum_parts)[order]
+            self.cnts = np.concatenate(cnt_parts)[order]
 
         def __call__(self, t: pa.Table) -> pd.DataFrame:
             pk = np.asarray(t["l_partkey"], np.int64)
@@ -115,7 +129,7 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#3") -> pd.DataFrame:
 
     sums_row = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
-        .map_batches(task_stage(SmallQtyGate, (agg_ref,), key=("q17b", agg_ref)),
+        .map_batches(task_stage(SmallQtyGate, (agg_refs,), key=("q17b", *agg_refs)),
                      batch_format="pyarrow")
         .sum(["total_c", "n_lines"])
     )
@@ -135,10 +149,10 @@ def q22_idle_customers(sf_dir: str, priority: str = "1-URGENT") -> pd.DataFrame:
     n_positive) per-batch partials → one row), then the comparison runs in
     exact integers — ``bal > avg`` ⟺ ``bal_c·n > sum_c`` — so Ray and the
     float-free oracle SQL agree exactly.  The "no orders" gate is the
-    broadcast anti-join idiom (distinct o_custkey computed in Ray, shipped
-    once as sorted keys; Bloom filter at 100 TB).  Output is a
-    segment-cardinality groupby — never the customer table itself."""
-    import ray
+    broadcast anti-join idiom: distinct o_custkey computed in Ray and
+    carried as object-store block refs assembled in-worker (the driver holds
+    refs only; Bloom filter at 100 TB).  Output is a segment-cardinality
+    groupby — never the customer table itself."""
 
     def bal_partial(t: pa.Table) -> pd.DataFrame:
         cents = _cents(np.asarray(t["c_acctbal"], np.float64))
@@ -164,11 +178,11 @@ def q22_idle_customers(sf_dir: str, priority: str = "1-URGENT") -> pd.DataFrame:
         .groupby("k")
         .count()
     )
-    ordered_keys_ref = ray.put(_collect_int64(ordered, "k"))
+    ordered_refs = tuple(_key_refs(ordered))
 
     class IdleRich:
-        def __init__(self, keys_ref, sum_c, n_pos):
-            self.keys = maybe_get(keys_ref)
+        def __init__(self, refs, sum_c, n_pos):
+            self.keys = _assemble_int64(refs, "k")
             self.sum_c, self.n_pos = sum_c, n_pos
 
         def __call__(self, t: pa.Table) -> pd.DataFrame:
@@ -185,8 +199,8 @@ def q22_idle_customers(sf_dir: str, priority: str = "1-URGENT") -> pd.DataFrame:
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
         .map_batches(
-            task_stage(IdleRich, (ordered_keys_ref, sum_c, n_pos),
-                       key=("q22", ordered_keys_ref, sum_c, n_pos)),
+            task_stage(IdleRich, (ordered_refs, sum_c, n_pos),
+                       key=("q22", sum_c, n_pos, *ordered_refs)),
             batch_format="pyarrow",
         )
         .groupby("c_mktsegment")
