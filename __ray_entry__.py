@@ -168,6 +168,24 @@ def _clips_segments(sf_dir: str) -> Any:
     )
 
 
+def _clips_transcode(sf_dir: str) -> Any:
+    """Payload→payload conform: re-encode every decodable clip as pcm16 with
+    a per-row round-trip SNR audit (non-SQL: PCM decode/encode; SNR-audit
+    exactness in tests/test_audio_transforms.py)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import clip_transcode
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    out = clip_transcode(rd.from_arrow(clips), target_codec="pcm16", concurrency=2)
+    return (
+        out.select_columns(["clip_id", "codec", "transcoded", "roundtrip_snr_cdb"])
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 NGRAM_CAP_DF = 50  # df cap for the capped scale variant (mirrored in its oracle)
 
 
@@ -277,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_resample": _clips_resample,
         "clips_silence_trim": _clips_silence_trim,
         "clips_segments": _clips_segments,
+        "clips_transcode": _clips_transcode,
         # composed training-data dedup: exact → MinHash near → embedding
         # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
         # family + chain-resolution exactness in tests/test_tiered.py)

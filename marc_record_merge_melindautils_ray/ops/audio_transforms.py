@@ -277,3 +277,63 @@ def clip_segments(clips: rd.Dataset, seg_ms: int = 1000,
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+# -------------------------------------------------------------- transcode
+class ClipTranscode:
+    """Re-encode every decodable clip in ``target_codec`` — the conform
+    stage a mixed-codec corpus runs before fingerprinting so signatures
+    compare like-for-like.  Emits the measured round-trip SNR (centi-dB,
+    int; -1 when source == target and bytes pass through) so lossy
+    conversions are auditable per row instead of silently degrading
+    downstream dedup.  Undecodable sources pass through byte-identical."""
+
+    def __init__(self, target_codec: str = "pcm16"):
+        if target_codec not in _FRAME_BYTES:
+            raise ValueError(f"no encoder for target codec {target_codec!r}")
+        self.target = target_codec
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from marc_record_merge_melindautils_ray.functions.audio import snr_db
+
+        out_payloads: list[bytes | None] = []
+        out_codecs: list[str] = []
+        transcoded: list[bool] = []
+        snr_cdb: list[int] = []
+        for payload, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
+            if payload is None or not is_decodable(codec) or codec == self.target:
+                out_payloads.append(payload)
+                out_codecs.append(codec)
+                transcoded.append(False)
+                snr_cdb.append(-1)
+                continue
+            pcm = decode(payload, codec)
+            new_payload = encode(pcm, self.target)
+            out_payloads.append(new_payload)
+            out_codecs.append(self.target)
+            transcoded.append(True)
+            back = decode(new_payload, self.target)
+            s = snr_db(pcm, back)
+            snr_cdb.append(int(round(min(s, 120.0) * 100)))
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "bytes": pa.array(out_payloads, pa.binary()),
+            "sr_hz": t["sr_hz"],
+            "codec": pa.array(out_codecs, pa.string()),
+            "transcoded": pa.array(transcoded, pa.bool_()),
+            "roundtrip_snr_cdb": pa.array(snr_cdb, pa.int64()),
+        })
+
+
+def clip_transcode(clips: rd.Dataset, target_codec: str = "pcm16",
+                   concurrency: int | None = None,
+                   batch_size: int = 128) -> rd.Dataset:
+    """Conform every clip payload to ``target_codec`` (input_hint schema in,
+    same schema out plus transcoded/roundtrip_snr_cdb audit columns)."""
+    return clips.select_columns(["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
+        ClipTranscode,
+        fn_constructor_args=(target_codec,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool(clips, concurrency),
+    )

@@ -220,3 +220,54 @@ def test_transforms_on_synth_corpus_deterministic(ray_session, corpus):
     trimmed = t1[t1["trimmed"]]
     if len(trimmed):
         assert (trimmed["trimmed_front_ms"] + trimmed["trimmed_back_ms"] > 0).all()
+
+
+# ---------------------------------------------------------------- transcode
+def test_transcode_conforms_and_audits_snr(ray_session):
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.functions.audio import decode, encode, snr_db
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import clip_transcode
+
+    sr = 8000
+    sig = _sine(sr, 1.0, amp=0.5)
+    clips = _clips_table([
+        {"clip_id": "u", "bytes": encode(sig, "ulaw"), "sr_hz": sr, "codec": "ulaw"},
+        {"clip_id": "f", "bytes": encode(sig, "f32"), "sr_hz": sr, "codec": "f32"},
+        {"clip_id": "same", "bytes": encode(sig, "pcm16"), "sr_hz": sr,
+         "codec": "pcm16"},
+        {"clip_id": "stub", "bytes": b"\x09", "sr_hz": sr, "codec": "mp3"},
+    ])
+    out = clip_transcode(rd.from_arrow(clips), target_codec="pcm16",
+                         concurrency=2).to_pandas().set_index("clip_id")
+
+    # lossy source: output decodes within the G.711 fidelity of its own
+    # decoded PCM, and the audited SNR matches a direct measurement
+    row = out.loc["u"]
+    assert row["transcoded"] and row["codec"] == "pcm16"
+    src = decode(encode(sig, "ulaw"), "ulaw")
+    got = decode(bytes(row["bytes"]), "pcm16")
+    direct = snr_db(src, got)
+    assert direct > 35.0
+    assert abs(row["roundtrip_snr_cdb"] - round(min(direct, 120.0) * 100)) <= 1
+
+    # lossless-ish source: pcm16 quantization ≈ 96 dB, capped at 120
+    assert out.loc["f", "transcoded"]
+    assert out.loc["f", "roundtrip_snr_cdb"] > 80 * 100
+
+    # already at target / undecodable: byte-identical passthrough
+    assert not out.loc["same", "transcoded"]
+    assert bytes(out.loc["same", "bytes"]) == encode(sig, "pcm16")
+    assert out.loc["same", "roundtrip_snr_cdb"] == -1
+    assert not out.loc["stub", "transcoded"]
+    assert bytes(out.loc["stub", "bytes"]) == b"\x09"
+    assert out.loc["stub", "codec"] == "mp3"
+
+
+def test_transcode_rejects_stub_target(ray_session):
+    import pytest as _pytest
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import ClipTranscode
+
+    with _pytest.raises(ValueError):
+        ClipTranscode("mp3")
