@@ -186,6 +186,24 @@ def _clips_transcode(sf_dir: str) -> Any:
     )
 
 
+def _clips_prep_features(sf_dir: str) -> Any:
+    """Composed payload-prep chain (silence-trim → transcode-conform →
+    feature extraction) as one lazy three-actor-pool Dataset pipeline —
+    payload blocks stream stage-to-stage, no intermediate materialization
+    (non-SQL; lazy≡eager equivalence in tests/test_audio_transforms.py)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import clip_prep_features
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    return (
+        clip_prep_features(rd.from_arrow(clips), concurrency=2)
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 NGRAM_CAP_DF = 50  # df cap for the capped scale variant (mirrored in its oracle)
 
 
@@ -296,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_silence_trim": _clips_silence_trim,
         "clips_segments": _clips_segments,
         "clips_transcode": _clips_transcode,
+        "clips_prep_features": _clips_prep_features,
         # composed training-data dedup: exact → MinHash near → embedding
         # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
         # family + chain-resolution exactness in tests/test_tiered.py)

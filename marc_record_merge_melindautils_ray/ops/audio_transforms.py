@@ -337,3 +337,42 @@ def clip_transcode(clips: rd.Dataset, target_codec: str = "pcm16",
         batch_size=batch_size,
         concurrency=_pool(clips, concurrency),
     )
+
+
+# ---------------------------------------------------------- composed prep
+def clip_prep_features(clips: rd.Dataset, target_codec: str = "pcm16",
+                       trim_thresh: float = 0.01, pad_ms: int = 20,
+                       concurrency: int | None = None,
+                       batch_size: int = 128) -> rd.Dataset:
+    """The composed payload-prep chain a corpus runs before fingerprinting:
+    silence-trim → transcode-conform → feature extraction, as ONE lazy
+    Dataset pipeline — three actor-pool stages back to back, payload blocks
+    streaming stage-to-stage through the object store with no intermediate
+    materialization and no driver pass.  Returns the narrow feature table
+    (payload bytes die inside the last stage)."""
+    from marc_record_merge_melindautils_ray.ops.audio_features import ClipAudioFeatures
+
+    conc = _pool(clips, concurrency)
+    trimmed = clips.select_columns(
+        ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]).map_batches(
+        ClipSilenceTrim,
+        fn_constructor_args=(trim_thresh, pad_ms),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=conc,
+    )
+    conformed = trimmed.select_columns(
+        ["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
+        ClipTranscode,
+        fn_constructor_args=(target_codec,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=conc,
+    )
+    return conformed.select_columns(
+        ["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
+        ClipAudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=conc,
+    )

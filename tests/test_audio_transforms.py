@@ -271,3 +271,35 @@ def test_transcode_rejects_stub_target(ray_session):
 
     with _pytest.raises(ValueError):
         ClipTranscode("mp3")
+
+
+# ------------------------------------------------------------ composed prep
+def test_prep_chain_matches_eager_composition(ray_session, corpus):
+    """The lazy trim→transcode→features chain equals running each stage
+    eagerly on the full corpus (all codec classes incl. stubs), row for row."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_audio_features
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import (
+        clip_prep_features,
+        clip_silence_trim,
+        clip_transcode,
+    )
+
+    clips, _, _ = corpus
+    lazy = (clip_prep_features(rd.from_arrow(clips), concurrency=2)
+            .to_pandas().sort_values("clip_id").reset_index(drop=True))
+
+    trimmed = clip_silence_trim(rd.from_arrow(clips), concurrency=2)
+    conformed = clip_transcode(
+        trimmed.select_columns(["clip_id", "bytes", "sr_hz", "codec"]),
+        concurrency=2)
+    eager = (clip_audio_features(conformed, concurrency=2)
+             .to_pandas().sort_values("clip_id").reset_index(drop=True))
+
+    assert len(lazy) == clips.num_rows
+    for col in ("clip_id", "decode_ok", "n_samples", "rms_cdb",
+                "silence_permille", "zcr_per_min", "centroid_hz"):
+        assert lazy[col].tolist() == eager[col].tolist(), col
+    # decodable rows survive the chain decodable
+    assert lazy["decode_ok"].sum() > 0
