@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": relational.q10_returned_items,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "hash_sample": relational.q_hash_sample,
+        "stratified_sample": relational.q_stratified_sample,
         "distinct_suppliers_per_flag": relational.q_distinct_suppliers_per_flag,
         "q7_nation_trade": relational.q7_nation_trade,
         "segments_per_nation": relational.q_segments_per_nation,
@@ -685,6 +686,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_suppliers_per_flag": """
             SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "stratified_sample": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c
+            FROM lineitem
+            WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
+                  < CASE l_returnflag
+                        WHEN 'R' THEN 2147483648
+                        WHEN 'A' THEN 536870912
+                        ELSE 134217728 END
         """,
         "hopping_window": """
             SELECT CAST(epoch_us(ts) // 900000000 - off AS BIGINT)

@@ -2141,3 +2141,46 @@ def q_hopping_window(sf_dir: str, window_min: int = 60,
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value_cents"] = out["sum_value_cents"].astype(np.int64)
     return out.sort_values("window_start_slot").reset_index(drop=True)
+
+
+# ------------------------------------------- stratified hash sampling
+_STRATA_RATES = (  # (l_returnflag value, rate_num, rate_den) — AND default
+    ("R", 1, 2),    # oversample the rare/interesting stratum
+    ("A", 1, 8),
+)
+_STRATA_DEFAULT = (1, 32)
+
+
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic STRATIFIED sampling: a different multiplicative-hash
+    keep-rate per stratum (returnflag here; language/quality tier in a
+    training corpus) — how a pipeline over-samples rare strata without a
+    shuffle or a seed exchange.  Same pure-integer predicate as
+    ``q_hash_sample``, so the SAME rows are selected on any cluster size,
+    any block layout, and in the SQL oracle; per-row thresholds assemble
+    vectorized from the stratum column (no per-row Python)."""
+    flags = [f for f, _, _ in _STRATA_RATES]
+    threshs = np.array(
+        [(_SAMPLE_MOD * n) // d for _, n, d in _STRATA_RATES]
+        + [(_SAMPLE_MOD * _STRATA_DEFAULT[0]) // _STRATA_DEFAULT[1]],
+        np.uint64)
+
+    def kern(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"], np.uint64)
+        ln = np.asarray(t["l_linenumber"], np.uint64)
+        h = (ok * np.uint64(_SAMPLE_MULT) + ln * np.uint64(_SAMPLE_MIX)) % np.uint64(_SAMPLE_MOD)
+        rf = np.asarray(t["l_returnflag"]).astype(str)
+        stratum = np.full(len(rf), len(flags), np.int64)  # default bucket
+        for i, f in enumerate(flags):
+            stratum[rf == f] = i
+        t = t.filter(pa.array(h < threshs[stratum]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "l_returnflag": t["l_returnflag"],
+            "qty_c": pa.array(_cents(np.asarray(t["l_quantity"])), pa.int64()),
+        })
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+                 ).map_batches(kern, batch_format="pyarrow")

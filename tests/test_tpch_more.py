@@ -252,3 +252,31 @@ def test_rank_ties_semantics(ray_session):
     got = q_rank_orders(tmp)
     assert got["rnk"].tolist() == [1, 1, 3]
     assert got["drnk"].tolist() == [1, 1, 2]
+
+
+def test_stratified_sample_oracle(ray_session, con):
+    """Per-stratum keep-rates select exactly the oracle's rows, and the
+    oversampled stratum keeps a visibly higher fraction."""
+    from marc_record_merge_melindautils_ray.ops.relational import q_stratified_sample
+
+    want = con.execute("""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c
+        FROM lineitem
+        WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
+              < CASE l_returnflag
+                    WHEN 'R' THEN 2147483648
+                    WHEN 'A' THEN 536870912
+                    ELSE 134217728 END
+        ORDER BY l_orderkey, l_linenumber, l_returnflag, qty_c""").df()
+    got = (q_stratified_sample(SF).to_pandas()
+           .sort_values(["l_orderkey", "l_linenumber", "l_returnflag", "qty_c"])
+           .reset_index(drop=True))
+    _eq(got, want)
+
+    totals = con.execute(
+        "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").df()
+    totals = dict(zip(totals.iloc[:, 0], totals.iloc[:, 1]))
+    kept = got.groupby("l_returnflag").size()
+    assert kept["R"] / totals["R"] > 0.4          # ~1/2
+    assert kept["R"] / totals["R"] > 2 * kept["A"] / totals["A"]  # R oversampled
