@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": relational.q5_region_revenue,
         "left_join_counts": relational.q_left_join_counts,
         "except_keys": relational.q_except_keys,
+        "intersect_keys": relational.q_intersect_keys,
         "q4_order_priority": relational.q4_order_priority,
         "q12_priority_lines": relational.q12_priority_lines,
         "q14_promo_revenue": relational.q14_promo_revenue,
@@ -859,6 +860,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_custkey AS c_custkey FROM orders
             WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
             EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+            ORDER BY c_custkey
+        """,
+        "intersect_keys": """
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+            INTERSECT
             SELECT DISTINCT o_custkey FROM orders
             WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
             ORDER BY c_custkey

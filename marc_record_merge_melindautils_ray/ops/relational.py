@@ -2184,3 +2184,39 @@ def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     return _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
                  ).map_batches(kern, batch_format="pyarrow")
+
+
+# ------------------------------------------- keyset INTERSECT
+def q_intersect_keys(sf_dir: str, year_a: int = 1995,
+                     year_b: int = 1996) -> pd.DataFrame:
+    """Key-set INTERSECT without a join: customers with orders in BOTH
+    ``year_a`` and ``year_b`` — the companion of ``q_except_keys``, same
+    single-pass flag-aggregate shape (set intersection as a groupby over
+    per-batch membership partials, no self-join shuffle)."""
+    a_lo, a_hi = np.datetime64(f"{year_a}-01-01", "us"), np.datetime64(f"{year_a + 1}-01-01", "us")
+    b_lo, b_hi = np.datetime64(f"{year_b}-01-01", "us"), np.datetime64(f"{year_b + 1}-01-01", "us")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = np.asarray(t["o_orderdate"]).astype("datetime64[us]")
+        in_a = ((d >= a_lo) & (d < a_hi)).astype(np.int64)
+        in_b = ((d >= b_lo) & (d < b_hi)).astype(np.int64)
+        df = pd.DataFrame({
+            "c_custkey": np.asarray(t["o_custkey"], np.int64),
+            "in_a": in_a, "in_b": in_b,
+        })
+        df = df[(df["in_a"] > 0) | (df["in_b"] > 0)]
+        return df.groupby("c_custkey", as_index=False).sum()
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .sum(["in_a", "in_b"])
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64)})
+    agg.columns = ["c_custkey", "in_a", "in_b"]
+    out = agg[(agg["in_a"] > 0) & (agg["in_b"] > 0)][["c_custkey"]]
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)

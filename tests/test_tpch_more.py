@@ -280,3 +280,35 @@ def test_stratified_sample_oracle(ray_session, con):
     kept = got.groupby("l_returnflag").size()
     assert kept["R"] / totals["R"] > 0.4          # ~1/2
     assert kept["R"] / totals["R"] > 2 * kept["A"] / totals["A"]  # R oversampled
+
+
+def test_intersect_keys(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_intersect_keys
+
+    want = con.execute("""
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        ORDER BY c_custkey""").df()
+    got = q_intersect_keys(SF)
+    assert len(got) > 0
+    _eq(got, want)
+
+
+def test_intersect_except_partition(ray_session, con):
+    """INTERSECT + EXCEPT partition year-A's key set exactly."""
+    from marc_record_merge_melindautils_ray.ops.relational import (
+        q_except_keys,
+        q_intersect_keys,
+    )
+
+    year_a = con.execute("""
+        SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1996-01-01'""").fetchone()[0]
+    inter = set(q_intersect_keys(SF)["c_custkey"])
+    exc = set(q_except_keys(SF)["c_custkey"])
+    assert not (inter & exc)
+    assert len(inter) + len(exc) == year_a
