@@ -49,9 +49,14 @@ def _clips_dedup(sf_dir: str) -> Any:
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth import make_corpus
 
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
     fams, singles = _corpus_shape(sf_dir)
     clips, _, _ = make_corpus(fams, singles, 42)
-    cfg = DedupConfig(fingerprint_concurrency=2, verify_concurrency=2)
+    # size the two heavy actor pools to the corpus (sf-scaled), not a pin —
+    # a frozen concurrency=2 self-throttles the 32-cpu driver runs
+    pool = actor_pool_size(rows=clips.num_rows)
+    cfg = DedupConfig(fingerprint_concurrency=pool, verify_concurrency=pool)
     res = run_dedup(rd.from_arrow(clips), cfg)
     return (
         res["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True)
@@ -65,9 +70,14 @@ def _clips_canonical(sf_dir: str) -> Any:
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth import make_corpus
 
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
     fams, singles = _corpus_shape(sf_dir)
     clips, _, _ = make_corpus(fams, singles, 42)
-    cfg = DedupConfig(fingerprint_concurrency=2, verify_concurrency=2)
+    # size the two heavy actor pools to the corpus (sf-scaled), not a pin —
+    # a frozen concurrency=2 self-throttles the 32-cpu driver runs
+    pool = actor_pool_size(rows=clips.num_rows)
+    cfg = DedupConfig(fingerprint_concurrency=pool, verify_concurrency=pool)
     res = run_dedup(rd.from_arrow(clips), cfg)
     out = res["canonical"].to_pandas().sort_values("cluster_id").reset_index(drop=True)
     # driver-facing stable projection (list/struct columns stay internal)
@@ -88,7 +98,7 @@ def _clips_audio_features(sf_dir: str) -> Any:
     fams, singles = _corpus_shape(sf_dir)
     clips, _, _ = make_corpus(fams, singles, 42)
     return (
-        clip_audio_features(rd.from_arrow(clips), concurrency=2)
+        clip_audio_features(rd.from_arrow(clips))
         .to_pandas().sort_values("clip_id").reset_index(drop=True)
     )
 
@@ -104,7 +114,7 @@ def _clips_gain_normalize(sf_dir: str) -> Any:
 
     fams, singles = _corpus_shape(sf_dir)
     clips, _, _ = make_corpus(fams, singles, 42)
-    out = clip_gain_normalize(rd.from_arrow(clips), concurrency=2)
+    out = clip_gain_normalize(rd.from_arrow(clips))
     return (
         out.select_columns(["clip_id", "codec", "normalized", "gain_e6"])
         .to_pandas().sort_values("clip_id").reset_index(drop=True)
@@ -123,7 +133,7 @@ def _clips_resample(sf_dir: str) -> Any:
 
     fams, singles = _corpus_shape(sf_dir)
     clips, _, _ = make_corpus(fams, singles, 42)
-    out = clip_resample(rd.from_arrow(clips), target_sr=16_000, concurrency=2)
+    out = clip_resample(rd.from_arrow(clips), target_sr=16_000)
     return (
         out.select_columns(["clip_id", "codec", "sr_hz", "resampled", "out_n_samples"])
         .to_pandas().sort_values("clip_id").reset_index(drop=True)
@@ -141,7 +151,7 @@ def _clips_silence_trim(sf_dir: str) -> Any:
 
     fams, singles = _corpus_shape(sf_dir)
     clips, _, _ = make_corpus(fams, singles, 42)
-    out = clip_silence_trim(rd.from_arrow(clips), concurrency=2)
+    out = clip_silence_trim(rd.from_arrow(clips))
     return (
         out.select_columns(["clip_id", "codec", "trimmed", "trimmed_front_ms",
                             "trimmed_back_ms", "out_dur_ms"])
@@ -179,7 +189,7 @@ def _clips_transcode(sf_dir: str) -> Any:
 
     fams, singles = _corpus_shape(sf_dir)
     clips, _, _ = make_corpus(fams, singles, 42)
-    out = clip_transcode(rd.from_arrow(clips), target_codec="pcm16", concurrency=2)
+    out = clip_transcode(rd.from_arrow(clips), target_codec="pcm16")
     return (
         out.select_columns(["clip_id", "codec", "transcoded", "roundtrip_snr_cdb"])
         .to_pandas().sort_values("clip_id").reset_index(drop=True)
@@ -199,7 +209,7 @@ def _clips_prep_features(sf_dir: str) -> Any:
     fams, singles = _corpus_shape(sf_dir)
     clips, _, _ = make_corpus(fams, singles, 42)
     return (
-        clip_prep_features(rd.from_arrow(clips), concurrency=2)
+        clip_prep_features(rd.from_arrow(clips))
         .to_pandas().sort_values("clip_id").reset_index(drop=True)
     )
 

@@ -128,6 +128,49 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(signal / noise)
 
 
+_SNR_CHUNK = 1 << 16  # 64 Ki samples = 256 KiB float32 — diff temp stays in L2
+
+
+def snr_gate(ref: np.ndarray, test: np.ndarray, min_snr_db: float) -> tuple[bool, float]:
+    """SNR-vs-threshold decision with identical verdicts to
+    ``snr_db(ref, test) >= min_snr_db`` at a fraction of the DRAM traffic —
+    phase-2's hot kernel (VERDICT r3: the stage is memory-bandwidth-bound).
+
+    * **Chunked fusion**: the ``ref-test`` diff temp is chunk-sized and stays
+      in cache instead of round-tripping a full-length temp through DRAM
+      (~20 B/sample → ~12 B/sample for pairs that need the full pass).
+    * **Sound early reject**: noise energy only grows, so the pass is
+      abandoned the moment accumulated noise alone already forces
+      ``snr < min_snr_db`` (noise budget = signal · 10^(−τ/10)).  Unrelated
+      clips — the LSH false-positive pairs this stage exists to reject —
+      cross the 30 dB budget within the first chunk, cutting their cost to
+      the signal-energy pass plus one chunk (~4 B/sample).
+
+    Returns ``(ok, snr)``; for early-rejected pairs ``snr`` is the partial
+    value at abandonment (strictly below threshold by construction; the
+    pipeline drops non-ok rows, so only the verdict is load-bearing).
+    Chunk partials accumulate in float64 — at least as accurate as the
+    single float32 einsum ``snr_db`` uses.
+    """
+    if ref.shape != test.shape or ref.size == 0:
+        return False, float("-inf")
+    signal = float(np.einsum("i,i->", ref, ref))
+    if signal == 0.0:
+        return False, float("-inf")
+    budget = signal * 10.0 ** (-min_snr_db / 10.0)
+    noise = 0.0
+    n = ref.size
+    for lo in range(0, n, _SNR_CHUNK):
+        d = ref[lo:lo + _SNR_CHUNK] - test[lo:lo + _SNR_CHUNK]
+        noise += float(np.einsum("i,i->", d, d))
+        if noise > budget:
+            return False, 10.0 * float(np.log10(signal / noise))
+    if noise == 0.0:
+        return True, float("inf")
+    s = 10.0 * float(np.log10(signal / noise))
+    return s >= min_snr_db, s
+
+
 def find_segment(short: np.ndarray, long: np.ndarray, min_snr_db: float) -> int:
     """Locate ``short`` as a contiguous segment of ``long`` (containment dup).
 
@@ -140,7 +183,7 @@ def find_segment(short: np.ndarray, long: np.ndarray, min_snr_db: float) -> int:
     # exact-prefix offset 0 is the common containment case — one cheap SNR
     # check short-circuits the (ms-scale) FFT for it; any offset meeting the
     # SNR bar is a valid containment detection, so answering 0 early is exact
-    if snr_db(short, long[:m]) >= min_snr_db:
+    if snr_gate(short, long[:m], min_snr_db)[0]:
         return 0
     # pad to a power of two: np.fft falls back to Bluestein for sizes with
     # large prime factors (n+m is arbitrary here), measured several-fold
@@ -151,7 +194,7 @@ def find_segment(short: np.ndarray, long: np.ndarray, min_snr_db: float) -> int:
         np.fft.rfft(long, size) * np.conj(np.fft.rfft(short, size)), size
     )[: n - m + 1]
     off = int(np.argmax(corr))
-    if snr_db(short, long[off : off + m]) >= min_snr_db:
+    if snr_gate(short, long[off : off + m], min_snr_db)[0]:
         return off
     return -1
 

@@ -210,10 +210,11 @@ def _segment_batch(t: pa.Table, seg_ms: int, min_tail_frac: float) -> pa.Table:
     codecs: list[str] = []
     seg_dur: list[int] = []
     segmented: list[bool] = []
-    for cid, payload, codec, sr in zip(t["clip_id"].to_pylist(),
-                                       t["bytes"].to_pylist(),
-                                       t["codec"].to_pylist(),
-                                       np.asarray(t["sr_hz"], np.int64)):
+    for cid, payload, codec, sr, row_dur in zip(t["clip_id"].to_pylist(),
+                                                t["bytes"].to_pylist(),
+                                                t["codec"].to_pylist(),
+                                                np.asarray(t["sr_hz"], np.int64),
+                                                np.asarray(t["dur_ms"], np.int64)):
         sr = int(sr)
         stride = _FRAME_BYTES.get(codec)
         if payload is None or stride is None or sr <= 0:
@@ -223,8 +224,9 @@ def _segment_batch(t: pa.Table, seg_ms: int, min_tail_frac: float) -> pa.Table:
             payloads.append(payload)
             srs.append(sr)
             codecs.append(codec)
-            n0 = 0 if payload is None or stride is None else len(payload) // stride
-            seg_dur.append(int(round(1000.0 * n0 / sr)) if sr > 0 else 0)
+            # pass-through audit: a stub (non-frame-aligned) codec still has
+            # a real metadata duration — report it instead of a false 0
+            seg_dur.append(int(row_dur))
             segmented.append(False)
             continue
         n_samples = len(payload) // stride
@@ -272,7 +274,8 @@ def clip_segments(clips: rd.Dataset, seg_ms: int = 1000,
     ``parent_id``/``seg_idx`` lineage).  Stateless — a task pool, not an
     actor pool: the kernel holds nothing between batches, and for the
     frame-aligned codecs it never even decodes."""
-    return clips.select_columns(["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
+    return clips.select_columns(
+        ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]).map_batches(
         lambda t: _segment_batch(t, seg_ms, min_tail_frac),
         batch_format="pyarrow",
         batch_size=batch_size,

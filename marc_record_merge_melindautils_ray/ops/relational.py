@@ -1538,19 +1538,27 @@ def q_order_quartiles(sf_dir: str, k: int = 4, nparts: int = 32) -> pd.DataFrame
     return out.sort_values("tile").reset_index(drop=True)
 
 
-def _join_or_empty(consume, empty):
+def _join_or_empty(consume, empty, sides=()):
     """Run ``consume()`` (a pipeline that executes a Dataset.join) and map
     the one Ray hash-shuffle failure mode that means "a join side filtered
     to zero rows" — empty blocks lose their schema, so Acero raises
     ``No match ... for key field reference`` — to the query's typed empty
-    result.  Any other error propagates untouched."""
+    result.  Any other error propagates untouched.
+
+    The Acero message is also what a genuine join-key/column-name bug
+    raises, so swallowing on the substring alone would mask regressions as
+    empty answers.  Callers pass the join's input Datasets via ``sides``;
+    the empty result is returned only when at least one side actually
+    counts to zero rows (cheap — error path only).  If every side has rows,
+    the error was a real key-reference bug and is re-raised."""
     import ray.exceptions
 
     try:
         return consume()
     except ray.exceptions.RayTaskError as e:
         if "No match or multiple matches for key field reference" in str(e):
-            return empty
+            if not sides or any(s.count() == 0 for s in sides):
+                return empty
         raise
 
 
@@ -1617,6 +1625,7 @@ def q10_returned_items(sf_dir: str, date_lo: str = "1996-01-01",
         ),
         pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
                       "revenue_e4": pd.Series([], dtype=np.int64)}),
+        sides=(li, orders),
     )
     top = (cand.sort_values(["revenue_e4", "c_custkey"], ascending=[False, True])
            .head(k).reset_index(drop=True))
@@ -1728,7 +1737,8 @@ def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
                              "n_lines": [int(sums["sum(n_lines)"])]})
 
     return _join_or_empty(
-        consume, pd.DataFrame({"revenue_e4": [0], "n_lines": [0]}))
+        consume, pd.DataFrame({"revenue_e4": [0], "n_lines": [0]}),
+        sides=(li, parts))
 
 
 # ------------------------------------------- deterministic hash sampling
@@ -1893,6 +1903,7 @@ def q7_nation_trade(sf_dir: str, nation_a: str = "NATION_1",
                       "cust_nation": pd.Series([], dtype=object),
                       "l_year": pd.Series([], dtype=np.int64),
                       "revenue_e4": pd.Series([], dtype=np.int64)}),
+        sides=(li, ord_nat),
     )
     if out.empty:  # zero matching pairs → aggregate yields a column-less frame
         return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
@@ -1961,12 +1972,21 @@ def q_percent_rank_orders(sf_dir: str) -> pd.DataFrame:
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["price_c", "o_orderkey"]).reset_index(drop=True)
         n = len(g)
-        pr = (np.arange(n, dtype=np.float64) / (n - 1)) if n > 1 else np.zeros(n)
+        if n > 1:
+            # exact-integer half-away-from-zero: floor((r·1e6)/(n−1) + ½)
+            # = (2·r·1e6 + (n−1)) // (2·(n−1)).  DuckDB's round() is
+            # half-away; np.round is half-to-even and differs when
+            # (rank−1)·1e6/(n−1) lands exactly on .5.
+            num = np.arange(n, dtype=np.int64) * 1_000_000
+            d = np.int64(n - 1)
+            pr_e6 = (2 * num + d) // (2 * d)
+        else:
+            pr_e6 = np.zeros(n, dtype=np.int64)
         return pd.DataFrame({
             "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
             "o_custkey": g["o_custkey"].to_numpy(np.int64),
             "price_c": g["price_c"].to_numpy(np.int64),
-            "pr_e6": np.round(pr * 1_000_000).astype(np.int64),
+            "pr_e6": pr_e6,
         })
 
     out = (

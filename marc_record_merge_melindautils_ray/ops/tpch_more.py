@@ -165,6 +165,10 @@ def q22_idle_customers(sf_dir: str, priority: str = "1-URGENT") -> pd.DataFrame:
         .map_batches(bal_partial, batch_format="pyarrow")
         .sum(["sum_c", "n_pos"])
     )
+    if totals is None:  # fully empty customer table — Dataset.sum() gives None
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                             "n_cust": pd.Series([], dtype=np.int64),
+                             "sum_bal_c": pd.Series([], dtype=np.int64)})
     sum_c, n_pos = int(totals["sum(sum_c)"]), int(totals["sum(n_pos)"])
 
     ordered = (

@@ -48,8 +48,8 @@ from marc_record_merge_melindautils_ray.stages.verify import PairPcmVerify, make
 
 FEATURE_COLS = [
     "clip_id", "bands", "samp_shingles", "n_shingles", "norm_transcript",
-    "nh0", "nh1", "fp", "decode_ok", "dur_ms", "codec_cls", "sources",
-    "is_segment_of", "author_type",
+    "nh0", "nh1", "ch0", "ch1", "fp", "decode_ok", "dur_ms", "codec_cls",
+    "sources", "is_segment_of", "author_type",
 ]
 
 
@@ -302,6 +302,43 @@ def _str_bucket(vals: np.ndarray, nbuckets: int) -> np.ndarray:
         return (splitmix64(stable_str_hash(vals)) % np.uint64(nbuckets)).astype(np.int64)
 
 
+# verified-pair schema: phase-2 output and phase-1 exact rows union into one
+# typed stream (unioning a pandas-blocked near stream with an arrow-blocked
+# exact stream needs both sides explicit, or empty partitions infer null types)
+VERIFIED_SCHEMA = pa.schema([
+    ("id_a", pa.string()), ("id_b", pa.string()), ("rel", pa.string()),
+    ("ok", pa.bool_()), ("snr", pa.float64()), ("parent", pa.string()),
+    ("reasons", pa.list_(pa.string())),
+])
+
+
+def _verified_table(df) -> pa.Table:
+    return pa.table({
+        "id_a": pa.array(df["id_a"].tolist(), pa.string()),
+        "id_b": pa.array(df["id_b"].tolist(), pa.string()),
+        "rel": pa.array(df["rel"].tolist(), pa.string()),
+        "ok": pa.array([bool(x) for x in df["ok"]], pa.bool_()),
+        "snr": pa.array([float(x) for x in df["snr"]], pa.float64()),
+        "parent": pa.array(df["parent"].tolist(), pa.string()),
+        "reasons": pa.array([list(r) for r in df["reasons"]], pa.list_(pa.string())),
+    })
+
+
+def _exact_verified(t: pa.Table) -> pa.Table:
+    """Phase-1 byte-identity survivors → verified rows (ok, SNR +inf)."""
+    n = t.num_rows
+    return pa.table({
+        "id_a": t["id_a"], "id_b": t["id_b"], "rel": t["rel"],
+        "ok": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+        "snr": pa.array(np.full(n, np.inf), pa.float64()),
+        "parent": pa.nulls(n, pa.string()),
+        "reasons": pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+            pa.array([], pa.string()),
+        ),
+    })
+
+
 def survivor_id_blocks(sv: rd.Dataset) -> rd.Dataset:
     """Distinct-per-batch survivor clip ids as a materialized one-column
     Dataset.  The driver only ever holds the block ObjectRefs; consumers
@@ -504,7 +541,7 @@ def run_dedup(
         )
 
     _t = _time.monotonic()
-    sv = survivors.select_columns(["id_a", "id_b", "rel"]).materialize()
+    sv = survivors.select_columns(["id_a", "id_b", "rel", "exact"]).materialize()
     if host_client is not None:
         # live V11 gate on the (small) survivor stream — one memoized lookup
         # per clip id per actor; failing pairs split off VISIBLY by outcome
@@ -526,7 +563,7 @@ def run_dedup(
         ).count()
         sv = hv.map_batches(
             lambda t: t.filter(pc.is_null(t["host_reason"])).select(
-                ["id_a", "id_b", "rel"]
+                ["id_a", "id_b", "rel", "exact"]
             ),
             batch_format="pyarrow",
         ).materialize()
@@ -534,6 +571,24 @@ def run_dedup(
     if not checkpoint_dir:
         ck.metrics["survivors"] = {"num_rows": n_survivor_pairs, "cached": False}
     have_survivors = n_survivor_pairs > 0
+
+    # split the survivor stream on phase-1's byte-identity verdict: exact
+    # pairs are already fully verified (SNR +inf by construction — equal
+    # content hash ⇒ equal codec + bytes ⇒ identical PCM) and bypass the
+    # payload-touching actor pool; only genuinely-near pairs pay decode+SNR.
+    sv_exact = sv.map_batches(
+        lambda t: t.filter(pc.equal(t["exact"], True)).select(["id_a", "id_b", "rel"]),
+        batch_format="pyarrow",
+    )
+    sv_near = sv.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.fill_null(pc.equal(t["exact"], True), False))
+        ).select(["id_a", "id_b", "rel"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_near_pairs = sv_near.count()
+    ck.metrics["exact_pairs"] = n_survivor_pairs - n_near_pairs
+    ck.metrics["near_pairs"] = n_near_pairs
     _t = _lap("collect_ids", _t)
 
     # payload access mode: when the clip table is ALREADY materialized as
@@ -551,12 +606,20 @@ def run_dedup(
 
     def run_phase2() -> rd.Dataset:
         _t2 = _time.monotonic()
+        # phase-1-decided exact pairs: already verified (byte-identity ⇒
+        # SNR +inf), just reshape to the verified schema — no payload access
+        exact_rows = sv_exact.map_batches(_exact_verified, batch_format="pyarrow")
+        if n_near_pairs == 0:
+            out = exact_rows.materialize()
+            _lap("verify_actors", _t2)
+            return out
         if direct_payloads:
             refs = clips.to_arrow_refs()  # resident blocks, zero extra copy
         else:
-            # distinct survivor ids as object-store blocks — the driver
-            # holds refs only, never an O(survivors) Python set
-            id_refs = survivor_id_blocks(sv).to_arrow_refs()
+            # distinct NEAR-survivor ids as object-store blocks — exact
+            # pairs never touch payloads, so the filtered store excludes
+            # them; the driver holds refs only, never an O(survivors) set
+            id_refs = survivor_id_blocks(sv_near).to_arrow_refs()
             refs = build_payload_blocks(clips, id_refs, cfg)
         _t2 = _lap("payload_blocks", _t2)
         # location resolution happens inside the verify actors (each holds an
@@ -569,17 +632,18 @@ def run_dedup(
         # kernels themselves (measured: stage wall ~90 % fixed overhead at
         # 326 k clips / 68 k pairs).  ~6 k pairs per actor keeps each actor
         # busy for ~1 s+; huge streams still clamp to cfg.verify_concurrency.
-        pool = min(cfg.verify_concurrency, max(2, n_survivor_pairs // 6000))
-        out = sv.map_batches(
+        pool = min(cfg.verify_concurrency, max(2, n_near_pairs // 6000))
+        near = sv_near.map_batches(
             PairPcmVerify,
             fn_constructor_args=(cfg, refs, direct_payloads),
             batch_format="pandas",
             batch_size=cfg.verify_batch_size,
             concurrency=pool,
         ).map_batches(
-            lambda df: df[df["ok"]][["id_a", "id_b", "rel", "ok", "snr", "parent", "reasons"]],
+            lambda df: _verified_table(df[df["ok"]]),
             batch_format="pandas",
-        ).materialize()
+        )
+        out = near.union(exact_rows).materialize()
         _lap("verify_actors", _t2)
         return out
 

@@ -32,12 +32,17 @@ import pyarrow as pa
 from marc_record_merge_melindautils_ray.config import DedupConfig
 from marc_record_merge_melindautils_ray.functions.hashing import splitmix64, stable_str_hash
 
-# gate columns every pair row carries for both sides (phase-1 verify needs no join)
-GATE_COLS = ["fp", "nh0", "nh1", "dur_ms", "codec_cls", "sources", "is_segment_of",
-             "decode_ok", "author_type"]
+# gate columns every pair row carries for both sides (phase-1 verify needs no
+# join).  ch0/ch1 are the 128-bit payload content-identity hash
+# (functions.hashing.PayloadHasher): +16 B per expanded row buys phase-1 the
+# vectorized byte-identity verdict that keeps exact-dup pairs out of the
+# payload-touching phase-2 actor pool entirely.
+GATE_COLS = ["fp", "nh0", "nh1", "ch0", "ch1", "dur_ms", "codec_cls", "sources",
+             "is_segment_of", "decode_ok", "author_type"]
 
 _GATE_TYPES = {
-    "fp": pa.int64(), "nh0": pa.int64(), "nh1": pa.int64(), "dur_ms": pa.int32(),
+    "fp": pa.int64(), "nh0": pa.int64(), "nh1": pa.int64(),
+    "ch0": pa.int64(), "ch1": pa.int64(), "dur_ms": pa.int32(),
     "codec_cls": pa.string(), "sources": pa.list_(pa.string()),
     "is_segment_of": pa.string(), "decode_ok": pa.bool_(), "author_type": pa.string(),
 }
@@ -55,8 +60,10 @@ PAIR_SCHEMA = pa.schema(
 def pairs_df_to_table(df: pd.DataFrame) -> pa.Table:
     cols = {}
     for f in PAIR_SCHEMA:
-        vals = df[f.name].tolist() if f.name in df.columns else []
-        cols[f.name] = pa.array(vals, type=f.type)
+        if f.name in df.columns:
+            cols[f.name] = pa.array(df[f.name].tolist(), type=f.type)
+        else:
+            cols[f.name] = pa.nulls(len(df), f.type)
     return pa.table(cols)
 
 def _flatten_bands(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -133,22 +133,44 @@ class AudioFingerprint:
     """
 
     def __init__(self, cfg: DedupConfig):
+        from marc_record_merge_melindautils_ray.functions.hashing import PayloadHasher
+
         self.cfg = cfg
         self.fper = au.AudioFingerprinter(cfg.fp_frames, cfg.simhash_bits, cfg.simhash_seed)
+        self.ph = PayloadHasher()
+        self._codec_h: dict[str, int] = {}
+
+    def _codec_hash(self, codec: str) -> int:
+        h = self._codec_h.get(codec)
+        if h is None:
+            from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
+
+            h = self._codec_h[codec] = int(stable_str_hash([codec], seed=0xC0DEC)[0])
+        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["bytes"].to_pylist()
         codecs = batch["codec"].to_pylist()
         fps = np.zeros(len(payloads), dtype=np.uint64)
         ok = np.zeros(len(payloads), dtype=bool)
+        ch0 = np.zeros(len(payloads), dtype=np.uint64)
+        ch1 = np.zeros(len(payloads), dtype=np.uint64)
         for i, (p, c) in enumerate(zip(payloads, codecs)):
             if p is None or c is None or not au.is_decodable(c):
                 continue
             pcm = au.decode(p, c)
             fps[i] = self.fper.fingerprint(pcm)
             ok[i] = True
+            # 128-bit content-identity hash (codec folded in): lets phase-1
+            # decide byte-identical pairs vectorized, so the exact-dup
+            # majority never touches payload bytes again (phase-2 bytes/pair
+            # → 0 for them).  Hashed here because this stage already holds
+            # the payload in cache for the decode.
+            ch0[i], ch1[i] = self.ph.hash_one(p, self._codec_hash(c))
         batch = batch.append_column("fp", pa.array(fps.view(np.int64), pa.int64()))
         batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("ch0", pa.array(ch0.view(np.int64), pa.int64()))
+        batch = batch.append_column("ch1", pa.array(ch1.view(np.int64), pa.int64()))
         # payload columns end HERE: downstream stages are signature-only, and
         # keeping bytes in the inter-stage blocks multiplies object-store
         # footprint by the payload size (spill cliff at large corpora)

@@ -213,10 +213,29 @@ def make_phase1_kernel(cfg: DedupConfig, host_ids: frozenset[str] | None = None)
             if len(gate_hit)
             else pa.array([], pa.string()),
         )
+        # byte-identity verdict, vectorized: equal 128-bit content hashes
+        # (codec + length folded in, functions.hashing.PayloadHasher) on a
+        # surviving band pair mean the payloads decode to identical PCM —
+        # SNR is +inf by construction, so phase-2 never needs to touch
+        # these pairs' bytes at all.  ch==0 marks "not hashed" (undecodable)
+        # and is excluded via the decode_ok gate.
+        if n and "ch0_a" in t.column_names:
+            ch_eq = np.asarray(pc.fill_null(
+                pc.and_kleene(
+                    pc.equal(_arr(t, "ch0_a"), _arr(t, "ch0_b")),
+                    pc.equal(_arr(t, "ch1_a"), _arr(t, "ch1_b")),
+                ),
+                False,
+            ))
+            is_band = np.asarray(pc.equal(_arr(t, "rel"), "band"))
+            exact = (bits == 0) & ch_eq & is_band & dec_a & dec_b
+        else:
+            exact = np.zeros(n, dtype=bool)
         return (
             t.append_column("reason_bits", pa.array(bits, pa.int32()))
             .append_column("reasons", reasons)
             .append_column("ok1", pa.array(bits == 0))
+            .append_column("exact", pa.array(exact, pa.bool_()))
         )
 
     return phase1
@@ -229,7 +248,7 @@ def survivors_to_table(t: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     keep = t.filter(pc.equal(t["ok1"], True))
-    return keep.select(["id_a", "id_b", "rel", "bucket_n"])
+    return keep.select(["id_a", "id_b", "rel", "bucket_n", "exact"])
 
 
 class HostLookupVerify:
@@ -437,9 +456,9 @@ class PairPcmVerify:
                 if m == 0 or abs(len(pa_) - len(pb)) > max(1, int(0.05 * m)):
                     extra[i].append("duration-mismatch")
                     continue
-                s = au.snr_db(pa_[:m], pb[:m])
+                okb, s = au.snr_gate(pa_[:m], pb[:m], self.cfg.snr_db)
                 snrs[i] = s
-                if s >= self.cfg.snr_db:
+                if okb:
                     oks[i] = True
                 else:
                     extra[i].append("pcm-snr-below-threshold")

@@ -95,7 +95,7 @@ def test_host_gate_and_survivor_projection():
     out = _run([{}, {"id_a": "h1", "id_b": "x9"}], host_ids=frozenset({"h1"}))
     assert out["reasons"].to_pylist() == [[], ["host-record"]]
     sv = survivors_to_table(out)
-    assert sv.column_names == ["id_a", "id_b", "rel", "bucket_n"]
+    assert sv.column_names == ["id_a", "id_b", "rel", "bucket_n", "exact"]
     assert sv.num_rows == 1
     assert sv.schema.field("bucket_n").type == pa.int32()
 
