@@ -236,3 +236,101 @@ class PayloadHasher:
                 )
                 out.append(int(fin))
         return out[0], out[1]
+
+
+_IP_MULT = _U64(pow(int(_POLY_MULT), -1, 1 << 64))  # p is odd ⇒ invertible mod 2^64
+_TRI_LEN_MIX = _U64(0x9E3779B97F4A7C15)
+
+
+def word_trigram_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-3-gram hashing for a whole batch — the shared kernel
+    for the n-gram Jaccard queries (replaces per-doc Python ``split`` +
+    ``join`` + per-gram string materialization; VERDICT r3 item 5).
+
+    Semantics match the DuckDB oracle (``regexp_split_to_array(trim(lower(
+    text)), '\\s+')`` + 3-word windows joined by single spaces): texts are
+    lowercased, whitespace runs collapse to one space, and each trigram's
+    identity is a hash of its canonical byte span — equal trigram strings
+    hash equal across docs, distinct ones collide at ~2^-64 (the same
+    documented trade the string-hash path made).
+
+    Mechanics: one canonical UTF-8 buffer per batch (zero-copy out of the
+    Arrow array), word boundaries found as vectorized space positions,
+    and every trigram span hashed O(1) from modular prefix polynomial sums
+    (``p`` odd ⇒ invertible mod 2^64, so prefix differences recover any
+    span's polynomial hash) — no per-doc Python, no gram strings.
+
+    Returns ``(hashes, offsets)``: ``hashes[offsets[d]:offsets[d+1]]`` are
+    doc d's trigram hashes in order (not deduplicated).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts
+    else:
+        arr = pa.array(["" if t is None else t for t in texts], pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    canon = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(arr, "")), r"\s+", " "
+        ),
+        " ",
+    )
+    canon = canon.combine_chunks() if isinstance(canon, pa.ChunkedArray) else canon
+    ndocs = len(canon)
+    doc_off = np.frombuffer(canon.buffers()[1], dtype=np.int32,
+                            count=ndocs + 1).astype(np.int64)
+    base = doc_off[0]
+    doc_off = doc_off - base
+    total = int(doc_off[-1])
+    data = (
+        np.frombuffer(canon.buffers()[2], dtype=np.uint8,
+                      count=total + base)[base:]
+        if total
+        else np.empty(0, np.uint8)
+    )
+
+    # words: spaces are single + interior after canonicalization, and the
+    # 0x20 byte never occurs inside a multi-byte UTF-8 sequence
+    sp = np.flatnonzero(data == 0x20)
+    doc_len = np.diff(doc_off)
+    nonempty = doc_len > 0
+    # global word-start/end position arrays (disjoint doc ranges ⇒ a plain
+    # sort interleaves doc boundaries and space boundaries correctly)
+    ws = np.sort(np.concatenate([doc_off[:-1][nonempty], sp + 1]))
+    we = np.sort(np.concatenate([sp, doc_off[1:][nonempty]]))
+    n_sp_per_doc = np.diff(np.searchsorted(sp, doc_off))
+    nw = np.where(nonempty, n_sp_per_doc + 1, 0)
+    woff = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(nw, out=woff[1:])
+
+    n_tri = np.maximum(nw - 2, 0)
+    offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(n_tri, out=offsets[1:])
+    ntotal = int(offsets[-1])
+    if ntotal == 0:
+        return np.empty(0, _U64), offsets
+
+    tri_doc = np.repeat(np.arange(ndocs), n_tri)
+    j = np.arange(ntotal) - np.repeat(offsets[:-1], n_tri)
+    w0 = np.repeat(woff[:-1], n_tri) + j
+    starts = ws[w0]
+    ends = we[w0 + 2]
+
+    # modular prefix polynomial hashes over the whole batch buffer:
+    # C[i] = Σ_{k<i} data[k]·p^{-k};  hash[a,b) = p^{b-1}·(C[b] − C[a])
+    with np.errstate(over="ignore"):
+        n = data.size
+        ipw = np.full(n, _IP_MULT, dtype=_U64)
+        ipw[0] = _U64(1)
+        np.cumprod(ipw, out=ipw)
+        pw = np.full(n, _POLY_MULT, dtype=_U64)
+        pw[0] = _U64(1)
+        np.cumprod(pw, out=pw)
+        C = np.zeros(n + 1, dtype=_U64)
+        np.cumsum(data.astype(_U64) * ipw, out=C[1:])
+        poly = pw[ends - 1] * (C[ends] - C[starts])
+        h = splitmix64(poly ^ (ends - starts).astype(_U64) * _TRI_LEN_MIX)
+    return h, offsets

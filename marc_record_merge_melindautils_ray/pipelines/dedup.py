@@ -409,6 +409,7 @@ def run_dedup(
     authority: dict[str, str] | None = None,
     host_ids: frozenset[str] | None = None,
     host_client=None,
+    authority_client=None,
     checkpoint_dir: str | None = None,
 ) -> dict:
     """Full pipeline. Returns dict of Datasets + metrics:
@@ -422,6 +423,12 @@ def run_dedup(
     ``clip_id → response-dict`` with the reference X-server's three outcomes
     (``stages.verify.HostLookupVerify``); lookup errors fail the affected
     pairs with a distinct counted reason, never silently pass them.
+    ``authority_client`` is the symmetric LIVE P7 alternative to
+    ``authority``: a picklable callable ``name → list of authorized heading
+    strings`` (the ``auth_db.query('fin11','WNA',name)`` analog,
+    ``lib/post-merge-modifiers.js:251-264``) held and memoized per canonical
+    worker; lookup errors surface as the counted ``author_conflict`` value
+    ``authority-lookup-error``.
     """
     from marc_record_merge_melindautils_ray.state.checkpoint import Checkpointer
 
@@ -471,6 +478,10 @@ def run_dedup(
         if authority
         else ""
     )
+    if authority_client is not None:
+        from ray import cloudpickle as _cp2
+
+        authority_fp += _side_fp("authclient", _cp2.dumps(authority_client))
     features = ck.stage(
         "features", lambda: compute_features(clips, cfg), input_fingerprint=input_fp
     )
@@ -794,7 +805,7 @@ def run_dedup(
             concurrency=max(2, min(16, cfg.fingerprint_concurrency // 2)),
         )
     authority_ref = ray.put(authority or {})
-    bc = BuildCanonical(cfg, authority_ref)
+    bc = BuildCanonical(cfg, authority_ref, authority_client)
     n_assigned = assignments.count()
     from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
 
@@ -842,6 +853,20 @@ def run_dedup(
         lambda t: t.filter(pc.is_valid(t["invariant_error"])), batch_format="pyarrow"
     )
     ck.metrics["canonical_rejected"] = canonical_rejected.count()
+    if authority_client is not None:
+        # symmetric with V11's host_rejected_pairs / host_lookup_errors:
+        # live-P7 outcomes are counted, never silent (canonical is
+        # cluster-cardinality — a cheap extra pass)
+        ck.metrics["authority_lookup_errors"] = canonical.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["author_conflict"], "authority-lookup-error")
+            ),
+            batch_format="pyarrow",
+        ).count()
+        ck.metrics["author_conflicts"] = canonical.map_batches(
+            lambda t: t.filter(pc.is_valid(t["author_conflict"])),
+            batch_format="pyarrow",
+        ).count()
 
     ck.write_metrics()
     return {

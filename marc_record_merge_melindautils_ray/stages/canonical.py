@@ -75,13 +75,32 @@ def preferred_rank_key(row: pd.Series, cfg: DedupConfig) -> tuple:
     )
 
 
-class BuildCanonical:
-    """map_groups callable; authority side table broadcast once via ray.put."""
+# distinct sentinel for a FAILED authority lookup — the reference's query
+# rejection propagates and fails the merge (lib/post-merge-modifiers.js:
+# 251-264 .catch rethrows); it must never read as "not authorized"
+AUTH_LOOKUP_ERROR = "__authority-lookup-error__"
 
-    def __init__(self, cfg: DedupConfig, authority_ref=None):
+
+class BuildCanonical:
+    """map_groups callable; authority side table broadcast once via ray.put.
+
+    ``authority_client`` is the LIVE P7 alternative (mirror of V11's
+    ``HostLookupVerify``): a picklable callable ``name → list-of-authorized-
+    heading-strings`` (the ``auth_db.query('fin11','WNA',name)`` analog,
+    lib/post-merge-modifiers.js:251-264).  Held per worker from ``__init__``
+    (the reference's constructor-injected ``auth_db`` handle) with per-worker
+    memoization by normalized name.  A raised error or malformed response
+    surfaces as the distinct counted ``author_conflict`` value
+    ``authority-lookup-error`` — never silently treated as non-authorized.
+    The broadcast dict remains the zero-IO fast path and is consulted first.
+    """
+
+    def __init__(self, cfg: DedupConfig, authority_ref=None, authority_client=None):
         self.cfg = cfg
         self._authority_ref = authority_ref
         self._authority: dict[str, str] | None = None
+        self.authority_client = authority_client
+        self._client_cache: dict[str, str | None] = {}
 
     @property
     def authority(self) -> dict[str, str]:
@@ -94,10 +113,37 @@ class BuildCanonical:
     def _authorized(self, label: str | None) -> str | None:
         """P7 authorInAuthorizedFormat: compare under punctuation
         normalization (lib/post-merge-modifiers.js:242-264).  Authority
-        side-table keys are lowercase punctuation-normalized labels."""
+        side-table keys are lowercase punctuation-normalized labels.
+        Returns the authorized form, ``None`` (not authorized), or
+        ``AUTH_LOOKUP_ERROR``."""
         if not label:
             return None
-        return self.authority.get(normalize_author_key(label).lower())
+        key = normalize_author_key(label).lower()
+        hit = self.authority.get(key)
+        if hit is not None or self.authority_client is None:
+            return hit
+        if key in self._client_cache:
+            return self._client_cache[key]
+        try:
+            resp = self.authority_client(label)
+        except Exception:
+            out: str | None = AUTH_LOOKUP_ERROR
+        else:
+            if isinstance(resp, (list, tuple)):
+                # authorized iff any returned heading equals the name under
+                # punctuation normalization (post-merge-modifiers.js:242-249)
+                out = next(
+                    (
+                        h for h in resp
+                        if isinstance(h, str)
+                        and normalize_author_key(h).lower() == key
+                    ),
+                    None,
+                )
+            else:
+                out = AUTH_LOOKUP_ERROR
+        self._client_cache[key] = out
+        return out
 
     def build_row(self, cols: dict[str, list]) -> dict:
         """Core P1-P8 merge over one cluster's column slices (plain lists —
@@ -212,8 +258,18 @@ class BuildCanonical:
             if len(typed) > 1:
                 author_conflict = "author-type-mismatch"
             else:
-                authorized = [x for x in dict.fromkeys(labels) if self._authorized(x)]
-                if len(authorized) > 1:
+                authorized, lookup_error = [], False
+                for x in dict.fromkeys(labels):
+                    a = self._authorized(x)
+                    if a == AUTH_LOOKUP_ERROR:
+                        lookup_error = True
+                    elif a:
+                        authorized.append(x)
+                if lookup_error:
+                    # error outranks adopt/both-authorized: the reference's
+                    # rejected query fails the whole modification
+                    author_conflict = "authority-lookup-error"
+                elif len(authorized) > 1:
                     author_conflict = "both-authorized"
                 elif len(authorized) == 1 and not self._authorized(author):
                     author = authorized[0]

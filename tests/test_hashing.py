@@ -67,3 +67,34 @@ def test_stable_str_hash_stability():
 def test_splitmix_is_bijective_sample():
     x = np.arange(1000, dtype=np.uint64)
     assert len(set(splitmix64(x).tolist())) == 1000
+
+
+def test_word_trigram_hashes_match_string_semantics():
+    """The vectorized rolling-hash trigram kernel (ops.dedup_text gram_rows'
+    shared kernel) induces exactly the gram-identity relation of the
+    string path: lower + \\s+-split + 3-word windows joined by spaces."""
+    import itertools
+
+    from marc_record_merge_melindautils_ray.functions.hashing import (
+        word_trigram_hashes,
+    )
+
+    texts = [
+        "The quick  brown fox", "", None, "the QUICK brown", "a b",
+        "  x\ty z  w ", "one two three four five", "åäö ÅÄÖ test gram",
+        "one two three", "one two  three",  # whitespace-collapse equality
+    ]
+
+    def py_grams(s):
+        w = (s or "").lower().split()
+        return [" ".join(w[j:j + 3]) for j in range(max(0, len(w) - 2))]
+
+    h, off = word_trigram_hashes(texts)
+    for d, t in enumerate(texts):
+        assert off[d + 1] - off[d] == len(py_grams(t))
+    allg = [g for t in texts for g in py_grams(t)]
+    for (i, a), (k, b) in itertools.combinations(enumerate(allg), 2):
+        assert (a == b) == (h[i] == h[k]), (a, b)
+    # batch-layout invariance: same text hashes identically alone
+    h2, _ = word_trigram_hashes(["the quick brown fox jumps"])
+    assert h2[0] == h[0]
