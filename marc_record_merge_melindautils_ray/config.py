@@ -103,7 +103,15 @@ class DedupConfig:
         assert self.num_perms % self.num_bands == 0
         return self.num_perms // self.num_bands
 
+    # engine stage-format version, folded into checkpoint lineage: bump when
+    # a stage's OUTPUT SCHEMA changes (e.g. r4 added the survivors `exact`
+    # column), so checkpoints written by an older engine invalidate cleanly
+    # instead of crashing a column select on resume
+    STAGE_FORMAT = 2
+
     def config_hash(self) -> str:
         """Stable hash of every semantic knob, recorded in checkpoint lineage."""
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        payload = json.dumps(
+            {**asdict(self), "__stage_format__": self.STAGE_FORMAT}, sort_keys=True
+        ).encode()
         return hashlib.blake2b(payload, digest_size=8).hexdigest()
