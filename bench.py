@@ -118,6 +118,12 @@ def run_bench() -> dict:
         "clips_per_sec": round(n_clips / headline, 1),
         "clusters": int(n_canon),
         "clustered_clips": int(n_assign),
+        # per-stage driver laps + pair-split counters from run_dedup metrics:
+        # the scaling protocol reads per-stage 8→32 ratios from these
+        "laps": {
+            k: v for k, v in res["metrics"].items()
+            if isinstance(v, (int, float)) or k in ("payload_store_mode", "keyset_mode")
+        },
     }
     ray.shutdown()
     return result
@@ -149,6 +155,8 @@ def run_scaling() -> dict:
         "sec_8cpu": out[8]["value"],
         "sec_32cpu": out[32]["value"],
         "scaling_efficiency": round(eff, 3),
+        "laps_8cpu": out[8].get("laps", {}),
+        "laps_32cpu": out[32].get("laps", {}),
     }
 
 

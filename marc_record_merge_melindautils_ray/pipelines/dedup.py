@@ -482,11 +482,11 @@ def run_dedup(
         from ray import cloudpickle as _cp2
 
         authority_fp += _side_fp("authclient", _cp2.dumps(authority_client))
+    _t = _time.monotonic()
     features = ck.stage(
         "features", lambda: compute_features(clips, cfg), input_fingerprint=input_fp
     )
-
-    _t = _time.monotonic()
+    _t = _lap("features", _t)
     # row count is metadata-cheap (materialized blocks / parquet footer); it
     # selects the keyset strategy and the hot-key combine path
     n_feature_rows = features.count()
@@ -600,7 +600,10 @@ def run_dedup(
     n_near_pairs = sv_near.count()
     ck.metrics["exact_pairs"] = n_survivor_pairs - n_near_pairs
     ck.metrics["near_pairs"] = n_near_pairs
-    _t = _lap("collect_ids", _t)
+    # this lap times the EXECUTION of the lazy candidates→phase-1→survivors
+    # chain (plus the exact/near split), not a driver-side collect — the
+    # driver holds only counts and block refs here
+    _t = _lap("candidates_phase1", _t)
 
     # payload access mode: when the clip table is ALREADY materialized as
     # Arrow blocks in the object store, re-filtering its bytes into a second
@@ -676,11 +679,13 @@ def run_dedup(
                       "cluster_id": pa.array([], pa.string())})
         )
     else:
+        _t = _time.monotonic()
         assignments = ck.stage(
             "assignments",
             lambda: connected_components(edges, cfg, n_edges=n_edges),
             input_fingerprint=ck.fingerprint("verified"),
         )
+        _lap("cc", _t)
 
     # tag cluster ids onto member rows: assignment blocks stay in the object
     # store; each tagging actor builds a vectorized ArrowBlockIndex once in
@@ -834,6 +839,7 @@ def run_dedup(
             ).astype(np.int64)
         return df
 
+    _t = _time.monotonic()
     canonical = ck.stage(
         "canonical",
         lambda: members.map_batches(add_cluster_part, batch_format="pandas")
@@ -841,6 +847,7 @@ def run_dedup(
         .map_groups(build_canonical_partition, batch_format="pandas"),
         input_fingerprint=ck.fingerprint("assignments") + authority_fp,
     )
+    _t = _lap("canonical", _t)
 
     # P0 output invariant gate (the 041a refusal analog,
     # lib/marc-record-merge-melindautils.js:124-129): violating rows never
