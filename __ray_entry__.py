@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         text_analysis,
         tiered,
         tpch_more,
+        tpch_rest,
     )
 
     return {
@@ -301,6 +302,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": tpch_more.q15_top_supplier,
         "q11_important_parts": tpch_more.q11_important_parts,
         "q13_order_counts": tpch_more.q13_order_count_distribution,
+        # final TPC-H batch completing the 22-query surface (ops/tpch_rest.py;
+        # partsupp-free adaptations documented in the module docstring)
+        "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
+        "q6_forecast_revenue": tpch_rest.q6_forecast_revenue,
+        "q8_market_share": tpch_rest.q8_market_share,
+        "q9_product_profit": tpch_rest.q9_product_profit,
+        "q16_supplier_part_counts": tpch_rest.q16_supplier_part_counts,
+        "q20_promotion_suppliers": tpch_rest.q20_promotion_suppliers,
+        "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
 
         # statistical / profiling aggregates (ops/stats.py)
         "group_corr": stats.q_group_corr,
@@ -798,6 +808,137 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS custdist
             FROM c_orders GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(min(CAST(round(l_extendedprice*100,0) AS BIGINT))
+                         AS BIGINT) AS cost_c
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            eligible AS (
+              SELECT p_partkey FROM part
+              WHERE p_size = 15 AND p_type = 'SMALL'),
+            eu_supp AS (
+              SELECT s_suppkey, s_name,
+                     CAST(round(s_acctbal*100,0) AS BIGINT) AS s_acctbal_c, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            costs AS (
+              SELECT ps.l_partkey AS p_partkey, ps.l_suppkey, ps.cost_c
+              FROM ps JOIN eligible ON ps.l_partkey = eligible.p_partkey
+                      JOIN eu_supp ON ps.l_suppkey = eu_supp.s_suppkey),
+            mins AS (SELECT p_partkey, min(cost_c) AS mc
+                     FROM costs GROUP BY p_partkey)
+            SELECT s_acctbal_c, s_name, n_name,
+                   costs.p_partkey AS p_partkey, cost_c
+            FROM costs
+            JOIN mins ON costs.p_partkey = mins.p_partkey
+                     AND costs.cost_c = mins.mc
+            JOIN eu_supp ON costs.l_suppkey = eu_supp.s_suppkey
+            ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                            * CAST(round(l_discount*100,0) AS BIGINT))
+                       AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND CAST(round(l_discount*100,0) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(l_quantity AS BIGINT) < 24
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN rev
+                                 ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+                   CAST(sum(rev) AS BIGINT) AS total_rev_e4
+            FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+                         CAST(round(l_extendedprice*(1-l_discount)*10000,0)
+                             AS BIGINT) AS rev
+                  FROM lineitem) l
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region    ON cn.n_regionkey = r_regionkey
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN part      ON l_partkey = p_partkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT sn.n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0)
+                                AS BIGINT)
+                            - CAST(round(p_retailprice*100,0) AS BIGINT)
+                              * CAST(l_quantity AS BIGINT) * 100)
+                       AS BIGINT) AS profit_e4
+            FROM lineitem
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN part      ON l_partkey = p_partkey
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "q16_supplier_part_counts": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            bad AS (SELECT s_suppkey FROM supplier
+                    WHERE CAST(round(s_acctbal*100,0) AS BIGINT) < 0)
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM ps JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1,4,9,16,25,36,49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_promotion_suppliers": """
+            WITH pq AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+              GROUP BY l_partkey, l_suppkey),
+            tot AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+                    FROM pq GROUP BY l_partkey),
+            named AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            SELECT DISTINCT s_suppkey, s_name, n_name
+            FROM pq JOIN tot ON pq.l_partkey = tot.l_partkey
+                    JOIN named ON pq.l_partkey = named.p_partkey
+                    JOIN supplier ON pq.l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+            WHERE 2*sq > tq
+            ORDER BY s_suppkey
+        """,
+        "q21_waiting_suppliers": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey,
+                     CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'),
+            s AS (SELECT l_orderkey, l_suppkey, max(late) AS late
+                  FROM l GROUP BY l_orderkey, l_suppkey),
+            per_order AS (SELECT l_orderkey, count(*) AS n_supp,
+                                 sum(late) AS n_late
+                          FROM s GROUP BY l_orderkey)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM s JOIN per_order USING (l_orderkey)
+                   JOIN supplier ON s.l_suppkey = s_suppkey
+            WHERE s.late = 1 AND per_order.n_supp >= 2
+              AND per_order.n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
         """,
         "q7_nation_trade": """
             SELECT supp_nation, cust_nation, l_year,
