@@ -215,11 +215,19 @@ def find_hot_band_keys_sampled(
         # the per-batch partial counts are a few MB — one driver combine
         # beats a shuffle's latency.  Above it, the distributed aggregate
         # below is the scale path (partial counts grow with distinct keys).
-        parts = counts.take_all()
-        if not parts:
+        # Blocks come back as Arrow refs + numpy concat, NOT row dicts — the
+        # dict path cost O(rows×bands×sample) per-row Python on the driver
+        # and made this lap SLOWER at more cpus (more, smaller blocks).
+        key_parts, cnt_parts = [], []
+        for ref in counts.materialize().to_arrow_refs():
+            t = ray.get(ref)
+            if len(t):
+                key_parts.append(np.asarray(t["band_key"], np.int64))
+                cnt_parts.append(np.asarray(t["cnt"], np.int64))
+        if not key_parts:
             return np.empty(0, np.uint64)
-        keys = np.array([r["band_key"] for r in parts], dtype=np.int64)
-        cnts = np.array([r["cnt"] for r in parts], dtype=np.int64)
+        keys = np.concatenate(key_parts)
+        cnts = np.concatenate(cnt_parts)
         order = np.argsort(keys, kind="stable")
         keys, cnts = keys[order], cnts[order]
         uniq_starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
@@ -262,32 +270,28 @@ def candidate_pairs(
     useful_shingles=None,
     num_parts: int | None = None,
 ) -> rd.Dataset:
-    """``num_parts`` is the partition-then-vectorize fan-out for all three
-    shuffles (band buckets, shingle buckets, pair dedup).  Callers with a
-    row count pass an ``adaptive_parts``-derived value so the fan-out tracks
-    corpus size instead of freezing at cluster-core order."""
+    """``num_parts`` is the partition-then-vectorize fan-out for both
+    shuffles (the fused band+shingle bucket exchange, and pair dedup).
+    Callers with a row count pass an ``adaptive_parts``-derived value so the
+    fan-out tracks corpus size instead of freezing at cluster-core order.
+
+    Plan shape (round-4 fusion): the chain's remote compute measures <1
+    core-second at 108 k clips — its wall was sequential sort-shuffle
+    barriers plus a double feature scan.  One fused expansion pass emits
+    BOTH candidate-row families (``rel_tag`` keeps them separate), one
+    groupby produces both pair kinds, and the emitter pre-keys its output
+    for the dedup shuffle — two sort barriers total instead of three, one
+    feature scan instead of two, and no add-key/add-partition hops."""
     num_parts = num_parts or NUM_PAIR_PARTS
-    band_rows = features.map_batches(
-        cand.make_expand_bands(cfg, hot_keys, multi_keys), batch_format="pyarrow"
-    ).map_batches(
-        lambda t: cand.add_partition_col(t, "band_key", num_parts),
+    rows = features.map_batches(
+        cand.make_expand_unified(
+            cfg, hot_keys, multi_keys, useful_shingles, num_parts=num_parts
+        ),
         batch_format="pyarrow",
     )
-    band_pairs = band_rows.groupby("part").map_groups(
-        cand.make_band_pair_emitter(cfg), batch_format="pandas"
-    )
-    cont_rows = features.map_batches(
-        cand.make_expand_shingles(cfg, useful_shingles), batch_format="pyarrow"
-    ).map_batches(
-        lambda t: cand.add_partition_col(t, "sh", num_parts), batch_format="pyarrow"
-    )
-    cont_pairs = cont_rows.groupby("part").map_groups(
-        cand.make_containment_pair_emitter(cfg), batch_format="pandas"
-    )
-    pairs = band_pairs.union(cont_pairs)
-    pairs = pairs.map_batches(cand.add_pair_key, batch_format="pyarrow").map_batches(
-        lambda t: cand.add_partition_col(t, "pair_key", num_parts),
-        batch_format="pyarrow",
+    pairs = rows.groupby("part").map_groups(
+        cand.make_unified_pair_emitter(cfg, num_parts=num_parts),
+        batch_format="pandas",
     )
     return pairs.groupby("part").map_groups(cand.dedup_pair_group, batch_format="pandas")
 
@@ -801,13 +805,19 @@ def run_dedup(
             .map_groups(tag_shard_group, batch_format="pyarrow")
         )
     else:
-        # small stage on a small subset: a big actor pool here is pure
-        # spin-up cost (each actor re-builds the assignment index) — cap it
+        # broadcast-lookup stage → warm-worker task path (the repo idiom):
+        # the only state is an index built from object-store refs, so plain
+        # tasks on already-imported workers beat an actor pool — no fresh
+        # process spin-up per actor, one index build per PARTICIPATING
+        # worker (keyed by the refs), and the stage parallelism follows the
+        # scan instead of a fixed pool cap (this stage was the canonical
+        # lap's 1.24× 8→32 scaling floor)
+        from marc_record_merge_melindautils_ray.functions.util import task_stage
+
         members = clips.select_columns(member_src_cols).map_batches(
-            TagClusters,
-            fn_constructor_args=(assign_refs,),
+            task_stage(TagClusters, (tuple(assign_refs),),
+                       key=("tag_clusters", *assign_refs)),
             batch_format="pyarrow",
-            concurrency=max(2, min(16, cfg.fingerprint_concurrency // 2)),
         )
     authority_ref = ray.put(authority or {})
     bc = BuildCanonical(cfg, authority_ref, authority_client)
