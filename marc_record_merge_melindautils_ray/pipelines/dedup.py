@@ -68,17 +68,23 @@ def prepared_clips(clips: rd.Dataset) -> rd.Dataset:
 
 
 def compute_features(clips: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
-    """Prepare + fingerprint + text signatures as ONE fused actor pool
+    """Prepare + fingerprint + text signatures as ONE fused stage
     (``ClipFeatures``), then project to the slim feature set (bytes and raw
     transcripts never leave this stage).  One object-store hop instead of
     three — the chained-pool handoffs were fixed latency that ate scaling
-    efficiency (round-1 verdict item 2)."""
+    efficiency (round-1 verdict item 2).
+
+    Warm-worker task path, not an actor pool: the stage's only state is
+    hash/permutation tables built in milliseconds (``ClipFeatures`` holds no
+    payload caches), so fresh actor processes (~1 s spin-up × pool width,
+    every run) were pure fixed cost — the task path builds the tables once
+    per participating worker, keyed by the config hash."""
+    from marc_record_merge_melindautils_ray.functions.util import task_stage
+
     ds = clips.map_batches(
-        ClipFeatures,
-        fn_constructor_args=(cfg,),
+        task_stage(ClipFeatures, (cfg,), key=("clip_features", cfg.config_hash())),
         batch_format="pyarrow",
         batch_size=cfg.audio_batch_size,
-        concurrency=cfg.fingerprint_concurrency,
     )
     return ds.select_columns(FEATURE_COLS)
 
@@ -698,6 +704,21 @@ def run_dedup(
     assign_refs = assignments.to_arrow_refs()
     _t = _lap("collect_assignments", _t)
 
+    n_assigned = assignments.count()
+    from marc_record_merge_melindautils_ray.stages.cluster import (
+        adaptive_parts,
+        cluster_parallelism,
+    )
+
+    # canonical-build fan-out: the per-cluster merge measures ~43 µs/cluster
+    # (microbenched), so the stage is SHUFFLE-overhead-bound, not
+    # compute-bound — size partitions to a few thousand rows each with a
+    # cores floor, not the old 1 k-row confetti (136 one-kilorow map_groups
+    # tasks were ~80 % per-task overhead)
+    canon_parts = adaptive_parts(
+        n_assigned, rows_per_part=8000, lo=max(16, cluster_parallelism())
+    )
+
     def _tag_members(idx, batch: pa.Table) -> pa.Table:
         """Filter a RAW clip batch down to cluster members via the given
         assignment index, then derive the normalization columns only for
@@ -722,10 +743,28 @@ def run_dedup(
             tr = tr.combine_chunks()
         norm = normalize_transcript_array(pc.fill_null(tr, ""))
         batch = _with_derived(batch, norm)
+        # pre-key the canonical-build shuffle HERE (Arrow, vectorized) — the
+        # former separate pandas add-partition stage cost a full
+        # arrow→pandas→arrow round-trip over the member stream
+        from marc_record_merge_melindautils_ray.functions.hashing import (
+            splitmix64,
+            stable_str_hash,
+        )
+
+        cl_np = np.asarray(batch["cluster_id"].to_pylist(), dtype=object)
+        if len(cl_np):
+            with np.errstate(over="ignore"):
+                part = (splitmix64(stable_str_hash(cl_np))
+                        % np.uint64(canon_parts)).astype(np.int64)
+        else:
+            part = np.empty(0, np.int64)
+        batch = batch.append_column("part", pa.array(part, pa.int64()))
         # canonical build guards per-column; a corpus omitting optional
         # member columns (beyond what _with_derived backfills) just
         # yields a narrower canonical table
-        return batch.select([c for c in MEMBER_COLS if c in batch.column_names])
+        return batch.select(
+            [c for c in MEMBER_COLS if c in batch.column_names] + ["part"]
+        )
 
     class TagClusters:
         """Whole-index tagging actor: each actor holds the full assignment
@@ -821,12 +860,6 @@ def run_dedup(
         )
     authority_ref = ray.put(authority or {})
     bc = BuildCanonical(cfg, authority_ref, authority_client)
-    n_assigned = assignments.count()
-    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
-
-    # canonical build is Python-per-cluster work, so size partitions to keep
-    # every core busy (small rows_per_part), not to minimize shuffle overhead
-    canon_parts = adaptive_parts(n_assigned, rows_per_part=1000, lo=16)
 
     def build_canonical_partition(g):
         """Partition-then-vectorize: one UDF call per hash partition,
@@ -835,25 +868,10 @@ def run_dedup(
         modifiers)."""
         return bc.build_partition(g)
 
-    def add_cluster_part(df):
-        from marc_record_merge_melindautils_ray.functions.hashing import (
-            splitmix64,
-            stable_str_hash,
-        )
-
-        df = df.copy()
-        with np.errstate(over="ignore"):
-            df["part"] = (
-                splitmix64(stable_str_hash(df["cluster_id"].to_numpy()))
-                % np.uint64(canon_parts)
-            ).astype(np.int64)
-        return df
-
     _t = _time.monotonic()
     canonical = ck.stage(
         "canonical",
-        lambda: members.map_batches(add_cluster_part, batch_format="pandas")
-        .groupby("part")
+        lambda: members.groupby("part")
         .map_groups(build_canonical_partition, batch_format="pandas"),
         input_fingerprint=ck.fingerprint("assignments") + authority_fp,
     )
