@@ -95,8 +95,17 @@ class DedupConfig:
                                   # shard's ArrowBlockIndex — the ≫10^8-row
                                   # side-table path (trades one K-way member
                                   # shuffle for bounded per-task index heap)
-    verify_concurrency: int = 4
-    fingerprint_concurrency: int = 4
+    verify_concurrency: int = 4   # ceiling for the phase-2 PCM actor pool
+                                  # (the one stage with heavy per-actor
+                                  # state: payload block index); also sizes
+                                  # the payload-filter and live-host-lookup
+                                  # pools
+    fingerprint_concurrency: int = 4  # legacy knob: the feature and
+                                  # cluster-tagging stages now run on the
+                                  # warm-worker task path (light state) and
+                                  # scale with the cluster, so this no
+                                  # longer caps them; kept for config-hash
+                                  # stability of existing checkpoints
     num_shuffle_partitions: int = 0   # 0 = let Ray decide
 
     def rows_per_band(self) -> int:

@@ -654,9 +654,13 @@ def run_dedup(
         # few core-seconds of work — spinning the full ceiling of fresh actor
         # processes (imports + per-actor index build) costs more than the
         # kernels themselves (measured: stage wall ~90 % fixed overhead at
-        # 326 k clips / 68 k pairs).  ~6 k pairs per actor keeps each actor
-        # busy for ~1 s+; huge streams still clamp to cfg.verify_concurrency.
-        pool = min(cfg.verify_concurrency, max(2, n_near_pairs // 6000))
+        # 326 k clips / 68 k pairs).  ~2 k pairs per actor keeps each actor
+        # busy well past its spin-up while letting the pool actually widen
+        # with the box (the old 6 k divisor froze the pool at ~5 actors on
+        # BOTH 8 and 32 cpus at 34 k near pairs — the stage measured 1.02×
+        # 8→32 purely by construction); huge streams still clamp to
+        # cfg.verify_concurrency.
+        pool = min(cfg.verify_concurrency, max(2, n_near_pairs // 2000))
         near = sv_near.map_batches(
             PairPcmVerify,
             fn_constructor_args=(cfg, refs, direct_payloads),

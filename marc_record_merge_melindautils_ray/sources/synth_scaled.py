@@ -99,6 +99,12 @@ def generate_clips_ds(
 ) -> rd.Dataset:
     """Dataset of synthesized clips for ``n_families`` family slots (mix of
     dup kinds and singletons per KINDS cycle, ≈1.8 rows per slot)."""
+    # 64 blocks (Ray's default here), deliberately NOT raised with corpus
+    # size: the feature scan at 32 cpus quantizes into 2.1 waves (~25 %
+    # idle in that one stage), but every sort shuffle's map-side unit count
+    # scales with input blocks — a 240-block variant measured the 8-cpu
+    # candidates and canonical shuffles at 2-3× the 64-block wall, far
+    # outweighing the wave win
     idx = rd.range(n_families)
     schema = CLIPS_SCHEMA
     if with_truth:
