@@ -525,9 +525,15 @@ def run_dedup(
     # candidate-shuffle fan-out tracks corpus size (band rows ≈ rows × bands)
     # with a 2×-cores floor — a frozen 64 starves a 100×-corpus shuffle, but
     # a purely row-derived count undershoots a big box on mid-size corpora
-    # (measured: 21 parts on 32 cpus cost ~30 % headline)
+    # (measured: 21 parts on 32 cpus cost ~30 % headline).  Rows-per-part is
+    # deliberately LARGE (100 k): the emitters are partition-vectorized, so
+    # a fat partition is one cheap numpy pass, while sort-shuffle object
+    # count scales as input-blocks × partitions — at 1 M clips the default
+    # 20 k sizing produced 200 partitions and a measured superlinear
+    # candidates wall (54 s vs 7.8 s at 326 k for 3.1× the rows)
     pair_parts = adaptive_parts(
-        n_feature_rows * 4, lo=max(16, 2 * cluster_parallelism()), hi=512
+        n_feature_rows * 4, rows_per_part=100_000,
+        lo=max(16, 2 * cluster_parallelism()), hi=512,
     )
 
     if checkpoint_dir:
