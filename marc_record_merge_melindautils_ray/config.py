@@ -78,7 +78,8 @@ class DedupConfig:
     # --- execution --------------------------------------------------------
     batch_size: int = 4096
     audio_batch_size: int = 256   # wide binary rows -> smaller batches
-    verify_batch_size: int = 256  # pairs per phase-2 batch (keeps the actor pool busy)
+    verify_batch_size: int = 256  # pairs per phase-2 batch (sizes the task
+                                  # fan-out of the warm-worker verify stage)
     payload_buckets: int = 64     # hash buckets for the survivor payload store
     payload_store: str = "auto"   # "filtered": build a survivor-only payload
                                   # block store (the cluster-scale default —
@@ -95,11 +96,11 @@ class DedupConfig:
                                   # shard's ArrowBlockIndex — the ≫10^8-row
                                   # side-table path (trades one K-way member
                                   # shuffle for bounded per-task index heap)
-    verify_concurrency: int = 4   # ceiling for the phase-2 PCM actor pool
-                                  # (the one stage with heavy per-actor
-                                  # state: payload block index); also sizes
-                                  # the payload-filter and live-host-lookup
-                                  # pools
+    verify_concurrency: int = 4   # sizes the payload-filter and live-host-
+                                  # lookup pools (phase-2 PCM verify itself
+                                  # now runs on the warm-worker task path —
+                                  # its block index builds once per process,
+                                  # so parallelism follows the pair stream)
     fingerprint_concurrency: int = 4  # legacy knob: the feature and
                                   # cluster-tagging stages now run on the
                                   # warm-worker task path (light state) and

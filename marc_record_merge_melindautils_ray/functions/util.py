@@ -65,17 +65,27 @@ def task_stage(cls, ctor_args: tuple, key: tuple):
     uniquely identify ``ctor_args`` — ObjectRefs are hashable and make good
     key components) and cached in a small per-process LRU (a hit refreshes
     recency, so interleaved streaming stages don't evict each other's
-    still-active state)."""
+    still-active state).
+
+    The cache MUST be resolved through the imported module at call time:
+    ``fn`` is a dynamic closure, so cloudpickle ships it by VALUE — a bare
+    global reference to ``_STAGE_CACHE`` would be captured as a fresh empty
+    dict in every serialized task, silently rebuilding the state once per
+    TASK instead of once per worker (measured: 64 index builds for 64 tasks
+    across 32 workers — the "warm worker" path wasn't warm at all)."""
 
     def fn(batch, _cls=cls, _args=ctor_args, _key=key):
-        inst = _STAGE_CACHE.get(_key)
+        from marc_record_merge_melindautils_ray.functions import util as _util
+
+        cache = _util._STAGE_CACHE
+        inst = cache.get(_key)
         if inst is None:
             inst = _cls(*_args)
-            if len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
-                _STAGE_CACHE.popitem(last=False)
-            _STAGE_CACHE[_key] = inst
+            if len(cache) >= _util._STAGE_CACHE_MAX:
+                cache.popitem(last=False)
+            cache[_key] = inst
         else:
-            _STAGE_CACHE.move_to_end(_key)
+            cache.move_to_end(_key)
         return inst(batch)
 
     fn.__name__ = f"task_{getattr(cls, '__name__', 'stage')}"

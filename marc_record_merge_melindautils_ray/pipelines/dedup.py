@@ -652,27 +652,28 @@ def run_dedup(
             id_refs = survivor_id_blocks(sv_near).to_arrow_refs()
             refs = build_payload_blocks(clips, id_refs, cfg)
         _t2 = _lap("payload_blocks", _t2)
-        # location resolution happens inside the verify actors (each holds an
-        # ArrowBlockIndex built once in __init__) — no separate locate stage,
+        # location resolution happens inside the verify workers (each holds an
+        # ArrowBlockIndex built once per process) — no separate locate stage,
         # one fewer materialization barrier.
-        # Pool width tracks the measured pair count, not the config ceiling:
-        # the kernel costs ~0.1-1 ms/pair, so a mid-size survivor stream is a
-        # few core-seconds of work — spinning the full ceiling of fresh actor
-        # processes (imports + per-actor index build) costs more than the
-        # kernels themselves (measured: stage wall ~90 % fixed overhead at
-        # 326 k clips / 68 k pairs).  ~2 k pairs per actor keeps each actor
-        # busy well past its spin-up while letting the pool actually widen
-        # with the box (the old 6 k divisor froze the pool at ~5 actors on
-        # BOTH 8 and 32 cpus at 34 k near pairs — the stage measured 1.02×
-        # 8→32 purely by construction); huge streams still clamp to
-        # cfg.verify_concurrency.
-        pool = min(cfg.verify_concurrency, max(2, n_near_pairs // 2000))
+        # Warm-worker task path (the repo idiom for light-state stages): the
+        # stage's only state is the block index (a sub-second numpy build
+        # from plasma refs) plus LRU caches, while the SNR kernels total a
+        # few core-seconds on a mid-size survivor stream — so fresh actor
+        # processes (spawn + imports, per actor, every run) were the
+        # dominant stage cost and froze parallelism at a heuristic pool
+        # width.  As tasks on already-imported workers the index builds once
+        # per participating worker (keyed by the refs) and parallelism
+        # follows the pair stream.
+        from marc_record_merge_melindautils_ray.functions.util import task_stage
+
         near = sv_near.map_batches(
-            PairPcmVerify,
-            fn_constructor_args=(cfg, refs, direct_payloads),
+            task_stage(
+                PairPcmVerify, (cfg, refs, direct_payloads),
+                key=("pair_verify", cfg.config_hash(), direct_payloads,
+                     *refs),
+            ),
             batch_format="pandas",
             batch_size=cfg.verify_batch_size,
-            concurrency=pool,
         ).map_batches(
             lambda df: _verified_table(df[df["ok"]]),
             batch_format="pandas",

@@ -389,7 +389,12 @@ class PairPcmVerify:
             return None
         pcm = au.decode(payload, codec)
         self._pcm_cache[cid] = pcm
-        if len(self._pcm_cache) > 1024:
+        # bound chosen for the warm-worker task path, where the instance
+        # outlives the stage in the per-process LRU: ~256 × a 2-4 s clip
+        # ≈ tens of MB, not the ~160 MB a 1024-entry cache could retain;
+        # pair locality after the pair-dedup shuffle is weak anyway (pairs
+        # are keyed by pair hash, not clip), so a big cache buys little
+        if len(self._pcm_cache) > 256:
             self._pcm_cache.popitem(last=False)
         return pcm
 
