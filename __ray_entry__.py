@@ -235,6 +235,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from marc_record_merge_melindautils_ray.ops import (
         dedup_text,
+        editdist,
         multimodal,
         relational,
         similarity,
@@ -288,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_trade": relational.q7_nation_trade,
         "segments_per_nation": relational.q_segments_per_nation,
         "percent_rank_orders": relational.q_percent_rank_orders,
+        "ntile_orders": relational.q_ntile_orders,
+        "cume_dist_orders": relational.q_cume_dist_orders,
         "daily_active_users": relational.q_daily_active_users,
         # grouped mergeable sketch: approx distinct users per event type
         # (non-SQL fold; ≤5% accuracy + block-layout invariance in
@@ -325,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup_text.q_ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": _ngram_jaccard_capped,
         "containment_pairs": dedup_text.q_containment_pairs,
+        # bounded Levenshtein pair join: Ed-Join prefix / length-bucket
+        # blocking (auto-selected by measured gram entropy), byte-histogram
+        # L1 prefilter, pair-batched banded DP verify (ops/editdist.py)
+        "edit_distance_pairs": editdist.q_edit_distance_pairs,
         # MOSS-style winnowing fingerprints: partial-overlap detection
         # (non-SQL: windowed argmin over rolling hashes; pinned pair-for-pair
         # to a pure-Python reference in tests/test_winnow.py)
@@ -362,6 +369,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable sketches (approximate: rows-only + accuracy-bound tests)
         "hll_distinct_users": sketches.q_hll_distinct_users,
         "value_quantiles": sketches.q_value_quantiles,
+        # two-pass Misra-Gries heavy hitters: bounded per-task state, exact
+        # certified output (falls back to the exact combiner when the k-th
+        # count is inside the error bound — logged, never silent)
+        "heavy_hitters": sketches.q_heavy_hitters,
         # multimodal plumbing
         "image_features": multimodal.q_image_features,
         "frame_sample_counts": multimodal.q_frame_sample_counts,
@@ -976,6 +987,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_custkey, price_c, o_orderkey
         """,
+        "ntile_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                                o_orderkey) AS BIGINT) AS tile
+            FROM orders
+            ORDER BY o_custkey, price_c, o_orderkey
+        """,
+        "cume_dist_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+                   CAST(count(*) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS cd_num,
+                   CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_part
+            FROM orders
+            ORDER BY o_custkey, price_c, o_orderkey
+        """,
         "daily_active_users": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -1086,6 +1118,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS n FROM t
             GROUP BY term ORDER BY n DESC, term LIMIT 20
         """,
+        "heavy_hitters": """
+            WITH t AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            )
+            SELECT term, count(*) AS n FROM t
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
         "quality_filter": """
             WITH q AS (
               SELECT doc_id,
@@ -1159,6 +1199,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(a.t) >= 20 AND length(a.t) < length(b.t)
               AND position(a.t IN b.t) > 0
             ORDER BY id_inner, id_outer
+        """,
+        "edit_distance_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= 16
+            WHERE levenshtein(a.text, b.text) <= 16
+            ORDER BY id_a, id_b
         """,
         "lang_id": """
             WITH s AS (

@@ -2240,3 +2240,85 @@ def q_intersect_keys(sf_dir: str, year_a: int = 1995,
     out = agg[(agg["in_a"] > 0) & (agg["in_b"] > 0)][["c_custkey"]]
     out["c_custkey"] = out["c_custkey"].astype(np.int64)
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ------------------------------------------- NTILE / cume_dist windows
+def q_ntile_orders(sf_dir: str, buckets: int = 4) -> pd.DataFrame:
+    """ANSI ntile(buckets) PARTITION BY customer ORDER BY (price, orderkey):
+    equal-depth buckets, the first n%b buckets one row deeper.  Same window
+    plan as ``q_percent_rank_orders``: hash-shuffle by customer, per-group
+    vectorized position arithmetic — no global sort, no driver pass."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_c": pa.array(_cents(np.asarray(t["o_totalprice"])), pa.int64()),
+        })
+
+    def tile_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_c", "o_orderkey"]).reset_index(drop=True)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        q, r = divmod(n, buckets)
+        if q == 0:
+            tile = idx + 1  # fewer rows than buckets: one row per bucket
+        else:
+            big = r * (q + 1)  # rows covered by the (q+1)-deep buckets
+            tile = np.where(idx < big, idx // (q + 1), r + (idx - big) // q) + 1
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "price_c": g["price_c"].to_numpy(np.int64),
+            "tile": tile,
+        })
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(tile_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["o_custkey", "price_c", "o_orderkey"])
+            .reset_index(drop=True)
+            [["o_orderkey", "o_custkey", "price_c", "tile"]])
+
+
+def q_cume_dist_orders(sf_dir: str) -> pd.DataFrame:
+    """ANSI cume_dist() PARTITION BY customer ORDER BY price, emitted as the
+    EXACT integer pair (cd_num = rows with price ≤ current incl. peers,
+    n_part = partition size) instead of a float ratio — bit-for-bit
+    comparable with the oracle, no rounding rule to disagree on.  Peer
+    groups (price ties) share cd_num, computed with one searchsorted over
+    the group's sorted prices."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_c": pa.array(_cents(np.asarray(t["o_totalprice"])), pa.int64()),
+        })
+
+    def cd_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_c", "o_orderkey"]).reset_index(drop=True)
+        p = g["price_c"].to_numpy(np.int64)
+        cd_num = np.searchsorted(p, p, side="right").astype(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "price_c": p,
+            "cd_num": cd_num,
+            "n_part": np.full(len(g), len(g), np.int64),
+        })
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(cd_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["o_custkey", "price_c", "o_orderkey"])
+            .reset_index(drop=True)
+            [["o_orderkey", "o_custkey", "price_c", "cd_num", "n_part"]])

@@ -230,3 +230,99 @@ def q_hll_users_per_type(sf_dir: str) -> pd.DataFrame:
     in tests/test_sketches.py)."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return hll_distinct_by(ds, "event_type", "user_id")
+
+
+# ----------------------------------------------------- Misra-Gries heavy hitters
+MG_SUMMARY_SIZE = 256  # counters per summary — state independent of vocabulary
+
+
+def mg_trim(terms: np.ndarray, counts: np.ndarray, s: int) -> tuple:
+    """Trim a counted multiset to ≤ ``s`` counters, Misra-Gries style: the
+    decrement δ = the (s+1)-th largest count is subtracted from every counter
+    and non-positive ones drop.  Returns (terms, counts, δ): any item's
+    retained count undercounts its input weight by at most δ (Misra & Gries
+    1982; mergeability per Agarwal et al., PODS'12)."""
+    if len(terms) <= s:
+        return terms, counts.astype(np.int64), 0
+    kth = np.partition(counts, len(counts) - s - 1)[len(counts) - s - 1]
+    keep = counts > kth
+    return terms[keep], (counts[keep] - kth).astype(np.int64), int(kth)
+
+
+def q_heavy_hitters(sf_dir: str, k: int = 20, s: int = MG_SUMMARY_SIZE) -> pd.DataFrame:
+    """EXACT corpus top-k terms computed with BOUNDED per-task state — the
+    scale sibling of ``q_top_terms`` (whose partial-counts shuffle carries the
+    whole vocabulary).  Two passes:
+
+    1. per-batch Misra-Gries summaries (≤ ``s`` counters each) fold on the
+       driver into one summary with a tracked total error bound ε = Σ δ;
+       every term with true count > ε is guaranteed present (MG property);
+    2. the ≤ ``s`` candidate terms broadcast back; one vectorized recount
+       pass computes their EXACT counts.
+
+    The result is CERTIFIED exact top-k when the k-th exact count > ε (the
+    guarantee implies no non-candidate can beat it); otherwise the operator
+    falls back to the exact combiner path and says so — approximation is a
+    logged mode, never a silent one.  Shuffle cost: pass 1 moves
+    O(s × batches) rows, pass 2 moves O(s × batches) — both independent of
+    vocabulary size, unlike the exact combiner's O(vocab) exchange.
+    """
+    import logging
+
+    from marc_record_merge_melindautils_ray.ops.text_analysis import _docs
+
+    logger = logging.getLogger(__name__)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.strip().str.lower().str.split()
+        vc = words.explode().dropna().value_counts()
+        t, c, delta = mg_trim(vc.index.to_numpy(), vc.to_numpy(), s)
+        out = pd.DataFrame({"term": t, "n": c})
+        out["eps"] = np.int64(0)
+        if len(out):
+            out.iloc[0, out.columns.get_loc("eps")] = np.int64(delta)
+        elif delta:
+            out = pd.DataFrame({"term": [""], "n": [np.int64(0)],
+                                "eps": [np.int64(delta)]})
+        return out
+
+    docs = _docs(sf_dir)
+    summaries = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    # driver fold: O(s × batches) rows — tiny, independent of vocabulary
+    eps = int(summaries["eps"].sum())
+    merged = summaries.groupby("term", as_index=False)["n"].sum()
+    merged = merged[merged["n"] > 0]
+    t, c, delta = mg_trim(
+        merged["term"].to_numpy(), merged["n"].to_numpy(), s
+    )
+    eps += delta
+    candidates = set(t.tolist())
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.strip().str.lower().str.split()
+        vc = words.explode().dropna().value_counts()
+        hit = vc.index.isin(candidates)
+        return pd.DataFrame({
+            "term": vc.index.to_numpy()[hit],
+            "n": vc.to_numpy()[hit].astype(np.int64),
+        })
+
+    exact = (
+        docs.map_batches(recount, batch_format="pandas")
+        .to_pandas()
+        .groupby("term", as_index=False)["n"].sum()
+        .sort_values(["n", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    kth = int(exact["n"].iloc[-1]) if len(exact) >= k else 0
+    if len(exact) >= k and kth > eps:
+        return exact
+    # guarantee not certified at this summary size — honest exact fallback
+    logger.warning(
+        "heavy_hitters: k-th count %d ≤ error bound %d at s=%d — falling "
+        "back to the exact combiner path", kth, eps, s,
+    )
+    from marc_record_merge_melindautils_ray.ops.text_analysis import q_top_terms
+
+    return q_top_terms(sf_dir, k=k)

@@ -75,3 +75,30 @@ def test_hll_grouped_accuracy_and_layout_invariance(ray_session):
     for g, got in zip(a["event_type"], a["approx_distinct"]):
         want = int(exact[g])
         assert abs(got - want) / want < 0.05, (g, got, want)
+
+
+# ------------------------------------------------------- Misra-Gries heavy hitters
+def test_mg_trim_error_bound():
+    import numpy as np
+
+    from marc_record_merge_melindautils_ray.ops.sketches import mg_trim
+
+    rng = np.random.default_rng(3)
+    terms = np.array([f"t{i}" for i in range(100)])
+    counts = rng.integers(1, 1000, size=100)
+    t, c, delta = mg_trim(terms, counts.copy(), 10)
+    assert len(t) <= 10
+    lookup = dict(zip(t, c))
+    for term, n in zip(terms, counts):
+        kept = lookup.get(term, 0)
+        assert kept <= n and n - kept <= delta  # undercount bounded by δ
+
+
+def test_heavy_hitters_exact_and_fallback(ray_session):
+    from marc_record_merge_melindautils_ray.ops.sketches import q_heavy_hitters
+    from marc_record_merge_melindautils_ray.ops.text_analysis import q_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_top_terms(sf)
+    assert q_heavy_hitters(sf).equals(exact)            # certified path
+    assert q_heavy_hitters(sf, s=3).equals(exact)       # fallback path

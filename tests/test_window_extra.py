@@ -88,3 +88,48 @@ def test_hopping_window_oracle(ray_session):
         assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
     n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
     assert int(got["n_events"].sum()) == 4 * n_events
+
+
+def test_ntile_orders(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_ntile_orders
+
+    want = con.execute("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c,
+               CAST(ntile(4) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT), o_orderkey)
+                   AS BIGINT) AS tile
+        FROM orders ORDER BY o_custkey, price_c, o_orderkey""").df()
+    got = q_ntile_orders(SF)
+    assert set(got["tile"].unique()) <= {1, 2, 3, 4}
+    _eq(got, want)
+
+
+def test_ntile_uneven_partition(ray_session, con):
+    # 4 buckets over a 6-row partition: depths 2,2,1,1 — the n%b rule
+    from marc_record_merge_melindautils_ray.ops.relational import q_ntile_orders
+
+    got = q_ntile_orders(SF)
+    sizes = got.groupby(["o_custkey", "tile"]).size().groupby("o_custkey")
+    for cust, s in sizes:
+        assert s.max() - s.min() <= 1  # equal-depth within ±1
+
+
+def test_cume_dist_orders(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_cume_dist_orders
+
+    want = con.execute("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c,
+               CAST(count(*) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT))
+                   AS BIGINT) AS cd_num,
+               CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_part
+        FROM orders ORDER BY o_custkey, price_c, o_orderkey""").df()
+    got = q_cume_dist_orders(SF)
+    # last row of every partition has cume_dist exactly 1
+    last = got.groupby("o_custkey").tail(1)
+    assert (last["cd_num"] == last["n_part"]).all()
+    _eq(got, want)
