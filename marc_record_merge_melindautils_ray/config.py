@@ -26,6 +26,10 @@ class DedupConfig:
     fp_frames: int = 64           # fixed-length energy envelope for SimHash
     simhash_bits: int = 64
     simhash_seed: int = 0xF00D
+    fp_rate_hz: int = 8000        # fingerprints computed at this canonical
+    # rate (clips conform via linear resample first), so the SAME signal
+    # distributed at different sample rates lands in the same audio buckets;
+    # clips already at the canonical rate skip the resample entirely
     simhash_max_hamming: int = 6  # verify-stage fingerprint gate
     snr_db: float = 30.0          # per-row invariant: decoded-PCM allclose (BASELINE.json input_hint)
 

@@ -103,6 +103,20 @@ def is_decodable(codec: str) -> bool:
     return codec in ("pcm16", "f32", "ulaw", "alaw")
 
 
+def resample_linear(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample (np.interp, endpoints clamped) — the
+    same kernel as the payload-axis ``clip_resample`` transform, exposed here
+    so cross-sample-rate duplicate pairs can be verified at a common rate.
+    Exact round-trip for integer-ratio upsamples (the output grid contains
+    the input instants)."""
+    if sr_from == sr_to or len(pcm) == 0:
+        return pcm
+    n_out = max(1, int(round(len(pcm) * sr_to / sr_from)))
+    t_in = np.arange(len(pcm), dtype=np.float64) / sr_from
+    t_out = np.arange(n_out, dtype=np.float64) / sr_to
+    return np.interp(t_out, t_in, pcm.astype(np.float64)).astype(np.float32)
+
+
 # ----------------------------------------------------------------- comparison
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     """Signal-to-noise ratio of ``test`` against ``ref`` in dB.

@@ -399,11 +399,14 @@ def build_payload_blocks(clips: rd.Dataset, id_refs, cfg: DedupConfig):
             return pa.table({
                 "pid": batch["clip_id"], "p_bytes": batch["bytes"],
                 "p_codec": batch["codec"], "p_norm": norm,
+                "p_sr": batch["sr_hz"],
             })
 
     # prune the re-read to payload columns only; blocks stay source-shaped
     # (verify actors hold the whole store zero-copy, no coalescing needed)
-    pay = clips.select_columns(["clip_id", "bytes", "codec", "transcript"]).map_batches(
+    pay = clips.select_columns(
+        ["clip_id", "bytes", "codec", "transcript", "sr_hz"]
+    ).map_batches(
         PayRows,
         fn_constructor_args=(id_refs,),
         batch_format="pyarrow",

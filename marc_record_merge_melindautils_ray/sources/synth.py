@@ -222,6 +222,23 @@ class CorpusBuilder:
                     sr, "pcm16", boiler, f"{fam}-{i//2}",
                     sources=[_SOURCES[i % len(_SOURCES)]] if i % 2 == 0 else [_SOURCES[(i + 3) % len(_SOURCES)]],
                 )
+        elif kind == "resample":
+            # cross-sample-rate duplicate: the SAME signal distributed at
+            # 8 kHz and (linear-interp upsampled) 16 kHz — verify must
+            # conform rates before the samplewise SNR gate or this true dup
+            # reads as a duration mismatch
+            from marc_record_merge_melindautils_ray.functions.audio import (
+                resample_linear,
+            )
+
+            a = self.add_row(pcm, sr, "pcm16", text, fam, sources=s0)
+            up = resample_linear(pcm, sr, 2 * sr)
+            b = self.add_row(up, 2 * sr, "pcm16", text, fam, sources=s1)
+            po, pp = _orient(a, b)
+            self.golden_pairs.append(
+                {"case": tag, "id_other": po, "id_preferred": pp,
+                 "expected_ok": True, "expected_reasons": []}
+            )
         elif kind == "nearmiss":
             a = self.add_row(pcm, sr, "pcm16", text, None, sources=s0)
             noisy = np.clip(pcm + 0.2 * _pcm(tag + ":noise", seed, n, sr), -1, 1)
@@ -333,7 +350,7 @@ def make_corpus(
 ) -> tuple[pa.Table, pa.Table, pa.Table]:
     """Build (clips, truth, golden_pairs) deterministic tables."""
     b = CorpusBuilder(seed)
-    kinds = ["exact", "normtext", "transcode", "containment", "nearmiss"]
+    kinds = ["exact", "normtext", "transcode", "containment", "nearmiss", "resample"]
     for i in range(n_families):
         b.family(kinds[i % len(kinds)], i)
     b.family("hotkey", n_families)

@@ -151,22 +151,39 @@ class AudioFingerprint:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["bytes"].to_pylist()
         codecs = batch["codec"].to_pylist()
+        srs = (
+            batch["sr_hz"].to_pylist()
+            if "sr_hz" in batch.column_names
+            else [0] * len(payloads)
+        )
         fps = np.zeros(len(payloads), dtype=np.uint64)
         ok = np.zeros(len(payloads), dtype=bool)
         ch0 = np.zeros(len(payloads), dtype=np.uint64)
         ch1 = np.zeros(len(payloads), dtype=np.uint64)
-        for i, (p, c) in enumerate(zip(payloads, codecs)):
+        fp_rate = getattr(self.cfg, "fp_rate_hz", 8000)
+        for i, (p, c, sr) in enumerate(zip(payloads, codecs, srs)):
             if p is None or c is None or not au.is_decodable(c):
                 continue
             pcm = au.decode(p, c)
+            # conform to the canonical fingerprint rate so cross-rate copies
+            # of one signal fingerprint identically (no-op at the canonical
+            # rate — the common case pays nothing)
+            if sr and fp_rate and sr != fp_rate:
+                pcm = au.resample_linear(pcm, int(sr), int(fp_rate))
             fps[i] = self.fper.fingerprint(pcm)
             ok[i] = True
-            # 128-bit content-identity hash (codec folded in): lets phase-1
-            # decide byte-identical pairs vectorized, so the exact-dup
-            # majority never touches payload bytes again (phase-2 bytes/pair
-            # → 0 for them).  Hashed here because this stage already holds
-            # the payload in cache for the decode.
-            ch0[i], ch1[i] = self.ph.hash_one(p, self._codec_hash(c))
+            # 128-bit content-identity hash (codec AND sample rate folded
+            # in — identical bytes at different rates are different signals,
+            # so they must not hash equal): lets phase-1 decide
+            # byte-identical pairs vectorized, so the exact-dup majority
+            # never touches payload bytes again (phase-2 bytes/pair → 0 for
+            # them).  Hashed here because this stage already holds the
+            # payload in cache for the decode.
+            ch0[i], ch1[i] = self.ph.hash_one(
+                p,
+                self._codec_hash(c)
+                ^ (((sr or 0) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF),
+            )
         batch = batch.append_column("fp", pa.array(fps.view(np.int64), pa.int64()))
         batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
         batch = batch.append_column("ch0", pa.array(ch0.view(np.int64), pa.int64()))

@@ -381,6 +381,18 @@ class PairPcmVerify:
         s = t[bcol][int(ri)]
         return (s.as_buffer() if s.is_valid else None), t[ccol][int(ri)].as_py()
 
+    def _sr_of(self, bi: int, ri: int):
+        """Clip sample rate from the indexed block; ``None`` on legacy blocks
+        that predate the ``p_sr`` column (treated as same-rate)."""
+        if bi < 0:
+            return None
+        t = self._index.tables[int(bi)]
+        col = "sr_hz" if self.direct else "p_sr"
+        if col not in t.column_names:
+            return None
+        v = t[col][int(ri)]
+        return v.as_py() if v.is_valid else None
+
     def _pcm(self, cid: str, payload, codec) -> np.ndarray | None:
         if cid in self._pcm_cache:
             self._pcm_cache.move_to_end(cid)
@@ -418,6 +430,8 @@ class PairPcmVerify:
             if inline:
                 bytes_a, codec_a, norm_a = row.bytes_a, row.codec_a, row.norm_a
                 bytes_b, codec_b, norm_b = row.bytes_b, row.codec_b, row.norm_b
+                sr_a = getattr(row, "sr_a", None)
+                sr_b = getattr(row, "sr_b", None)
             else:
                 norm_a = self._norm_of(row.block_a, row.row_a)
                 norm_b = self._norm_of(row.block_b, row.row_b)
@@ -435,6 +449,8 @@ class PairPcmVerify:
                     continue
                 bytes_a, codec_a = self._payload_of(row.block_a, row.row_a)
                 bytes_b, codec_b = self._payload_of(row.block_b, row.row_b)
+                sr_a = self._sr_of(row.block_a, row.row_a)
+                sr_b = self._sr_of(row.block_b, row.row_b)
             # byte-identical fast path BEFORE any decode: same decodable
             # codec + equal payload bytes decode to identical PCM, so SNR is
             # +inf by construction — a memcmp replaces two decodes + the
@@ -442,6 +458,8 @@ class PairPcmVerify:
             if (
                 rel == "band"
                 and codec_a == codec_b
+                and sr_a == sr_b  # identical bytes at different rates are
+                # different SIGNALS (playback speed) — not a duplicate
                 and bytes_a is not None
                 and bytes_b is not None
                 and codec_a is not None
@@ -456,6 +474,15 @@ class PairPcmVerify:
             if pa_ is None or pb is None:
                 extra[i].append("undecodable")
                 continue
+            # cross-sample-rate pair: conform the higher-rate side down to
+            # the common (lower) rate before any samplewise comparison — the
+            # per-row invariant (decoded-PCM SNR) is defined at a common
+            # rate; linear interp is exact for integer-ratio upsampled dups
+            if sr_a is not None and sr_b is not None and sr_a != sr_b:
+                if sr_a > sr_b:
+                    pa_ = au.resample_linear(pa_, int(sr_a), int(sr_b))
+                else:
+                    pb = au.resample_linear(pb, int(sr_b), int(sr_a))
             if rel == "band":
                 m = min(len(pa_), len(pb))
                 if m == 0 or abs(len(pa_) - len(pb)) > max(1, int(0.05 * m)):
@@ -617,6 +644,15 @@ def verify_oriented_pairs(
             and au.is_decodable(o["codec"]) and au.is_decodable(pref["codec"])
         ):
             x, y = au.decode(ob, o["codec"]), au.decode(pb, pref["codec"])
+            # cross-sample-rate pair: conform the higher-rate side to the
+            # common rate before the samplewise invariant (same rule as the
+            # pipeline's phase-2 verify)
+            sro, srp = o.get("sr_hz"), pref.get("sr_hz")
+            if sro and srp and sro != srp:
+                if sro > srp:
+                    x = au.resample_linear(x, int(sro), int(srp))
+                else:
+                    y = au.resample_linear(y, int(srp), int(sro))
             m = min(len(x), len(y))
             if len(x) != len(y) and abs(len(x) - len(y)) > max(1, int(0.05 * m)):
                 if "duration-mismatch" not in reasons:
