@@ -356,6 +356,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": similarity.q_cosine_pairs,
         "embed_dup_pairs": similarity.q_embed_dup_pairs,
         "lsh_bucket_counts": similarity.lsh_bucket_counts,
+        # SemDeDup-style semantic dedup (non-SQL: iterative k-means cells;
+        # planted-group exactness + determinism in tests/test_similarity.py)
+        "semdedup": similarity.q_semdedup,
+        # JL random-projection dim reduction (non-SQL: matmul against a
+        # seed-derived Rademacher matrix; distortion bound tested)
+        "embed_project": similarity.q_embed_project,
         # text analysis
         "token_counts": text_analysis.q_token_counts,
         "quality_signals": text_analysis.q_quality_signals,

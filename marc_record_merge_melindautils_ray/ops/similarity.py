@@ -603,3 +603,148 @@ def lsh_bucket_counts(sf_dir: str) -> pd.DataFrame:
     )
     out.columns = ["bucket", "n_vectors"]
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+# --------------------------------------------------------------- SemDeDup
+def q_semdedup(
+    sf_dir: str, n_cells: int | None = None, tau_permille: int = 450,
+    sample_cap: int = 2048,
+) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv 2303.09540
+    — public): k-means cluster the normalized embeddings, then within each
+    cluster remove all but one member of every cosine-≥-τ duplicate group.
+
+    Distributed plan: the coarse quantizer trains on a bounded deterministic
+    sample (same as ``q_ann_ivf``); centroids broadcast once via ``ray.put``;
+    each batch assigns rows to cells with ONE matmul and pre-keys the cell
+    shuffle; per-cell work is a vectorized pairwise-cosine + union-find over
+    the ≥τ pairs.  Keeper rule: deterministic min ``vec_id`` per duplicate
+    component (the paper keeps an arbitrary representative — a deterministic
+    choice makes output layout-invariant and resumable).
+
+    Cell sizes are the scale knob: E[cell] = N/n_cells; the within-cell
+    pairwise cost is Σ|cell|², so n_cells ∝ N keeps per-task work constant.
+    Returns removals: (vec_id, keeper_id, cell) — rows to DROP.  The
+    default τ=0.45 is calibrated to the synthetic table's similarity
+    range (max off-diagonal cosine ≈0.51); production semantic dedup
+    runs at ≈0.95 (the paper's regime) — the knob, not the plan,
+    changes.
+    """
+    ds = _emb(sf_dir)
+    n_rows = ds.count()
+    if n_cells is None:
+        n_cells = max(4, int(np.sqrt(max(1, n_rows))))
+    step = max(1, n_rows // sample_cap)
+
+    def take_strided(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"])
+        return t.filter(pa.array(ids % step == 0))
+
+    sample = ds.map_batches(take_strided, batch_format="pyarrow").to_pandas()
+    smat = np.array([np.asarray(v, np.float64) for v in sample["embedding"]])
+    smat = smat / np.clip(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12, None)
+    cent = _kmeans(smat, n_cells)
+    cref = ray.put(cent)
+    tau = tau_permille / 1000.0
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent_ = maybe_get(cref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        cells = (matn @ cent_.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cell": pa.array(cells, pa.int64()),
+            "emb": pa.array([r.astype(np.float32) for r in matn],
+                            pa.list_(pa.float32())),
+        })
+
+    def dedup_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "vec_id": pd.Series([], dtype=np.int64),
+            "keeper_id": pd.Series([], dtype=np.int64),
+            "cell": pd.Series([], dtype=np.int64),
+        })
+        n = len(g)
+        if n < 2:
+            return empty
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        ids = g["vec_id"].to_numpy(np.int64)
+        M = np.array([np.asarray(v, np.float64) for v in g["emb"]])
+        sims = M @ M.T
+        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+        if not len(ii):
+            return empty
+        # union-find over ≥τ pairs; min-id root = the keeper
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ii, jj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # ids are sorted ascending ⇒ smaller index = smaller vec_id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        roots = np.array([find(int(x)) for x in range(n)])
+        drop = roots != np.arange(n)
+        return pd.DataFrame({
+            "vec_id": ids[drop],
+            "keeper_id": ids[roots[drop]],
+            "cell": g["cell"].to_numpy(np.int64)[drop],
+        })
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(dedup_cell, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype=np.int64),
+            "keeper_id": pd.Series([], dtype=np.int64),
+            "cell": pd.Series([], dtype=np.int64),
+        })
+    return (
+        out.astype(np.int64).sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+# ------------------------------------------- random-projection dim reduction
+def q_embed_project(sf_dir: str, out_dim: int = 32, seed: int = 77) -> pd.DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: deterministic
+    Rademacher ±1/√d projection (Achlioptas 2001, public — JL-valid with the
+    same distortion bounds as Gaussian), applied per batch as ONE matmul.
+    The projection matrix derives from (seed, dims) via splitmix64, so any
+    worker regenerates it identically — nothing to broadcast, layout- and
+    retry-invariant.  Typical use: shrink embeddings before an ANN/dedup
+    pass whose cost scales with dimension."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _emb(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        d_in = mat.shape[1] if len(mat) else 0
+        if not len(ids):
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "proj": pa.array([], pa.list_(pa.float32())),
+            })
+        # Rademacher signs from a counter-mode splitmix64 stream
+        idx = np.arange(d_in * out_dim, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        signs = (splitmix64(idx) & np.uint64(1)).astype(np.float64) * 2.0 - 1.0
+        R = signs.reshape(d_in, out_dim) / np.sqrt(out_dim)
+        P = (mat @ R).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "proj": pa.array([r for r in P], pa.list_(pa.float32())),
+        })
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

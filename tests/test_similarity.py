@@ -138,3 +138,84 @@ def test_ann_ivf_deterministic(ray_session):
     a = q_ann_ivf(SF)
     b = q_ann_ivf(SF)
     assert a.equals(b)
+
+
+# ----------------------------------------------------------------- SemDeDup
+def test_semdedup_planted_groups(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.similarity import q_semdedup
+
+    rng = np.random.default_rng(13)
+    rows, vid = [], 0
+    planted = []
+    for g in range(3):  # three groups of near-identical vectors
+        base = rng.standard_normal(64)
+        members = []
+        for j in range(3):
+            v = base + 1e-3 * rng.standard_normal(64)
+            rows.append((vid, v.astype(np.float32)))
+            members.append(vid)
+            vid += 1
+        planted.append(members)
+    for _ in range(50):  # random singletons (cosine ≪ τ w.h.p. in 64-d)
+        rows.append((vid, rng.standard_normal(64).astype(np.float32)))
+        vid += 1
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+    }), str(d / "embeddings.parquet"))
+
+    out = q_semdedup(str(d), tau_permille=950)
+    removed = dict(zip(out["vec_id"], out["keeper_id"]))
+    for members in planted:
+        keeper = min(members)
+        for m in members:
+            if m == keeper:
+                assert m not in removed
+            else:
+                assert removed.get(m) == keeper, (m, removed.get(m))
+    # no random singleton removed
+    assert all(v < 9 for v in removed)
+
+
+def test_semdedup_deterministic(ray_session):
+    from marc_record_merge_melindautils_ray.ops.similarity import q_semdedup
+
+    a = q_semdedup("/root/testdata/sf0.001")
+    b = q_semdedup("/root/testdata/sf0.001")
+    assert a.equals(b)
+
+
+def test_embed_project_jl_distortion(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.similarity import q_embed_project
+
+    out = q_embed_project("/root/testdata/sf0.001", out_dim=32)
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    orig = {i: np.asarray(v, np.float64)
+            for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    proj = {i: np.asarray(v, np.float64)
+            for i, v in zip(out["vec_id"], out["proj"])}
+    rng = np.random.default_rng(3)
+    ids = sorted(orig)
+    errs = []
+    for _ in range(300):
+        a, b = rng.choice(ids, 2, replace=False)
+        d0 = np.linalg.norm(orig[a] - orig[b])
+        d1 = np.linalg.norm(proj[a] - proj[b])
+        if d0 > 0:
+            errs.append(abs(d1 - d0) / d0)
+    errs = np.array(errs)
+    # JL with d=32: typical distortion well under the (1±ε) envelope
+    assert np.median(errs) < 0.15, np.median(errs)
+    assert errs.max() < 0.6, errs.max()
+    # deterministic reproduction
+    out2 = q_embed_project("/root/testdata/sf0.001", out_dim=32)
+    assert out.equals(out2)
