@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": relational.q_join_broadcast,
         "join_hash": relational.q_join_hash,
         "anti_join": relational.q_anti_join,
+        "left_join_order_counts": relational.q_left_join_order_counts,
         "top_orders": relational.q_top_orders,
         "distinct_flags": relational.q_distinct_flags,
         "sessionize": relational.q_sessionize,
@@ -992,6 +993,15 @@ def oracle_sql() -> dict[str, str]:
                                 o_orderkey) * 1000000, 0) AS BIGINT) AS pr_e6
             FROM orders
             ORDER BY o_custkey, price_c, o_orderkey
+        """,
+        "left_join_order_counts": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(count(o_custkey) AS BIGINT) AS n_orders,
+                   CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0)
+                       AS BIGINT) AS total_c
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_mktsegment
+            ORDER BY c_custkey
         """,
         "ntile_orders": """
             SELECT o_orderkey, o_custkey,

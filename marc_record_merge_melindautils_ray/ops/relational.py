@@ -2322,3 +2322,55 @@ def q_cume_dist_orders(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["o_custkey", "price_c", "o_orderkey"])
             .reset_index(drop=True)
             [["o_orderkey", "o_custkey", "price_c", "cd_num", "n_part"]])
+
+
+# ------------------------------------------- left outer join + aggregate
+def q_left_join_order_counts(sf_dir: str) -> pd.DataFrame:
+    """customer LEFT OUTER JOIN its order aggregates: every customer appears
+    exactly once; customers with no orders carry zeros (the reporting shape
+    an inner join silently drops).  The fact side pre-aggregates to one row
+    per customer BELOW the exchange (combiner), so the outer join moves
+    O(customers) rows on each side, never O(orders)."""
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_custkey": np.asarray(t["o_custkey"], np.int64),
+            "n_orders": np.ones(len(t), np.int64),
+            "total_c": _cents(np.asarray(t["o_totalprice"])),
+        })
+        return df.groupby("o_custkey", as_index=False).sum()
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum(["n_orders", "total_c"])
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "n_orders", "total_c"]),
+            batch_format="pyarrow",
+        )
+    )
+    joined = cust.join(
+        agg, join_type="left_outer",
+        num_partitions=adaptive_parts(cust.count(), rows_per_part=250_000),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": pc.fill_null(t["n_orders"], 0),
+            "total_c": pc.fill_null(t["total_c"], 0),
+        })
+
+    out = joined.map_batches(fill, batch_format="pyarrow").to_pandas()
+    return (
+        out.astype({"c_custkey": np.int64, "n_orders": np.int64, "total_c": np.int64})
+        .sort_values("c_custkey").reset_index(drop=True)
+    )

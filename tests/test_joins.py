@@ -105,3 +105,30 @@ def test_sliding_window_matches_brute_force(ray_session, tmp_path):
     got_map = {(u, b): int(n) for u, b, n in
                zip(got["user_id"], got["hour_bucket"], got["n_window"])}
     assert got_map == rows
+
+
+def test_left_join_order_counts_outer_rows(ray_session, tmp_path):
+    """The testdata gives every customer at least one order, so pin the
+    outer part (zero-fill) on a constructed corpus where it actually fires."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.relational import (
+        q_left_join_order_counts,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_mktsegment": pa.array(["A", "B", "A", "C"], pa.string()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_totalprice": pa.array([10.0, 5.5, 2.25], pa.float64()),
+    }), str(d / "orders.parquet"))
+    out = q_left_join_order_counts(str(d))
+    assert out["c_custkey"].tolist() == [1, 2, 3, 4]
+    assert out["n_orders"].tolist() == [2, 0, 1, 0]
+    assert out["total_c"].tolist() == [1550, 0, 225, 0]
