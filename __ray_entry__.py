@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_hash": relational.q_join_hash,
         "anti_join": relational.q_anti_join,
         "left_join_order_counts": relational.q_left_join_order_counts,
+        "train_val_test_split": relational.q_train_val_test_split,
         "top_orders": relational.q_top_orders,
         "distinct_flags": relational.q_distinct_flags,
         "sessionize": relational.q_sessionize,
@@ -993,6 +994,15 @@ def oracle_sql() -> dict[str, str]:
                                 o_orderkey) * 1000000, 0) AS BIGINT) AS pr_e6
             FROM orders
             ORDER BY o_custkey, price_c, o_orderkey
+        """,
+        "train_val_test_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296
+                             < 429496729 THEN 'test'
+                        WHEN (doc_id * 2654435761) % 4294967296
+                             < 858993459 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "left_join_order_counts": """
             SELECT c_custkey, c_mktsegment,

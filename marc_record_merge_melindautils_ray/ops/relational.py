@@ -2374,3 +2374,36 @@ def q_left_join_order_counts(sf_dir: str) -> pd.DataFrame:
         out.astype({"c_custkey": np.int64, "n_orders": np.int64, "total_c": np.int64})
         .sort_values("c_custkey").reset_index(drop=True)
     )
+
+
+# ------------------------------------------- deterministic dataset split
+def q_train_val_test_split(
+    sf_dir: str, val_permille: int = 100, test_permille: int = 100
+) -> pd.DataFrame:
+    """Deterministic train/val/test split of the documents table — the
+    standard training-data partitioning op, as a stateless integer-hash
+    predicate (same family as ``q_hash_sample``): split(doc) depends only on
+    ``doc_id``, so membership is stable across cluster sizes, block layouts,
+    reruns, and the SQL oracle; the three splits are disjoint and exhaustive
+    by construction.  No shuffle — each batch labels itself."""
+    lo_test = (_SAMPLE_MOD * test_permille) // 1000
+    lo_val = (_SAMPLE_MOD * (test_permille + val_permille)) // 1000
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.uint64)
+        h = (ids * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+        split = np.where(
+            h < np.uint64(lo_test), "test",
+            np.where(h < np.uint64(lo_val), "val", "train"),
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": pa.array(split, pa.string()),
+        })
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(kern, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

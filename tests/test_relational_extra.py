@@ -163,3 +163,19 @@ def test_global_rank(ray_session, con2):
         FROM orders ORDER BY rnk""").df()
     # nparts > distinct boundary samples exercises degenerate/empty ranges too
     _assert_frames_equal(q_global_rank(SF, nparts=7), want)
+
+
+def test_train_val_test_split_properties(ray_session):
+    from marc_record_merge_melindautils_ray.ops.relational import (
+        q_train_val_test_split,
+    )
+
+    out = q_train_val_test_split("/root/testdata/sf0.001")
+    # exhaustive + disjoint: one label per doc
+    assert out["doc_id"].is_unique and len(out) == 500
+    counts = out["split"].value_counts()
+    # 80/10/10 within hash tolerance on 500 docs
+    assert 0.7 * 500 <= counts.get("train", 0) <= 0.9 * 500
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    # deterministic: same labels on a rerun
+    assert out.equals(q_train_val_test_split("/root/testdata/sf0.001"))
