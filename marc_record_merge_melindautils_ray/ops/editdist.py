@@ -251,8 +251,6 @@ def _emit_pairs(g: pd.DataFrame, d: int) -> pd.DataFrame:
     ids = g["doc_id"].to_numpy()[order]
     n = len(keys)
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-    run_id = np.cumsum(np.r_[False, keys[1:] != keys[:-1]])
-    run_start = starts[run_id]
     # within each run, rightmost index whose len ≤ len_i + d
     hi = np.empty(n, np.int64)
     for s, e in zip(starts, np.r_[starts[1:], n]):

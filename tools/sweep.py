@@ -48,8 +48,16 @@ def to_df(x):
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return df
+    # list/ndarray cells (e.g. embedding projections) aren't sortable keys;
+    # order by the scalar columns only
+    def _scalar(c):
+        s = df[c].dropna()
+        return len(s) == 0 or not hasattr(s.iloc[0], "__len__") or isinstance(s.iloc[0], str)
+
+    keys = [c for c in df.columns if _scalar(c)] or list(df.columns)[:0]
+    if keys:
+        df = df.sort_values(keys)
+    return df.reset_index(drop=True)
 
 
 qs, oracles = E.queries(), E.oracle_sql()
