@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup_text,
         editdist,
         multimodal,
+        suffixarray,
         relational,
         similarity,
         sketches,
@@ -334,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocking (auto-selected by measured gram entropy), byte-histogram
         # L1 prefilter, pair-batched banded DP verify (ops/editdist.py)
         "edit_distance_pairs": editdist.q_edit_distance_pairs,
+        # the north star's suffix-array substring pass, literally: exact
+        # containment via a per-actor prefix-doubling suffix array (same
+        # output contract + oracle as containment_pairs)
+        "containment_pairs_sa": suffixarray.q_containment_pairs_sa,
         # MOSS-style winnowing fingerprints: partial-overlap detection
         # (non-SQL: windowed argmin over rolling hashes; pinned pair-for-pair
         # to a pure-Python reference in tests/test_winnow.py)
@@ -1215,6 +1220,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 200
             ORDER BY id_a, id_b
+        """,
+        "containment_pairs_sa": """
+            WITH d AS (
+              SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents
+            )
+            SELECT a.doc_id AS id_inner, b.doc_id AS id_outer
+            FROM d a JOIN d b ON a.doc_id != b.doc_id
+            WHERE length(a.t) >= 20 AND length(a.t) < length(b.t)
+              AND position(a.t IN b.t) > 0
+            ORDER BY id_inner, id_outer
         """,
         "containment_pairs": """
             WITH d AS (

@@ -1,0 +1,184 @@
+"""Suffix-array substring containment — the north star's third dedup
+modality named alongside MinHash/SimHash ("a suffix-array substring pass
+catches containment duplicates").  ``q_containment_pairs`` answers the same
+question via min-gram blocking + verify; this module is the direct
+suffix-array realization: exact, verify-free, and the natural plan when the
+corpus shard fits an index actor.
+
+Plan: normalized doc texts concatenate (NUL-separated) into one buffer per
+index actor; a prefix-doubling suffix array (Manber–Myers, vectorized — each
+round is one ``np.lexsort`` + one boundary scan, O(n log n) total) indexes
+the shard ONCE in ``__init__``; each candidate inner doc then binary-searches
+the SA for the range of suffixes starting with its full text, and every hit
+position maps back to its containing doc via one ``searchsorted``.  No
+candidate blocking, no FFT verify — string containment is decided exactly by
+the index.
+
+Scale path: one SA actor per corpus shard (buffer + int32 SA ≈ 5 bytes/char
+heap), inner probes stream through every shard's pool (the same
+shard-the-side-table pattern as ``state.broadcast_index.shard_side_table``);
+probes are tiny (doc ids), shards never move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
+
+def suffix_array(buf: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 buffer by prefix doubling (Manber & Myers
+    1990, public): ranks double in resolved prefix length each round; each
+    round is one vectorized ``lexsort`` over (rank, rank-k-ahead) plus a
+    boundary scan.  Returns int64 positions in lexicographic suffix order."""
+    n = len(buf)
+    if n == 0:
+        return np.empty(0, np.int64)
+    rank = buf.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, np.int64)
+        if k < n:
+            key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        changed = np.r_[False, (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])]
+        new = np.cumsum(changed)
+        rank = np.empty(n, np.int64)
+        rank[order] = new
+        if new[-1] == n - 1 or k >= n:
+            return order.astype(np.int64)
+        k *= 2
+
+
+def _sa_range(buf: np.ndarray, sa: np.ndarray, pat: bytes) -> tuple[int, int]:
+    """[lo, hi) range of suffixes whose prefix equals ``pat`` — two binary
+    searches with direct buffer-slice comparisons."""
+    m = len(pat)
+    n = len(sa)
+
+    def _cmp_ge(idx: int) -> bool:  # suffix[idx] >= pat ?
+        s = int(sa[idx])
+        return bytes(buf[s : s + m]) >= pat
+
+    def _cmp_gt(idx: int) -> bool:  # suffix[idx] > pat (strictly, as prefix) ?
+        s = int(sa[idx])
+        return bytes(buf[s : s + m]) > pat
+
+    lo, hi = 0, n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _cmp_ge(mid):
+            hi = mid
+        else:
+            lo = mid + 1
+    first = lo
+    lo, hi = first, n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _cmp_gt(mid):
+            hi = mid
+        else:
+            lo = mid + 1
+    return first, lo
+
+
+class _SaContainment:
+    """Index actor: suffix array over the NUL-joined normalized corpus built
+    once in ``__init__``; per batch of inner probes, exact containment hits
+    via SA range search + position→doc mapping."""
+
+    def __init__(self, refs):
+        from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+        ids, texts = [], []
+        for r in refs or []:
+            t = maybe_get(r)
+            if len(t) and "doc_id" in t.column_names:
+                ids.extend(t["doc_id"].to_pylist())
+                texts.extend(t["t"].to_pylist())
+        self.ids = np.asarray(ids, np.int64)
+        enc = [(s or "").encode() for s in texts]
+        self.doc_len = np.array([len(b) for b in enc], np.int64)
+        # the strictly-longer rule counts CHARS (the oracle's length());
+        # byte and char lengths differ on non-ASCII text
+        self.char_len = np.array([len(s or "") for s in texts], np.int64)
+        joined = b"\x00".join(enc) + b"\x00" if enc else b""
+        self.buf = np.frombuffer(joined, np.uint8)
+        # start offset of each doc inside the buffer
+        self.doc_start = np.r_[0, np.cumsum(self.doc_len + 1)][: len(enc)]
+        self.sa = suffix_array(self.buf)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_i, out_o = [], []
+        inner_ids = np.asarray(t["doc_id"], np.int64)
+        inner_texts = t["t"].to_pylist()
+        for iid, s in zip(inner_ids, inner_texts):
+            pat = (s or "").encode()
+            if not pat:
+                continue
+            lo, hi = _sa_range(self.buf, self.sa, pat)
+            if lo >= hi:
+                continue
+            pos = self.sa[lo:hi]
+            docs = np.searchsorted(self.doc_start, pos, side="right") - 1
+            # the match must lie inside one doc (the NUL separators make a
+            # cross-doc match impossible, but an in-doc SUFFIX shorter than
+            # the pattern can't match either — the range search compared the
+            # full pattern, so hits are genuine)
+            docs = np.unique(docs)
+            keep = (self.char_len[docs] > len(s or "")) & (self.ids[docs] != iid)
+            for d in self.ids[docs[keep]]:
+                out_i.append(iid)
+                out_o.append(int(d))
+        return pa.table({
+            "id_inner": pa.array(out_i, pa.int64()),
+            "id_outer": pa.array(out_o, pa.int64()),
+        })
+
+
+def q_containment_pairs_sa(sf_dir: str, min_len: int = 20) -> pd.DataFrame:
+    """EXACT substring-containment pairs via a suffix array — same output
+    contract (and SQL oracle) as ``q_containment_pairs``: (id_inner,
+    id_outer) where inner's normalized text (≥ ``min_len`` chars) appears
+    verbatim inside a strictly longer outer's."""
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def normalize(t: pa.Table) -> pa.Table:
+        tt = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], "")))
+        return pa.table({"doc_id": t["doc_id"], "t": tt})
+
+    norm = docs.map_batches(normalize, batch_format="pyarrow").materialize()
+    refs = norm.to_arrow_refs()
+
+    def inners(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.utf8_length(t["t"]), min_len)
+        return t.filter(keep)
+
+    out = (
+        norm.map_batches(inners, batch_format="pyarrow")
+        .map_batches(
+            _SaContainment,
+            fn_constructor_args=(refs,),
+            batch_format="pyarrow",
+            concurrency=actor_pool_size(rows=norm.count()),
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "id_inner": pd.Series([], dtype=np.int64),
+            "id_outer": pd.Series([], dtype=np.int64),
+        })
+    return (
+        out.drop_duplicates().astype(np.int64)
+        .sort_values(["id_inner", "id_outer"]).reset_index(drop=True)
+    )
