@@ -159,6 +159,27 @@ def _clips_silence_trim(sf_dir: str) -> Any:
     )
 
 
+def _clips_stitch(sf_dir: str) -> Any:
+    """N→1 segment reassembly (inverse of clips_segments): group by parent,
+    order by seg_idx, concatenate encoded bytes — zero decode (non-SQL;
+    stitch∘segment == identity property in tests/test_audio_transforms.py)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import (
+        clip_segments,
+        clip_stitch,
+    )
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    out = clip_stitch(clip_segments(rd.from_arrow(clips), seg_ms=1000))
+    return (
+        out.select_columns(["clip_id", "codec", "n_segments", "dur_ms"])
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 def _clips_segments(sf_dir: str) -> Any:
     """1→N payload expansion: fixed 1 s windows with parent/seg lineage —
     frame-aligned codecs slice encoded bytes with NO decode (non-SQL;
@@ -349,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_resample": _clips_resample,
         "clips_silence_trim": _clips_silence_trim,
         "clips_segments": _clips_segments,
+        "clips_stitch": _clips_stitch,
         "clips_transcode": _clips_transcode,
         "clips_prep_features": _clips_prep_features,
         # composed training-data dedup: exact → MinHash near → embedding

@@ -53,11 +53,19 @@ def run_bench() -> dict:
     from marc_record_merge_melindautils_ray.config import DedupConfig
     from marc_record_merge_melindautils_ray.ops import (
         dedup_text,
+        editdist,
         relational,
         similarity,
+        suffixarray,
         text_analysis,
         tiered,
     )
+
+    def _edit_distance(d):
+        return editdist.q_edit_distance_pairs(d)
+
+    def _containment_sa(d):
+        return suffixarray.q_containment_pairs_sa(d)
     from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
     from marc_record_merge_melindautils_ray.sources.synth_scaled import generate_clips_ds
 
@@ -100,6 +108,8 @@ def run_bench() -> dict:
         ("bigram_top", text_analysis.q_bigram_top),
         ("brand_revenue", relational.q_brand_revenue),
         ("tiered_dedup", tiered.q_tiered_dedup),
+        ("edit_distance_pairs", _edit_distance),
+        ("containment_pairs_sa", _containment_sa),
     ]:
         t = time.monotonic()
         out = fn(sf_dir)

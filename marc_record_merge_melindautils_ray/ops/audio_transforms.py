@@ -21,6 +21,7 @@ hot path is pure buffer arithmetic.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -378,4 +379,39 @@ def clip_prep_features(clips: rd.Dataset, target_codec: str = "pcm16",
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=conc,
+    )
+
+
+# ------------------------------------------------------------------ stitch
+def _stitch_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values("seg_idx")
+    payloads = [p for p in g["bytes"] if p is not None]
+    joined = b"".join(payloads) if payloads else None
+    sr = int(g["sr_hz"].iloc[0])
+    codec = g["codec"].iloc[0]
+    stride = _FRAME_BYTES.get(codec)
+    n = (len(joined) // stride) if (joined is not None and stride) else 0
+    return pd.DataFrame({
+        "clip_id": [g["parent_id"].iloc[0]],
+        "bytes": [joined],
+        "sr_hz": np.array([sr], np.int32),
+        "codec": [codec],
+        "n_segments": np.array([len(g)], np.int64),
+        "dur_ms": np.array([int(round(1000.0 * n / sr)) if sr > 0 and stride
+                            else int(g["seg_dur_ms"].sum())], np.int64),
+    })
+
+
+def clip_stitch(segments: rd.Dataset) -> rd.Dataset:
+    """Inverse of ``clip_segments`` (N→1 reassembly): group segment rows by
+    ``parent_id``, order by ``seg_idx``, and concatenate the ENCODED payload
+    bytes — zero decode for frame-aligned codecs, so
+    ``stitch(segment(x)) == x`` byte-for-byte whenever no tail window was
+    dropped (property-tested).  This is the one payload-axis op whose
+    shuffle necessarily carries payload bytes (every segment of a clip must
+    co-locate); blocks stay payload-sized and stream through the object
+    store — size upstream ``batch_size`` accordingly, exactly like the
+    segmentation stage."""
+    return segments.groupby("parent_id").map_groups(
+        _stitch_group, batch_format="pandas",
     )

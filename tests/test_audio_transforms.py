@@ -303,3 +303,44 @@ def test_prep_chain_matches_eager_composition(ray_session, corpus):
         assert lazy[col].tolist() == eager[col].tolist(), col
     # decodable rows survive the chain decodable
     assert lazy["decode_ok"].sum() > 0
+
+
+# ------------------------------------------------------------------ stitch
+def test_stitch_is_segment_inverse(ray_session):
+    """stitch(segment(x)) reproduces x byte-for-byte for every frame-aligned
+    clip whose tail window survived (min_tail_frac=0.01 keeps any tail)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import (
+        clip_segments,
+        clip_stitch,
+    )
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, _, _ = make_corpus(4, 8, 42)
+    orig = {r["clip_id"]: (r["bytes"], r["codec"])
+            for r in clips.select(["clip_id", "bytes", "codec"]).to_pylist()}
+    segs = clip_segments(rd.from_arrow(clips), seg_ms=1000, min_tail_frac=0.01)
+    out = clip_stitch(segs).to_pandas()
+    assert set(out["clip_id"]) == set(orig)
+    for _, row in out.iterrows():
+        b0, _codec = orig[row["clip_id"]]
+        assert row["bytes"] == b0, row["clip_id"]
+
+
+def test_stitch_orders_by_seg_idx(ray_session):
+    import pandas as pd
+
+    from marc_record_merge_melindautils_ray.ops.audio_transforms import _stitch_group
+
+    g = pd.DataFrame({
+        "parent_id": ["p", "p", "p"],
+        "seg_idx": [2, 0, 1],
+        "bytes": [b"CC", b"AA", b"BB"],
+        "sr_hz": [8000] * 3,
+        "codec": ["pcm16"] * 3,
+        "seg_dur_ms": [1, 1, 1],
+    })
+    out = _stitch_group(g)
+    assert out["bytes"].iloc[0] == b"AABBCC"
+    assert out["n_segments"].iloc[0] == 3
