@@ -38,6 +38,39 @@ def _corpus_shape(sf_dir: str) -> tuple[int, int]:
     return fams, 3 * fams
 
 
+def _clips_dedup_incremental(sf_dir: str) -> Any:
+    """Incremental ingest: even rows of the synthetic corpus form the base
+    (deduped first), odd rows arrive as the ingest batch; returns the
+    combined post-ingest assignment table (label-for-label equal to a
+    from-scratch run — tested)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.pipelines.incremental import (
+        run_dedup_incremental,
+    )
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    df = clips.to_pandas()
+    mask = (np.arange(len(df)) % 2) == 1
+    base = rd.from_arrow(pa.Table.from_pandas(df[~mask], preserve_index=False))
+    new = rd.from_arrow(pa.Table.from_pandas(df[mask], preserve_index=False))
+    pool = actor_pool_size(rows=clips.num_rows)
+    cfg = DedupConfig(fingerprint_concurrency=pool, verify_concurrency=pool)
+    base_run = run_dedup(base, cfg)
+    inc = run_dedup_incremental(new, base, base_run["assignments"], cfg)
+    return (
+        inc["combined_assignments"].to_pandas()
+        .sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 def _clips_dedup(sf_dir: str) -> Any:
     """Flagship domain pipeline: synthesize the deterministic clip corpus
     (BASELINE.json input_hint shape — no external data; size scaled to
@@ -414,6 +447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain pipeline (non-SQL: full dedup engine)
         "clips_dedup": _clips_dedup,
         "clips_canonical": _clips_canonical,
+        # incremental ingest: new batch folded into an existing dedup state
+        # (non-SQL; label-for-label full-run equivalence + cluster-merge +
+        # no-op ingest tests in tests/test_incremental.py)
+        "clips_dedup_incremental": _clips_dedup_incremental,
     }
 
 

@@ -415,6 +415,51 @@ def build_payload_blocks(clips: rd.Dataset, id_refs, cfg: DedupConfig):
     return pay.to_arrow_refs()
 
 
+def tag_member_batch(idx, batch: pa.Table, canon_parts: int) -> pa.Table:
+    """Filter a RAW clip batch down to cluster members via the given
+    assignment index, derive the normalization columns for that small
+    subset only, and pre-key the canonical-build shuffle (Arrow,
+    vectorized — the former separate pandas add-partition stage cost a
+    full arrow→pandas→arrow round-trip over the member stream).  Shared by
+    ``run_dedup`` and the incremental-ingest pipeline."""
+    from marc_record_merge_melindautils_ray.functions.hashing import (
+        splitmix64,
+        stable_str_hash,
+    )
+    from marc_record_merge_melindautils_ray.functions.textnorm import (
+        normalize_transcript_array,
+    )
+    from marc_record_merge_melindautils_ray.stages.normalize import _with_derived
+
+    ids = np.asarray(batch["clip_id"].to_pylist(), dtype=object)
+    blocks, rows, ok = idx.lookup(ids)
+    batch = batch.filter(pa.array(ok))
+    cl = idx.take_column("cluster_id", blocks[ok], rows[ok])
+    batch = batch.append_column(
+        "cluster_id", pa.array(list(cl), pa.string())
+    )
+    # members came through the pipeline's pre-filters, so no row-filter is
+    # re-applied here (alignment with cluster_id is preserved)
+    tr = batch["transcript"]
+    if isinstance(tr, pa.ChunkedArray):
+        tr = tr.combine_chunks()
+    norm = normalize_transcript_array(pc.fill_null(tr, ""))
+    batch = _with_derived(batch, norm)
+    cl_np = np.asarray(batch["cluster_id"].to_pylist(), dtype=object)
+    if len(cl_np):
+        with np.errstate(over="ignore"):
+            part = (splitmix64(stable_str_hash(cl_np))
+                    % np.uint64(canon_parts)).astype(np.int64)
+    else:
+        part = np.empty(0, np.int64)
+    batch = batch.append_column("part", pa.array(part, pa.int64()))
+    # canonical build guards per-column; a corpus omitting optional member
+    # columns (beyond what _with_derived backfills) yields a narrower table
+    return batch.select(
+        [c for c in MEMBER_COLS if c in batch.column_names] + ["part"]
+    )
+
+
 def run_dedup(
     clips: rd.Dataset,
     cfg: DedupConfig | None = None,
@@ -734,51 +779,7 @@ def run_dedup(
     )
 
     def _tag_members(idx, batch: pa.Table) -> pa.Table:
-        """Filter a RAW clip batch down to cluster members via the given
-        assignment index, then derive the normalization columns only for
-        that small subset."""
-        from marc_record_merge_melindautils_ray.functions.textnorm import (
-            normalize_transcript_array,
-        )
-        from marc_record_merge_melindautils_ray.stages.normalize import _with_derived
-
-        ids = np.asarray(batch["clip_id"].to_pylist(), dtype=object)
-        blocks, rows, ok = idx.lookup(ids)
-        batch = batch.filter(pa.array(ok))
-        cl = idx.take_column("cluster_id", blocks[ok], rows[ok])
-        batch = batch.append_column(
-            "cluster_id", pa.array(list(cl), pa.string())
-        )
-        # derive normalization columns for the (small) member subset only;
-        # members came through the pipeline's pre-filters, so no row-filter
-        # is re-applied here (alignment with cluster_id is preserved)
-        tr = batch["transcript"]
-        if isinstance(tr, pa.ChunkedArray):
-            tr = tr.combine_chunks()
-        norm = normalize_transcript_array(pc.fill_null(tr, ""))
-        batch = _with_derived(batch, norm)
-        # pre-key the canonical-build shuffle HERE (Arrow, vectorized) — the
-        # former separate pandas add-partition stage cost a full
-        # arrow→pandas→arrow round-trip over the member stream
-        from marc_record_merge_melindautils_ray.functions.hashing import (
-            splitmix64,
-            stable_str_hash,
-        )
-
-        cl_np = np.asarray(batch["cluster_id"].to_pylist(), dtype=object)
-        if len(cl_np):
-            with np.errstate(over="ignore"):
-                part = (splitmix64(stable_str_hash(cl_np))
-                        % np.uint64(canon_parts)).astype(np.int64)
-        else:
-            part = np.empty(0, np.int64)
-        batch = batch.append_column("part", pa.array(part, pa.int64()))
-        # canonical build guards per-column; a corpus omitting optional
-        # member columns (beyond what _with_derived backfills) just
-        # yields a narrower canonical table
-        return batch.select(
-            [c for c in MEMBER_COLS if c in batch.column_names] + ["part"]
-        )
+        return tag_member_batch(idx, batch, canon_parts)
 
     class TagClusters:
         """Whole-index tagging actor: each actor holds the full assignment

@@ -1,0 +1,383 @@
+"""Incremental ingest: dedup a NEW batch of clips against an already-deduped
+base corpus without re-verifying base-base pairs.
+
+The reference engine is invoked per candidate pair by an ingest UI
+(``lib/marc-record-merge-melindautils.js:74`` — one ``canMerge`` call per
+incoming record against existing records); this module is the batch analog:
+``run_dedup`` resolves a corpus once, ``run_dedup_incremental`` folds each
+subsequent ingest batch into that state.
+
+Plan:
+
+1. features + candidate generation run over base ∪ new (at production scale
+   the base features come from the feature checkpoint instead of a
+   recompute — the stage is content-addressed, so this is free on resume);
+2. candidate pairs where BOTH sides are base clips are dropped before
+   phase-1 — those pairs were already resolved when the base was deduped,
+   and re-deciding them could contradict the existing clusters.  The new-id
+   membership test is a sorted-hash-array broadcast (the NEW batch is the
+   small side by definition of ingest; swap in ``state.bloom`` past ~10^8
+   new rows);
+3. phase-1 / phase-2 verification is unchanged (gates don't care which side
+   is new);
+4. verified edges are CONTRACTED before connected components: every
+   base-assigned endpoint is replaced by its cluster's minimum member id
+   (its representative).  Contraction preserves the full-run labels:
+   ``connected_components`` names clusters ``cl-<min member>``, and a base
+   cluster's members are all ≥ its representative, so the contracted
+   component's min equals the full corpus component's min;
+5. the CC output splits three ways — assignments for new clips, assignments
+   for previously-unclustered base clips a new clip matched, and CLUSTER
+   MERGES (a new clip bridging two existing clusters implies those clusters
+   were one all along; the absorbed cluster relabels to the merged min);
+6. canonical records are rebuilt ONLY for affected clusters (the merge is
+   deterministic, so untouched clusters' canonical rows are already
+   correct).
+
+Equivalence contract (tested): base-run ∪ incremental-run assignments,
+with merges applied, equal a from-scratch ``run_dedup`` over the combined
+corpus — label-for-label — whenever the base run resolved its own internal
+duplicates.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from marc_record_merge_melindautils_ray.config import DedupConfig
+from marc_record_merge_melindautils_ray.pipelines.dedup import (
+    _exact_verified,
+    _verified_table,
+    candidate_pairs,
+    compute_features,
+    find_hot_band_keys_sampled,
+    tag_member_batch,
+)
+from marc_record_merge_melindautils_ray.stages.canonical import BuildCanonical
+from marc_record_merge_melindautils_ray.stages.cluster import (
+    adaptive_parts,
+    cluster_parallelism,
+    connected_components,
+)
+from marc_record_merge_melindautils_ray.stages.verify import (
+    PairPcmVerify,
+    make_phase1_kernel,
+    survivors_to_table,
+)
+
+_EMPTY_ASSIGN = pa.table({
+    "clip_id": pa.array([], pa.string()),
+    "cluster_id": pa.array([], pa.string()),
+})
+
+
+def _id_hashes(ids) -> np.ndarray:
+    from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
+
+    arr = np.asarray(list(ids), dtype=object)
+    return np.sort(stable_str_hash(arr)) if len(arr) else np.empty(0, np.uint64)
+
+
+def run_dedup_incremental(
+    new_clips: rd.Dataset,
+    base_clips: rd.Dataset,
+    base_assignments: rd.Dataset,
+    cfg: DedupConfig | None = None,
+    *,
+    authority: dict[str, str] | None = None,
+) -> dict:
+    """Fold an ingest batch into an existing dedup state.  Returns
+    ``new_assignments`` (new clip → cluster), ``base_updates`` (previously
+    unclustered base clips a new clip matched), ``cluster_merges``
+    (old_cluster_id, into_cluster_id), ``combined_assignments`` (the full
+    post-ingest assignment table), ``canonical`` (rebuilt rows for AFFECTED
+    clusters only), ``edges`` and ``metrics``."""
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get, task_stage
+
+    cfg = cfg or DedupConfig()
+    metrics: dict = {}
+    t0 = _time.monotonic()
+
+    all_clips = base_clips.union(new_clips).materialize()
+    features = compute_features(all_clips, cfg)
+    n_rows = features.count()
+    hot_keys = find_hot_band_keys_sampled(features, cfg, n_rows=n_rows)
+    pair_parts = adaptive_parts(
+        n_rows * 4, rows_per_part=100_000,
+        lo=max(16, 2 * cluster_parallelism()), hi=512,
+    )
+
+    # new-id membership for the pair filter (small side: the ingest batch)
+    new_ids = [r["clip_id"] for r in new_clips.select_columns(["clip_id"]).take_all()]
+    new_ref = ray.put(_id_hashes(new_ids))
+
+    def keep_new_involved(t: pa.Table) -> pa.Table:
+        from marc_record_merge_melindautils_ray.functions.hashing import (
+            stable_str_hash,
+        )
+
+        nh = maybe_get(new_ref)
+        if not len(t):
+            return t
+        a = np.asarray(t["id_a"].to_pylist(), dtype=object)
+        b = np.asarray(t["id_b"].to_pylist(), dtype=object)
+        ha, hb = stable_str_hash(a), stable_str_hash(b)
+
+        def _in(h):
+            pos = np.searchsorted(nh, h)
+            pos = np.minimum(pos, max(len(nh) - 1, 0))
+            return (nh[pos] == h) if len(nh) else np.zeros(len(h), bool)
+
+        return t.filter(pa.array(_in(ha) | _in(hb)))
+
+    survivors = (
+        candidate_pairs(features, cfg, hot_keys, None, None, num_parts=pair_parts)
+        .map_batches(keep_new_involved, batch_format="pyarrow")
+        .map_batches(make_phase1_kernel(cfg, None), batch_format="pyarrow")
+        .map_batches(survivors_to_table, batch_format="pyarrow")
+    )
+    sv = survivors.select_columns(["id_a", "id_b", "rel", "exact"]).materialize()
+    n_pairs = sv.count()
+    sv_exact = sv.map_batches(
+        lambda t: t.filter(pc.equal(t["exact"], True)).select(["id_a", "id_b", "rel"]),
+        batch_format="pyarrow",
+    )
+    sv_near = sv.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.fill_null(pc.equal(t["exact"], True), False))
+        ).select(["id_a", "id_b", "rel"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_near = sv_near.count()
+    metrics["survivor_pairs"] = n_pairs
+    metrics["near_pairs"] = n_near
+    metrics["exact_pairs"] = n_pairs - n_near
+
+    exact_rows = sv_exact.map_batches(_exact_verified, batch_format="pyarrow")
+    if n_near:
+        refs = all_clips.to_arrow_refs()
+        near = sv_near.map_batches(
+            task_stage(
+                PairPcmVerify, (cfg, refs, True),
+                key=("pair_verify_inc", cfg.config_hash(), *refs),
+            ),
+            batch_format="pandas",
+            batch_size=cfg.verify_batch_size,
+        ).map_batches(lambda df: _verified_table(df[df["ok"]]), batch_format="pandas")
+        verified = near.union(exact_rows).materialize()
+    else:
+        verified = exact_rows.materialize()
+    n_edges = verified.count()
+    metrics["edges"] = n_edges
+
+    base_assign = base_assignments.materialize()
+    assign_refs = tuple(base_assign.to_arrow_refs())
+
+    class ContractEdges:
+        """Replace base-assigned endpoints by their cluster representative
+        (= the cluster's min member id, i.e. ``cluster_id`` sans the
+        ``cl-`` prefix) — index built once per worker from plasma refs."""
+
+        def __init__(self, refs):
+            from marc_record_merge_melindautils_ray.state.broadcast_index import (
+                ArrowBlockIndex,
+            )
+
+            self.idx = ArrowBlockIndex(refs, "clip_id")
+
+        def _contract(self, ids: np.ndarray) -> np.ndarray:
+            blocks, rows, ok = self.idx.lookup(ids)
+            out = ids.copy()
+            if ok.any():
+                cl = self.idx.take_column("cluster_id", blocks[ok], rows[ok])
+                out[ok] = np.array([c[3:] for c in cl], dtype=object)
+            return out
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = np.asarray(t["id_a"].to_pylist(), dtype=object)
+            b = np.asarray(t["id_b"].to_pylist(), dtype=object)
+            return pa.table({
+                "id_a": pa.array(list(self._contract(a)), pa.string()),
+                "id_b": pa.array(list(self._contract(b)), pa.string()),
+            })
+
+    if n_edges == 0:
+        cc = rd.from_arrow(_EMPTY_ASSIGN)
+    else:
+        contracted = verified.select_columns(["id_a", "id_b"]).map_batches(
+            task_stage(ContractEdges, (assign_refs,),
+                       key=("contract_edges", *assign_refs)),
+            batch_format="pyarrow",
+        )
+        cc = connected_components(contracted, cfg, n_edges=n_edges)
+    cc = cc.materialize()
+
+    # split the CC output: new clips / base updates / cluster merges
+    new_hash_ref = new_ref
+
+    class SplitRows:
+        def __init__(self, refs):
+            from marc_record_merge_melindautils_ray.state.broadcast_index import (
+                ArrowBlockIndex,
+            )
+
+            self.idx = ArrowBlockIndex(refs, "clip_id")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from marc_record_merge_melindautils_ray.functions.hashing import (
+                stable_str_hash,
+            )
+
+            ids = np.asarray(t["clip_id"].to_pylist(), dtype=object)
+            labels = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
+            nh = maybe_get(new_hash_ref)
+            if len(ids):
+                h = stable_str_hash(ids)
+                pos = np.minimum(np.searchsorted(nh, h), max(len(nh) - 1, 0))
+                is_new = (nh[pos] == h) if len(nh) else np.zeros(len(h), bool)
+            else:
+                is_new = np.zeros(0, bool)
+            blocks, rows, found = self.idx.lookup(ids)
+            old = np.array([None] * len(ids), dtype=object)
+            if found.any():
+                old[found] = self.idx.take_column(
+                    "cluster_id", blocks[found], rows[found]
+                )
+            kind = np.where(
+                is_new, "new",
+                np.where(~found, "base_update",
+                         np.where(old != labels, "merge", "noop")),
+            )
+            return pa.table({
+                "clip_id": pa.array(list(ids), pa.string()),
+                "cluster_id": pa.array(list(labels), pa.string()),
+                "old_cluster_id": pa.array(list(old), pa.string()),
+                "kind": pa.array(list(kind), pa.string()),
+            })
+
+    split = cc.map_batches(
+        task_stage(SplitRows, (assign_refs,), key=("split_rows", *assign_refs)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _of_kind(k: str, cols: list[str]) -> rd.Dataset:
+        return split.map_batches(
+            lambda t, k=k, cols=cols: t.filter(pc.equal(t["kind"], k)).select(cols),
+            batch_format="pyarrow",
+        )
+
+    new_assignments = _of_kind("new", ["clip_id", "cluster_id"]).materialize()
+    base_updates = _of_kind("base_update", ["clip_id", "cluster_id"]).materialize()
+    import pandas as pd
+
+    merges_df = _of_kind("merge", ["old_cluster_id", "cluster_id"]).to_pandas()
+    if "old_cluster_id" not in merges_df.columns:  # empty Ray result: no cols
+        merges_df = pd.DataFrame({
+            "old_cluster_id": pd.Series([], dtype=str),
+            "into_cluster_id": pd.Series([], dtype=str),
+        })
+    else:
+        merges_df = (
+            merges_df.rename(columns={"cluster_id": "into_cluster_id"})
+            .drop_duplicates()
+            .sort_values("old_cluster_id")
+            .reset_index(drop=True)
+        )
+    metrics["new_assigned"] = new_assignments.count()
+    metrics["base_updates"] = base_updates.count()
+    metrics["cluster_merges"] = len(merges_df)
+
+    # combined assignment table: base rows relabeled through the (tiny,
+    # ingest-bounded) merge map, plus the new rows
+    merge_map = dict(zip(merges_df["old_cluster_id"], merges_df["into_cluster_id"]))
+    merge_ref = ray.put(merge_map)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        mm = maybe_get(merge_ref)
+        if not mm or not len(t):
+            return t
+        labels = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
+        out = np.array([mm.get(x, x) for x in labels], dtype=object)
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "cluster_id": pa.array(list(out), pa.string()),
+        })
+
+    combined = (
+        base_assign.map_batches(relabel, batch_format="pyarrow")
+        .union(new_assignments)
+        .union(base_updates)
+        .materialize()
+    )
+
+    # canonical rebuild for AFFECTED clusters only (labels the ingest
+    # touched — ingest-bounded, so a driver-side set is fine)
+    affected = set(
+        r["cluster_id"]
+        for ds in (new_assignments, base_updates)
+        for r in ds.take_all()
+    ) | set(merges_df["into_cluster_id"])
+    aff_assign = combined.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["cluster_id"], value_set=pa.array(sorted(affected), pa.string()))
+        ) if affected else t.slice(0, 0),
+        batch_format="pyarrow",
+    ).materialize()
+    n_aff = aff_assign.count()
+    canon_parts = adaptive_parts(
+        n_aff, rows_per_part=8000, lo=max(16, cluster_parallelism())
+    )
+    aff_refs = tuple(aff_assign.to_arrow_refs())
+
+    class TagAffected:
+        def __init__(self, refs):
+            from marc_record_merge_melindautils_ray.state.broadcast_index import (
+                ArrowBlockIndex,
+            )
+
+            self.idx = ArrowBlockIndex(refs, "clip_id")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return tag_member_batch(self.idx, batch, canon_parts)
+
+    member_src_cols = [
+        c for c in (
+            "clip_id", "transcript", "sources", "source_links", "edition_note",
+            "author_label", "author_type", "author_parts", "codec",
+        ) if c in all_clips.schema().names
+    ]
+    bc = BuildCanonical(cfg, ray.put(authority or {}), None)
+
+    def build_partition(g):
+        # one UDF call per hash partition; boundary-scans that partition's
+        # clusters (same as run_dedup's canonical stage)
+        return bc.build_partition(g)
+
+    canonical = (
+        all_clips.select_columns(member_src_cols)
+        .map_batches(
+            task_stage(TagAffected, (aff_refs,), key=("tag_affected", *aff_refs)),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(build_partition, batch_format="pandas")
+    ).materialize()
+    metrics["canonical_rebuilt"] = canonical.count()
+    metrics["wall_sec"] = round(_time.monotonic() - t0, 3)
+
+    return {
+        "new_assignments": new_assignments,
+        "base_updates": base_updates,
+        "cluster_merges": merges_df,
+        "combined_assignments": combined,
+        "canonical": canonical,
+        "edges": verified.select_columns(["id_a", "id_b"]),
+        "metrics": metrics,
+    }
