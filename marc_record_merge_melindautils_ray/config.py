@@ -118,10 +118,13 @@ class DedupConfig:
         return self.num_perms // self.num_bands
 
     # engine stage-format version, folded into checkpoint lineage: bump when
-    # a stage's OUTPUT SCHEMA changes (e.g. r4 added the survivors `exact`
-    # column), so checkpoints written by an older engine invalidate cleanly
-    # instead of crashing a column select on resume
-    STAGE_FORMAT = 2
+    # a stage's OUTPUT SCHEMA or SEMANTICS change (r4: survivors gained the
+    # `exact` column; r4-late: fingerprints conform to fp_rate_hz and the
+    # content hash folds sr_hz, so pre-rate-aware feature checkpoints carry
+    # hashes the new byte-identity fast path must not trust), so checkpoints
+    # written by an older engine invalidate cleanly instead of resuming with
+    # stale semantics or crashing a column select
+    STAGE_FORMAT = 3
 
     def config_hash(self) -> str:
         """Stable hash of every semantic knob, recorded in checkpoint lineage."""
