@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": relational.q_anti_join,
         "left_join_order_counts": relational.q_left_join_order_counts,
         "train_val_test_split": relational.q_train_val_test_split,
+        "dedup_events_windowed": relational.q_dedup_events_windowed,
         "top_orders": relational.q_top_orders,
         "distinct_flags": relational.q_distinct_flags,
         "sessionize": relational.q_sessionize,
@@ -1058,6 +1059,16 @@ def oracle_sql() -> dict[str, str]:
                                 o_orderkey) * 1000000, 0) AS BIGINT) AS pr_e6
             FROM orders
             ORDER BY o_custkey, price_c, o_orderkey
+        """,
+        "dedup_events_windowed": """
+            WITH w AS (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS pts
+              FROM events)
+            SELECT event_id, user_id, event_type, ts FROM w
+            WHERE pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+            ORDER BY event_id
         """,
         "train_val_test_split": """
             SELECT doc_id,

@@ -2407,3 +2407,38 @@ def q_train_val_test_split(
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------- windowed event dedup
+def q_dedup_events_windowed(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
+    """Windowed log dedup: an event survives unless the SAME (user, type)
+    emitted within the previous ``gap_min`` minutes — the standard
+    at-ingest suppression of retry/duplicate beacons.  Hash-partition by the
+    dedup key, per-group vectorized sort + timestamp diff (one kernel, no
+    per-row Python); ties at the exact same timestamp keep the lowest
+    event_id and suppress the rest."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    gap_us = np.int64(gap_min) * 60_000_000
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same_key = np.r_[False, (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])]
+        close = np.r_[False, (ts[1:] - ts[:-1]) <= gap_us]
+        keep = ~(same_key & close)
+        out = g[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(np.int64),
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "event_type": out["event_type"].to_numpy(),
+            "ts": out["ts"].to_numpy(),
+        })
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(kern, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -179,3 +179,32 @@ def test_train_val_test_split_properties(ray_session):
     assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
     # deterministic: same labels on a rerun
     assert out.equals(q_train_val_test_split("/root/testdata/sf0.001"))
+
+
+def test_dedup_events_windowed_chain_semantics(ray_session, tmp_path):
+    """Lag-based suppression: each event compares to the PREVIOUS same-key
+    event (suppressed or not) — a chain 0/20/40 min at gap=30 keeps only
+    the first event."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.relational import (
+        q_dedup_events_windowed,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = lambda m: base + np.timedelta64(m * 60_000_000, "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([mins(0), mins(20), mins(40), mins(120), mins(0)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        "event_type": pa.array(["c", "c", "c", "c", "c"], pa.string()),
+    }), str(d / "events.parquet"))
+    out = q_dedup_events_windowed(str(d))
+    # chain: 20min suppressed by 0; 40min suppressed by 20 (even though 20
+    # was itself suppressed); 120min survives; other user untouched
+    assert out["event_id"].tolist() == [1, 4, 5]
