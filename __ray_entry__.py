@@ -38,6 +38,31 @@ def _corpus_shape(sf_dir: str) -> tuple[int, int]:
     return fams, 3 * fams
 
 
+def _clips_dedup_quality(sf_dir: str) -> Any:
+    """Self-evaluating flagship run: dedup the labeled synthetic corpus and
+    report exact pair-level recall/precision vs the planted truth (the
+    north-star bar is recall ≥ 0.99 = 990 permille).  Metrics cost O(rows)
+    — pair counts come from group sizes, never pair lists."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.functions.evalmetrics import (
+        dup_pair_metrics,
+    )
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, truth, _ = make_corpus(fams, singles, 42)
+    pool = actor_pool_size(rows=clips.num_rows)
+    cfg = DedupConfig(fingerprint_concurrency=pool, verify_concurrency=pool)
+    res = run_dedup(rd.from_arrow(clips), cfg)
+    return dup_pair_metrics(
+        res["assignments"].to_pandas(), truth.to_pandas()
+    )
+
+
 def _clips_dedup_incremental(sf_dir: str) -> Any:
     """Incremental ingest: even rows of the synthetic corpus form the base
     (deduped first), odd rows arrive as the ingest batch; returns the
@@ -452,6 +477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (non-SQL; label-for-label full-run equivalence + cluster-merge +
         # no-op ingest tests in tests/test_incremental.py)
         "clips_dedup_incremental": _clips_dedup_incremental,
+        # self-evaluating run: exact pair-level recall/precision vs planted
+        # truth (non-SQL: the full dedup engine feeds it)
+        "clips_dedup_quality": _clips_dedup_quality,
     }
 
 

@@ -256,3 +256,41 @@ def test_exact_keyset_hub_shingle_exclusion(ray_session, corpus, small_cfg):
     )
     assert a_s.equals(a_e)
     assert len(a_e) > 0
+
+
+def test_dup_pair_metrics_exactness():
+    """Metrics kernel vs a hand-countable example: 2 truth families (3+2
+    members), clusters matching one family fully, half of the other, plus
+    one false-positive cluster mixing families."""
+    import numpy as np
+    import pandas as pd
+
+    from marc_record_merge_melindautils_ray.functions.evalmetrics import (
+        dup_pair_metrics,
+    )
+
+    truth = pd.DataFrame({
+        "clip_id": ["a1", "a2", "a3", "b1", "b2", "s1"],
+        "truth_cluster": ["A", "A", "A", "B", "B", None],
+    })
+    assign = pd.DataFrame({
+        "clip_id": ["a1", "a2", "a3", "b1", "s1"],
+        "cluster_id": ["c1", "c1", "c1", "c2", "c2"],
+    })
+    m = dup_pair_metrics(assign, truth)
+    # truth pairs: C(3,2)+C(2,2)=3+1=4; cluster pairs: C(3,2)+C(2,2)=4
+    # hit pairs: c1∩A = C(3,2)=3 (b1+s1 share no family)
+    assert m["truth_pairs"].iloc[0] == 4
+    assert m["cluster_pairs"].iloc[0] == 4
+    assert m["hit_pairs"].iloc[0] == 3
+    assert m["recall_permille"].iloc[0] == 750
+    assert m["precision_permille"].iloc[0] == 750
+    assert m["cross_family_clusters"].iloc[0] == 0  # s1 has no family
+
+
+def test_clips_dedup_quality_query(ray_session):
+    import __ray_entry__ as entry
+
+    out = entry.queries()["clips_dedup_quality"]("/root/testdata/sf0.001")
+    assert out["recall_permille"].iloc[0] >= 990  # the north-star bar
+    assert out["cross_family_clusters"].iloc[0] == 0
