@@ -470,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "image_features": multimodal.q_image_features,
         "frame_sample_counts": multimodal.q_frame_sample_counts,
+        # video-dedup primitive: item pairs sharing identical sampled frames
+        "frame_dup_pairs": multimodal.q_frame_dup_pairs,
         # domain pipeline (non-SQL: full dedup engine)
         "clips_dedup": _clips_dedup,
         "clips_canonical": _clips_canonical,
@@ -1394,6 +1396,25 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE CAST(round(list_cosine_similarity(a.e, b.e) * 1000, 0) AS BIGINT) >= 400
             ORDER BY id_a, id_b
+        """,
+        "frame_dup_pairs": """
+            WITH t AS (
+              SELECT doc_id AS item_id, coalesce(text, 'x') AS b FROM documents),
+             s AS (SELECT item_id, b, length(b) AS lb,
+                          256*(1 + length(b)%61) AS size FROM t),
+             p AS (SELECT item_id, size,
+                          substring(repeat(b, CAST(size/lb AS INT)+1), 1, size)
+                              AS payload
+                   FROM s),
+             f AS (SELECT DISTINCT item_id,
+                          substring(payload, 1 + fi*256, 256) AS frame
+                   FROM p, unnest(range(0, CAST(size/256 AS INT), 4)) AS u(fi)),
+             j AS (SELECT a.item_id AS id_a, b.item_id AS id_b,
+                          CAST(count(*) AS BIGINT) AS shared
+                   FROM f a JOIN f b
+                     ON a.frame = b.frame AND a.item_id < b.item_id
+                   GROUP BY 1, 2)
+            SELECT * FROM j ORDER BY id_a, id_b
         """,
         "frame_sample_counts": """
             -- recompute the data-dependent frame count from each doc's utf8

@@ -138,3 +138,64 @@ def q_frame_sample_counts(sf_dir: str) -> pd.DataFrame:
     out = frames.groupby("item_id").count().to_pandas()
     out.columns = ["item_id", "n_frames_sampled"]
     return out.sort_values("item_id").reset_index(drop=True)
+
+
+def q_frame_dup_pairs(sf_dir: str, min_shared: int = 1) -> pd.DataFrame:
+    """Cross-item duplicate-FRAME detection — the video-dedup primitive:
+    item pairs sharing at least ``min_shared`` identical sampled-frame
+    contents (re-uploads, edits and re-encodes of the same footage share
+    exact frames long before whole files match).
+
+    Plan: 1→N frame expansion (``FrameSampler``) → per-item DISTINCT frame
+    contents → groupby frame content (a frame is 256 B, so content itself is
+    the shuffle key — exact, no hash-collision caveat) → within-group pair
+    emission → per-pair shared-frame count.  Work per content group is
+    C(g,2); identical boilerplate frames across many items are the hub risk,
+    the same skew class the clip pipeline salts (here group sizes are
+    data-bounded; a production corpus would reuse the hot-key machinery).
+    SQL-expressible — the oracle reconstructs the deterministic synth
+    payloads with string ops (ASCII corpus: chars == bytes) and self-joins
+    on frame equality."""
+    items = synth_binary_items(sf_dir)
+    frames = items.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=64,
+        concurrency=actor_pool_size(rows=_doc_rows(sf_dir), rows_per_actor=500),
+    )
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["item_id"], np.int64)
+        fh = [f.hex() if f is not None else "" for f in t["frame"].to_pylist()]
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "fh": pa.array(fh, pa.string()),
+        })
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["item_id"]).sort_values("item_id")
+        ids = g["item_id"].to_numpy(np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+            })
+        ii, jj = np.triu_indices(n, 1)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    out = (
+        frames.map_batches(to_rows, batch_format="pyarrow")
+        .groupby("fh")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "shared": pd.Series([], dtype=np.int64),
+        })
+    out.columns = ["id_a", "id_b", "shared"]
+    out = out[out["shared"] >= min_shared].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
