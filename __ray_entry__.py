@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": stats.q_value_histogram,
         "mode_event_type": stats.q_mode_event_type,
         "event_deltas": stats.q_event_deltas,
+        "column_profile": stats.q_column_profile,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -1248,6 +1249,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS n FROM t
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "column_profile": """
+            WITH u AS (
+              SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS val
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', o_orderpriority FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', o_orderstatus FROM orders),
+             vc AS (SELECT col, val, count(*) AS n FROM u
+                    WHERE val IS NOT NULL GROUP BY 1, 2),
+             top AS (SELECT col, val AS top_value, n AS top_count,
+                            row_number() OVER (PARTITION BY col
+                                               ORDER BY n DESC, val) AS rk
+                     FROM vc)
+            SELECT s.col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN s.val IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT s.val) AS BIGINT) AS n_distinct,
+                   any_value(t.top_value) AS top_value,
+                   CAST(any_value(t.top_count) AS BIGINT) AS top_count
+            FROM u s JOIN top t ON t.col = s.col AND t.rk = 1
+            GROUP BY s.col ORDER BY s.col
         """,
         "heavy_hitters": """
             WITH t AS (

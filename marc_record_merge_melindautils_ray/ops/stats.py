@@ -197,3 +197,62 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def q_column_profile(sf_dir: str) -> pd.DataFrame:
+    """Data-quality column profiler over the orders table: one row per
+    profiled column with exact row/null/distinct counts and the modal value
+    (ties → lexicographically smallest).  Shape: per-batch partial
+    (column, value) counts — the wordcount combiner again — so the shuffle
+    carries one row per distinct value per batch, never the fact rows;
+    distinct/mode both read off ONE aggregated value table.  The profiler is
+    the ingest-time sanity pass a 100 TB pipeline runs before anything else
+    (skewed keys, null floods, and constant columns all surface here)."""
+    cols = ["o_orderpriority", "o_orderstatus", "o_custkey"]
+    ds = _read(sf_dir, "orders", cols)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        out = []
+        n = len(t)
+        for c in cols:
+            vals = t[c].to_pandas()
+            nulls = int(vals.isna().sum())
+            vc = vals.dropna().astype(str).value_counts()
+            out.append(pd.DataFrame({
+                "col": c, "val": vc.index.to_numpy(),
+                "n": vc.to_numpy().astype(np.int64),
+                "nulls": np.int64(0), "rows": np.int64(0),
+            }))
+            # one bookkeeping row per (batch, col) carries row/null tallies
+            out.append(pd.DataFrame({
+                "col": [c], "val": ["\x00meta"], "n": [np.int64(0)],
+                "nulls": [np.int64(nulls)], "rows": [np.int64(n)],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .sum(["n", "nulls", "rows"])
+        .to_pandas()
+    )
+    agg.columns = ["col", "val", "n", "nulls", "rows"]
+    rows = []
+    for c, g in agg.groupby("col"):
+        meta = g[g["val"] == "\x00meta"]
+        vals = g[g["val"] != "\x00meta"].sort_values(
+            ["n", "val"], ascending=[False, True]
+        )
+        rows.append({
+            "col": c,
+            "n_rows": np.int64(meta["rows"].sum()),
+            "n_nulls": np.int64(meta["nulls"].sum()),
+            "n_distinct": np.int64(len(vals)),
+            "top_value": vals["val"].iloc[0] if len(vals) else None,
+            "top_count": np.int64(vals["n"].iloc[0]) if len(vals) else np.int64(0),
+        })
+    return (
+        pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
+        .astype({"n_rows": np.int64, "n_nulls": np.int64,
+                 "n_distinct": np.int64, "top_count": np.int64})
+    )
