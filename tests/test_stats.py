@@ -228,3 +228,30 @@ def test_value_histogram_null_values_excluded(ray_session, tmp_path):
     got = q_value_histogram(str(tmp_path))
     assert got["bucket"].tolist() == [-1, 0, 1]
     assert got["n"].tolist() == [1, 1, 1]
+
+
+def test_column_profile_counts_nulls(ray_session, tmp_path):
+    """The testdata orders columns carry no nulls, so pin the null/distinct
+    accounting on a constructed table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.stats import q_column_profile
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(["1-URGENT", None, "1-URGENT", "2-HIGH"],
+                                    pa.string()),
+        "o_orderstatus": pa.array([None, None, "F", "O"], pa.string()),
+        "o_custkey": pa.array([7, 7, 8, None], pa.int64()),
+    }), str(d / "orders.parquet"))
+    out = q_column_profile(str(d)).set_index("col")
+    assert out.loc["o_orderpriority", "n_rows"] == 4
+    assert out.loc["o_orderpriority", "n_nulls"] == 1
+    assert out.loc["o_orderpriority", "n_distinct"] == 2
+    assert out.loc["o_orderpriority", "top_value"] == "1-URGENT"
+    assert out.loc["o_orderpriority", "top_count"] == 2
+    assert out.loc["o_orderstatus", "n_nulls"] == 2
+    assert out.loc["o_custkey", "top_value"] == "7"
