@@ -92,6 +92,7 @@ def run_dedup_incremental(
     cfg: DedupConfig | None = None,
     *,
     authority: dict[str, str] | None = None,
+    host_ids: frozenset[str] | None = None,
 ) -> dict:
     """Fold an ingest batch into an existing dedup state.  Returns
     ``new_assignments`` (new clip → cluster), ``base_updates`` (previously
@@ -108,7 +109,20 @@ def run_dedup_incremental(
     all_clips = base_clips.union(new_clips).materialize()
     features = compute_features(all_clips, cfg)
     n_rows = features.count()
-    hot_keys = find_hot_band_keys_sampled(features, cfg, n_rows=n_rows)
+    use_exact = cfg.keyset_mode == "exact" or (
+        cfg.keyset_mode == "auto" and n_rows > cfg.exact_keyset_min_rows
+    )
+    if use_exact:
+        from marc_record_merge_melindautils_ray.pipelines.dedup import (
+            find_candidate_key_sets,
+        )
+
+        multi_keys, hot_keys, useful_shingles = find_candidate_key_sets(features, cfg)
+        metrics["keyset_mode"] = "exact"
+    else:
+        multi_keys = useful_shingles = None
+        hot_keys = find_hot_band_keys_sampled(features, cfg, n_rows=n_rows)
+        metrics["keyset_mode"] = "sampled"
     pair_parts = adaptive_parts(
         n_rows * 4, rows_per_part=100_000,
         lo=max(16, 2 * cluster_parallelism()), hi=512,
@@ -138,9 +152,9 @@ def run_dedup_incremental(
         return t.filter(pa.array(_in(ha) | _in(hb)))
 
     survivors = (
-        candidate_pairs(features, cfg, hot_keys, None, None, num_parts=pair_parts)
+        candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles, num_parts=pair_parts)
         .map_batches(keep_new_involved, batch_format="pyarrow")
-        .map_batches(make_phase1_kernel(cfg, None), batch_format="pyarrow")
+        .map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pyarrow")
         .map_batches(survivors_to_table, batch_format="pyarrow")
     )
     sv = survivors.select_columns(["id_a", "id_b", "rel", "exact"]).materialize()
