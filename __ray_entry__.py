@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_order_counts": relational.q_left_join_order_counts,
         "train_val_test_split": relational.q_train_val_test_split,
         "dedup_events_windowed": relational.q_dedup_events_windowed,
+        "moving_avg_events": relational.q_moving_avg_events,
         "top_orders": relational.q_top_orders,
         "distinct_flags": relational.q_distinct_flags,
         "sessionize": relational.q_sessionize,
@@ -1090,6 +1091,18 @@ def oracle_sql() -> dict[str, str]:
                                 o_orderkey) * 1000000, 0) AS BIGINT) AS pr_e6
             FROM orders
             ORDER BY o_custkey, price_c, o_orderkey
+        """,
+        "moving_avg_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sum_micro,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_frame
+            FROM events ORDER BY event_id
         """,
         "dedup_events_windowed": """
             WITH w AS (

@@ -2442,3 +2442,54 @@ def q_dedup_events_windowed(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ------------------------------------------- ROWS-frame moving aggregate
+def q_moving_avg_events(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-user moving average of event value over the last ``k`` rows
+    (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW — the rows-frame window
+    class, distinct from the RANGE/peer frames of cume_dist and the
+    time-band frames of the sliding window).  Hash-partition by user, one
+    vectorized prefix-sum + shifted-difference kernel per group; emitted as
+    the exact integer pair (sum_micro, n_frame) so no float rounding rule
+    can disagree with the oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        # half-AWAY-from-zero like DuckDB's round(); np.round is half-even
+        # and diverges when value*1e6 lands exactly on .5 (the percent_rank
+        # lesson from ADVICE r3)
+        raw = g["value"].to_numpy(np.float64) * 1_000_000
+        v = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+        # per-user row index via run-boundary scan (groups are co-located)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_user)
+        run_id = np.cumsum(new_user) - 1
+        pos = np.arange(len(g)) - starts[run_id]
+        c = np.cumsum(v)
+        run_base = np.where(new_user, 0, 1)  # cumsum up to run start
+        start_excl = np.r_[0, c][starts[run_id]]  # sum before the run
+        cum_in_run = c - start_excl
+        lag_pos = np.maximum(pos - k, -1)
+        lag_cum = np.where(
+            lag_pos < 0, 0,
+            cum_in_run[starts[run_id] + np.maximum(lag_pos, 0)],
+        )
+        sum_k = cum_in_run - lag_cum
+        n_frame = np.minimum(pos + 1, k).astype(np.int64)
+        del run_base
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "sum_micro": sum_k,
+            "n_frame": n_frame,
+        })
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(kern, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

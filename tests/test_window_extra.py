@@ -133,3 +133,20 @@ def test_cume_dist_orders(ray_session, con):
     last = got.groupby("o_custkey").tail(1)
     assert (last["cd_num"] == last["n_part"]).all()
     _eq(got, want)
+
+
+def test_moving_avg_events(ray_session, con):
+    from marc_record_merge_melindautils_ray.ops.relational import q_moving_avg_events
+
+    want = con.execute("""
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_micro,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_frame
+        FROM events ORDER BY event_id""").df()
+    got = q_moving_avg_events(SF)
+    assert (got["n_frame"] <= 3).all() and (got["n_frame"] >= 1).all()
+    _eq(got, want)
