@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": relational.q_join_broadcast,
         "join_hash": relational.q_join_hash,
         "anti_join": relational.q_anti_join,
+        "semi_join": relational.q_semi_join,
         "left_join_order_counts": relational.q_left_join_order_counts,
         "train_val_test_split": relational.q_train_val_test_split,
         "dedup_events_windowed": relational.q_dedup_events_windowed,
@@ -533,6 +534,11 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            ORDER BY c_custkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
             ORDER BY c_custkey
         """,
         "top_orders": """

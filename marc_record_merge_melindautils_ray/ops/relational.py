@@ -2493,3 +2493,51 @@ def q_moving_avg_events(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Customers WITH at least one finished ('F') order — the SEMI-join
+    complement of ``q_anti_join``, same plan: the distinct key set ships
+    once as object-store blocks (Bloom filter at scale), each customer batch
+    filters itself with one vectorized ``is_in`` — no shuffle, the fact
+    table never leaves its scan."""
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get, task_stage
+
+    def f_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderstatus"], "F")
+        return pa.table({"k": pc.unique(t.filter(keep)["o_custkey"].combine_chunks())})
+
+    keys_ds = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(f_keys, batch_format="pyarrow")
+        .groupby("k")
+        .count()
+        .materialize()
+    )
+    key_refs = keys_ds.to_arrow_refs()
+
+    class SemiFilter:
+        def __init__(self, refs):
+            parts = []
+            for r in refs:
+                t = maybe_get(r)
+                if len(t) and "k" in t.column_names:
+                    col = t["k"]
+                    parts.append(col.combine_chunks()
+                                 if isinstance(col, pa.ChunkedArray) else col)
+            self.keys = pa.concat_arrays(parts) if parts else pa.array([], pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["c_custkey"], value_set=self.keys)
+            return t.filter(keep).select(["c_custkey", "c_name"])
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(task_stage(SemiFilter, (key_refs,), key=("semi", *key_refs)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        out.astype({"c_custkey": np.int64})
+        .sort_values("c_custkey").reset_index(drop=True)
+    )
