@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": stats.q_mode_event_type,
         "event_deltas": stats.q_event_deltas,
         "column_profile": stats.q_column_profile,
+        "props_extract": stats.q_props_extract,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -1268,6 +1269,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS n FROM t
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "props_extract": """
+            SELECT event_type,
+                   CAST(sum(coalesce(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT), 0)) AS BIGINT) AS sum_k,
+                   CAST(sum(CASE WHEN json_extract_string(props, '$.k')
+                       IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_with_k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "column_profile": """
             WITH u AS (

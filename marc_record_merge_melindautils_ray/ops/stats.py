@@ -256,3 +256,40 @@ def q_column_profile(sf_dir: str) -> pd.DataFrame:
         .astype({"n_rows": np.int64, "n_nulls": np.int64,
                  "n_distinct": np.int64, "top_count": np.int64})
     )
+
+
+def q_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured column flattening: extract the numeric ``k`` field
+    from the JSON ``props`` column and aggregate it per event type — the
+    metadata-sidecar pattern (training corpora carry provenance/config as
+    JSON strings; extraction must be a vectorized kernel, not a per-row
+    ``json.loads`` loop).  The kernel extracts with ONE vectorized regex
+    over the column; per-batch partial (type, sum, n) rows ride a tiny
+    groupby — the fact rows never shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"].fillna("")
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")  # NaN for missing keys
+        )
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "sum_k": k.fillna(0).astype(np.int64),
+            "n_with_k": k.notna().astype(np.int64),
+            "n": np.ones(len(df), np.int64),
+        })
+        return out.groupby("event_type", as_index=False).sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .sum(["sum_k", "n_with_k", "n"])
+        .to_pandas()
+    )
+    out.columns = ["event_type", "sum_k", "n_with_k", "n"]
+    return (
+        out.astype({"sum_k": np.int64, "n_with_k": np.int64, "n": np.int64})
+        .sort_values("event_type").reset_index(drop=True)
+    )
