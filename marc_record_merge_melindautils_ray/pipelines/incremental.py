@@ -78,11 +78,32 @@ _EMPTY_ASSIGN = pa.table({
 })
 
 
-def _id_hashes(ids) -> np.ndarray:
+def _id_set(ids) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted hashes, ids in hash order) — membership tests binary-search
+    the hashes and then CONFIRM the id string, so a 64-bit collision can
+    never misclassify a base clip as new (same collision-exact contract as
+    ``ArrowBlockIndex``)."""
     from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
 
     arr = np.asarray(list(ids), dtype=object)
-    return np.sort(stable_str_hash(arr)) if len(arr) else np.empty(0, np.uint64)
+    if not len(arr):
+        return np.empty(0, np.uint64), arr
+    h = stable_str_hash(arr)
+    order = np.argsort(h, kind="stable")
+    return h[order], arr[order]
+
+
+def _member_mask(nh: np.ndarray, nids: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
+
+    if not len(ids) or not len(nh):
+        return np.zeros(len(ids), bool)
+    h = stable_str_hash(ids)
+    pos = np.minimum(np.searchsorted(nh, h), len(nh) - 1)
+    hit = (nh[pos] == h)
+    if hit.any():  # confirm the actual id strings on hash hits
+        hit[hit] = nids[pos[hit]] == ids[hit]
+    return hit
 
 
 def run_dedup_incremental(
@@ -130,26 +151,17 @@ def run_dedup_incremental(
 
     # new-id membership for the pair filter (small side: the ingest batch)
     new_ids = [r["clip_id"] for r in new_clips.select_columns(["clip_id"]).take_all()]
-    new_ref = ray.put(_id_hashes(new_ids))
+    new_ref = ray.put(_id_set(new_ids))
 
     def keep_new_involved(t: pa.Table) -> pa.Table:
-        from marc_record_merge_melindautils_ray.functions.hashing import (
-            stable_str_hash,
-        )
-
-        nh = maybe_get(new_ref)
+        nh, nids = maybe_get(new_ref)
         if not len(t):
             return t
         a = np.asarray(t["id_a"].to_pylist(), dtype=object)
         b = np.asarray(t["id_b"].to_pylist(), dtype=object)
-        ha, hb = stable_str_hash(a), stable_str_hash(b)
-
-        def _in(h):
-            pos = np.searchsorted(nh, h)
-            pos = np.minimum(pos, max(len(nh) - 1, 0))
-            return (nh[pos] == h) if len(nh) else np.zeros(len(h), bool)
-
-        return t.filter(pa.array(_in(ha) | _in(hb)))
+        return t.filter(pa.array(
+            _member_mask(nh, nids, a) | _member_mask(nh, nids, b)
+        ))
 
     survivors = (
         candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles, num_parts=pair_parts)
@@ -245,19 +257,10 @@ def run_dedup_incremental(
             self.idx = ArrowBlockIndex(refs, "clip_id")
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            from marc_record_merge_melindautils_ray.functions.hashing import (
-                stable_str_hash,
-            )
-
             ids = np.asarray(t["clip_id"].to_pylist(), dtype=object)
             labels = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
-            nh = maybe_get(new_hash_ref)
-            if len(ids):
-                h = stable_str_hash(ids)
-                pos = np.minimum(np.searchsorted(nh, h), max(len(nh) - 1, 0))
-                is_new = (nh[pos] == h) if len(nh) else np.zeros(len(h), bool)
-            else:
-                is_new = np.zeros(0, bool)
+            nh, nids = maybe_get(new_hash_ref)
+            is_new = _member_mask(nh, nids, ids)
             blocks, rows, found = self.idx.lookup(ids)
             old = np.array([None] * len(ids), dtype=object)
             if found.any():
