@@ -464,6 +464,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": text_analysis.q_quality_filter,
         "doc_fingerprint": text_analysis.q_doc_fingerprint,
         "lang_id": text_analysis.q_lang_id,
+        # CCNet-style LM-perplexity quality buckets (non-SQL: self-trained
+        # char-bigram LM; determinism + gibberish-to-tail discrimination
+        # tests in tests/test_text_ops.py)
+        "perplexity_buckets": text_analysis.q_perplexity_buckets,
         # mergeable sketches (approximate: rows-only + accuracy-bound tests)
         "hll_distinct_users": sketches.q_hll_distinct_users,
         "value_quantiles": sketches.q_value_quantiles,

@@ -358,3 +358,106 @@ def q_tfidf_top(sf_dir: str, topk: int = 3) -> pd.DataFrame:
     )
     out = out.drop(columns=["part"], errors="ignore")
     return out.sort_values(["doc_id", "rk"]).reset_index(drop=True)
+
+
+# ----------------------------------------- char-bigram LM perplexity buckets
+def q_perplexity_buckets(sf_dir: str, n_buckets: int = 3) -> pd.DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2019, public): score every
+    document by a language-model perplexity and split the corpus into
+    equal-count head/middle/tail buckets.  No external LM ships in this
+    container, so the model is a char-BIGRAM LM trained on the corpus itself
+    in one combiner pass — bounded state (≤ 256² counts ≈ 256 KB) regardless
+    of corpus size, the same two-pass broadcast shape a real
+    KenLM-in-an-actor deployment uses.
+
+    Pass 1: per-batch bigram counts over the concatenated string buffer (one
+    flat ``bincount``) → one tiny reduce.  Pass 2: per-doc mean bigram
+    log-probability (add-one smoothing, e6 fixed-point) via ONE gather +
+    ``add.reduceat`` over the batch buffer — no per-row Python.  Buckets cut
+    at exact score quantiles; head = lowest perplexity (= highest mean
+    log-prob).  Deterministic: same corpus → same model → same buckets on
+    any block layout."""
+    ds = _docs(sf_dir)
+
+    def _buf_and_bounds(t: pa.Table):
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.fill_null("")
+        off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        bufs = col.buffers()
+        offs = np.frombuffer(bufs[1], off_dtype, count=col.offset + len(col) + 1
+                             ).astype(np.int64)[col.offset:]
+        buf = (np.frombuffer(bufs[2], np.uint8, count=int(offs[-1]))
+               if bufs[2] is not None else np.empty(0, np.uint8))
+        return buf, offs
+
+    def count_bigrams(t: pa.Table) -> pa.Table:
+        buf, offs = _buf_and_bounds(t)
+        if len(buf) < 2:
+            return pa.table({"bg": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        pair = buf[:-1].astype(np.int64) * 256 + buf[1:]
+        # mask pairs that straddle a document boundary
+        pos = np.arange(len(pair))
+        doc_of = np.clip(np.searchsorted(offs, pos, side="right") - 1,
+                         0, len(offs) - 2)
+        ok = (pos >= offs[0]) & (pos + 2 <= offs[doc_of + 1]) & (pos >= offs[doc_of])
+        cnt = np.bincount(pair[ok], minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bg": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    model_rows = (
+        ds.map_batches(count_bigrams, batch_format="pyarrow")
+        .groupby("bg").sum("n").to_pandas()
+    )
+    counts = np.zeros(65536, np.int64)
+    counts[model_rows["bg"].to_numpy()] = model_rows["sum(n)"].to_numpy()
+    # conditional P(c2|c1) with add-one smoothing, e6 fixed-point log-probs
+    row_tot = counts.reshape(256, 256).sum(axis=1)
+    logp = np.log((counts.reshape(256, 256) + 1)
+                  / (row_tot[:, None] + 256)) * 1e6
+    logp = logp.astype(np.int64).reshape(-1)
+    import ray as _ray
+
+    lp_ref = _ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+        lp = maybe_get(lp_ref)
+        buf, offs = _buf_and_bounds(t)
+        k = len(t)
+        ids = np.asarray(t["doc_id"], np.int64)
+        out = np.zeros(k, np.int64)
+        if len(buf) >= 2:
+            pair = buf[:-1].astype(np.int64) * 256 + buf[1:]
+            pos = np.arange(len(pair))
+            doc_of = np.clip(np.searchsorted(offs, pos, side="right") - 1,
+                             0, len(offs) - 2)
+            ok = (pos >= offs[0]) & (pos + 2 <= offs[doc_of + 1]) & (pos >= offs[doc_of])
+            vals = lp[pair[ok]]
+            docs = doc_of[ok]
+            sums = np.zeros(k, np.int64)
+            np.add.at(sums, docs, vals)
+            nbg = np.bincount(docs, minlength=k)
+            nz = nbg > 0
+            out[nz] = sums[nz] // nbg[nz]  # mean log-prob, e6 (negative)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "mean_logp_e6": pa.array(out, pa.int64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    scored = scored.sort_values(["mean_logp_e6", "doc_id"],
+                                ascending=[False, True]).reset_index(drop=True)
+    n = len(scored)
+    ranks = np.arange(n)
+    scored["bucket"] = np.minimum(ranks * n_buckets // max(n, 1),
+                                  n_buckets - 1).astype(np.int64)
+    labels = np.array(["head", "middle", "tail"] + [
+        f"b{i}" for i in range(3, n_buckets)
+    ], dtype=object)
+    scored["bucket"] = labels[scored["bucket"].to_numpy()]
+    return scored.sort_values("doc_id").reset_index(drop=True)

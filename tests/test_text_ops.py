@@ -202,3 +202,41 @@ def test_containment_pairs_large_string(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     got = q_containment_pairs(str(tmp_path))
     assert set(zip(got["id_inner"], got["id_outer"])) == {(0, 1)}
+
+
+# ---------------------------------------------- perplexity quality buckets
+def test_perplexity_buckets_properties(ray_session, tmp_path):
+    """Self-trained bigram-LM bucketing: equal-count buckets, deterministic,
+    and a planted gibberish doc lands in the tail with a far worse score
+    than natural text."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.text_analysis import (
+        q_perplexity_buckets,
+    )
+
+    rng = np.random.default_rng(1)
+    texts = [
+        ("the quick brown fox jumps over the lazy dog again and again " * 5)
+        + f" variant {i}"
+        for i in range(20)
+    ]
+    texts.append("".join(chr(rng.integers(33, 126)) for _ in range(300)))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    out = q_perplexity_buckets(str(d))
+    assert len(out) == 21
+    vc = out["bucket"].value_counts()
+    assert vc.max() - vc.min() <= 1  # equal-count split
+    gib = out[out["doc_id"] == 20].iloc[0]
+    assert gib["bucket"] == "tail"
+    assert gib["mean_logp_e6"] < out["mean_logp_e6"].median() - 1_000_000
+    assert out.equals(q_perplexity_buckets(str(d)))  # deterministic
