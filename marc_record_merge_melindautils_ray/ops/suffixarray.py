@@ -28,7 +28,6 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
 
 
 def suffix_array(buf: np.ndarray) -> np.ndarray:
@@ -169,7 +168,12 @@ def q_containment_pairs_sa(sf_dir: str, min_len: int = 20) -> pd.DataFrame:
             _SaContainment,
             fn_constructor_args=(refs,),
             batch_format="pyarrow",
-            concurrency=actor_pool_size(rows=norm.count()),
+            # the SA build (O(n log n) over the WHOLE shard) dominates the
+            # stage while probes are tiny, so a wide pool just multiplies
+            # duplicated index builds — two holders saturate the probe
+            # stream; the scale path is sharded indexes (module docstring),
+            # not more full-corpus copies (review finding)
+            concurrency=2,
         )
         .to_pandas()
     )

@@ -246,20 +246,22 @@ def run_dedup_incremental(
     cc = cc.materialize()
 
     # split the CC output: new clips / base updates / cluster merges
-    new_hash_ref = new_ref
-
     class SplitRows:
-        def __init__(self, refs):
+        def __init__(self, refs, new_set_ref):
             from marc_record_merge_melindautils_ray.state.broadcast_index import (
                 ArrowBlockIndex,
             )
 
             self.idx = ArrowBlockIndex(refs, "clip_id")
+            # held as ctor state so the task_stage cache key COVERS it — a
+            # closure capture would let a warm worker reuse a prior ingest
+            # batch's id set (cross-run cache poisoning; review finding)
+            self._new_set_ref = new_set_ref
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = np.asarray(t["clip_id"].to_pylist(), dtype=object)
             labels = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
-            nh, nids = maybe_get(new_hash_ref)
+            nh, nids = maybe_get(self._new_set_ref)
             is_new = _member_mask(nh, nids, ids)
             blocks, rows, found = self.idx.lookup(ids)
             old = np.array([None] * len(ids), dtype=object)
@@ -280,7 +282,8 @@ def run_dedup_incremental(
             })
 
     split = cc.map_batches(
-        task_stage(SplitRows, (assign_refs,), key=("split_rows", *assign_refs)),
+        task_stage(SplitRows, (assign_refs, new_ref),
+                   key=("split_rows", *assign_refs, new_ref)),
         batch_format="pyarrow",
     ).materialize()
 
@@ -321,7 +324,13 @@ def run_dedup_incremental(
         if not mm or not len(t):
             return t
         labels = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
-        out = np.array([mm.get(x, x) for x in labels], dtype=object)
+        # vectorized: mask the (ingest-bounded) merged labels first, dict-map
+        # only the hits — the common no-hit batch stays one np.isin pass
+        hit = np.isin(labels, np.array(sorted(mm), dtype=object))
+        if not hit.any():
+            return t
+        out = labels.copy()
+        out[hit] = [mm[x] for x in labels[hit]]
         return pa.table({
             "clip_id": t["clip_id"],
             "cluster_id": pa.array(list(out), pa.string()),

@@ -155,3 +155,30 @@ def test_incremental_host_gate(ray_session):
         r["clip_id"] for r in inc2["new_assignments"].take_all()
     ) if inc2["new_assignments"].count() else set()
     assert some_new not in ids2
+
+
+def test_two_sequential_ingests_same_session(ray_session):
+    """Regression for the warm-worker cache-poisoning bug: two incremental
+    runs in ONE Ray session with the SAME base refs but DIFFERENT new
+    batches must each classify their own clips as new (the SplitRows cache
+    key covers the new-id set)."""
+    clips, _, _ = make_corpus(8, 8, 42)
+    df = clips.to_pandas()
+    mask = (np.arange(len(df)) % 2) == 1
+    base, new_all = _split(clips, mask)
+    b = run_dedup(base, CFG)
+    new_df = df[mask]
+    half = len(new_df) // 2
+    batch1 = rd.from_arrow(pa.Table.from_pandas(new_df.iloc[:half], preserve_index=False))
+    batch2 = rd.from_arrow(pa.Table.from_pandas(new_df.iloc[half:], preserve_index=False))
+    inc1 = run_dedup_incremental(batch1, base, b["assignments"], CFG)
+    inc2 = run_dedup_incremental(batch2, base, b["assignments"], CFG)
+    ids1 = set(new_df.iloc[:half]["clip_id"])
+    ids2 = set(new_df.iloc[half:]["clip_id"])
+    got1 = set(r["clip_id"] for r in inc1["new_assignments"].take_all())
+    got2 = set(r["clip_id"] for r in inc2["new_assignments"].take_all())
+    assert got1 <= ids1 and got2 <= ids2
+    # batch-2 clips that pair with base MUST classify as new, not base_update
+    bu2 = set(r["clip_id"] for r in inc2["base_updates"].take_all())
+    assert not (bu2 & ids2), bu2 & ids2
+    assert got2, "second ingest found no new assignments - cache poisoning?"
