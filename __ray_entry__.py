@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # char-bigram LM; determinism + gibberish-to-tail discrimination
         # tests in tests/test_text_ops.py)
         "perplexity_buckets": text_analysis.q_perplexity_buckets,
+        "repetition_signals": text_analysis.q_repetition_signals,
         # mergeable sketches (approximate: rows-only + accuracy-bound tests)
         "hll_distinct_users": sketches.q_hll_distinct_users,
         "value_quantiles": sketches.q_value_quantiles,
@@ -1306,6 +1307,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(t.top_count) AS BIGINT) AS top_count
             FROM u s JOIN top t ON t.col = s.col AND t.rk = 1
             GROUP BY s.col ORDER BY s.col
+        """,
+        "repetition_signals": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+             pc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+             agg AS (SELECT doc_id,
+                            CAST(sum(c) AS BIGINT) AS n_tokens,
+                            CAST(count(*) AS BIGINT) AS n_distinct,
+                            CAST(max(c) AS BIGINT) AS top_count
+                     FROM pc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_distinct, 0) AS n_distinct,
+                   coalesce(a.top_count, 0) AS top_count
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         "heavy_hitters": """
             WITH t AS (

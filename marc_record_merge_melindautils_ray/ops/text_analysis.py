@@ -461,3 +461,39 @@ def q_perplexity_buckets(sf_dir: str, n_buckets: int = 3) -> pd.DataFrame:
     ], dtype=object)
     scored["bucket"] = labels[scored["bucket"].to_numpy()]
     return scored.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_repetition_signals(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public) per
+    document: token count, distinct-token count, and the most-common token's
+    count — the exact integers behind the 'fraction of most common word' and
+    'distinct-word ratio' filter rules.  One vectorized pass per batch
+    (explode + per-doc value_counts); nothing but the per-doc signal rows
+    ever shuffle."""
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.strip().str.lower().str.split()
+        ex = pd.DataFrame({"doc_id": df["doc_id"], "term": words}).explode("term")
+        ex = ex.dropna(subset=["term"])
+        g = ex.groupby(["doc_id", "term"], as_index=False).size()
+        agg = g.groupby("doc_id").agg(
+            n_tokens=("size", "sum"),
+            n_distinct=("size", "count"),
+            top_count=("size", "max"),
+        ).reset_index()
+        # docs with no tokens still get a row (zeros)
+        missing = df[~df["doc_id"].isin(agg["doc_id"])]
+        if len(missing):
+            agg = pd.concat([agg, pd.DataFrame({
+                "doc_id": missing["doc_id"],
+                "n_tokens": np.int64(0),
+                "n_distinct": np.int64(0),
+                "top_count": np.int64(0),
+            })], ignore_index=True)
+        return agg.astype({
+            "doc_id": np.int64, "n_tokens": np.int64,
+            "n_distinct": np.int64, "top_count": np.int64,
+        })
+
+    out = _docs(sf_dir).map_batches(kern, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
