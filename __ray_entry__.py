@@ -427,6 +427,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (non-SQL: windowed argmin over rolling hashes; pinned pair-for-pair
         # to a pure-Python reference in tests/test_winnow.py)
         "winnow_dup_pairs": dedup_text.q_winnow_dup_pairs,
+        # benchmark decontamination: training docs sharing any word-8-gram
+        # with the held-out eval slice (broadcast sorted gram-hash probe,
+        # zero shuffle)
+        "decontaminate": dedup_text.q_decontaminate,
         # payload-axis audio features (decode + DSP over clip bytes)
         "clips_audio_features": _clips_audio_features,
         "clips_gain_normalize": _clips_gain_normalize,
@@ -1397,6 +1401,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 200
             ORDER BY id_a, id_b
+        """,
+        "decontaminate": """
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            ), grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+              FROM words, unnest(generate_series(1, len(w) - 7)) AS t(i)
+              WHERE len(w) >= 8
+            ), eval_g AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 3
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) FILTER (e.g IS NOT NULL) AS BIGINT) AS hit_grams,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM grams t LEFT JOIN eval_g e ON t.g = e.g
+            WHERE t.doc_id % 19 <> 3
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         "containment_pairs_sa": """
             WITH d AS (

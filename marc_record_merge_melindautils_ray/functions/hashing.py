@@ -242,17 +242,20 @@ _IP_MULT = _U64(pow(int(_POLY_MULT), -1, 1 << 64))  # p is odd ⇒ invertible mo
 _TRI_LEN_MIX = _U64(0x9E3779B97F4A7C15)
 
 
-def word_trigram_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized word-3-gram hashing for a whole batch — the shared kernel
-    for the n-gram Jaccard queries (replaces per-doc Python ``split`` +
-    ``join`` + per-gram string materialization; VERDICT r3 item 5).
+def word_trigram_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-``n``-gram hashing for a whole batch — the shared
+    kernel for the n-gram Jaccard queries (replaces per-doc Python ``split``
+    + ``join`` + per-gram string materialization; VERDICT r3 item 5) and,
+    with ``n=8``, the benchmark-decontamination query's contamination
+    window.
 
     Semantics match the DuckDB oracle (``regexp_split_to_array(trim(lower(
-    text)), '\\s+')`` + 3-word windows joined by single spaces): texts are
-    lowercased, whitespace runs collapse to one space, and each trigram's
-    identity is a hash of its canonical byte span — equal trigram strings
+    text)), '\\s+')`` + ``n``-word windows joined by single spaces): texts
+    are lowercased, whitespace runs collapse to one space, and each gram's
+    identity is a hash of its canonical byte span — equal gram strings
     hash equal across docs, distinct ones collide at ~2^-64 (the same
-    documented trade the string-hash path made).
+    documented trade the string-hash path made).  The hash mixes the span's
+    byte length, so grams of different ``n`` cannot alias each other.
 
     Mechanics: one canonical UTF-8 buffer per batch (zero-copy out of the
     Arrow array), word boundaries found as vectorized space positions,
@@ -306,7 +309,7 @@ def word_trigram_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     woff = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(nw, out=woff[1:])
 
-    n_tri = np.maximum(nw - 2, 0)
+    n_tri = np.maximum(nw - (n - 1), 0)
     offsets = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(n_tri, out=offsets[1:])
     ntotal = int(offsets[-1])
@@ -317,7 +320,7 @@ def word_trigram_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     j = np.arange(ntotal) - np.repeat(offsets[:-1], n_tri)
     w0 = np.repeat(woff[:-1], n_tri) + j
     starts = ws[w0]
-    ends = we[w0 + 2]
+    ends = we[w0 + (n - 1)]
 
     # modular prefix polynomial hashes over the whole batch buffer:
     # C[i] = Σ_{k<i} data[k]·p^{-k};  hash[a,b) = p^{b-1}·(C[b] − C[a])

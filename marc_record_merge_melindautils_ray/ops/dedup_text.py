@@ -896,3 +896,100 @@ def q_winnow_dup_pairs(
             "overlap_permille": pd.Series([], dtype=np.int64),
         })
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------- decontamination
+def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 19,
+                    eval_rem: int = 3) -> pd.DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-``n``-gram with a held-out evaluation set (the GPT-3 / PaLM
+    training-data hygiene pass; the reference's record-overlap checks are
+    the same shape — a small authority set probed by every record, cf.
+    `/root/reference/lib/compare-record.js` candidate gating).
+
+    The "benchmark" is the deterministic slice ``doc_id % eval_mod ==
+    eval_rem`` — a stand-in for a real eval suite, which is SMALL by
+    definition.  Scale shape:
+
+    * Pass 1 builds the eval set's DISTINCT gram-hash array.  Per batch the
+      grams are deduped vectorized (lexsort boundary trick); the per-batch
+      uniques are combined on the driver.  This is O(|benchmark|), not
+      O(corpus) — eval suites are a few hundred MB of text at most, and the
+      array would be broadcast anyway.  At 100 TB the TRAINING side still
+      streams; only the benchmark side lands in one sorted u64 array.
+    * Pass 2 streams every training batch through one ``searchsorted``
+      membership probe against the broadcast array (``ray.put`` once, read
+      zero-copy in every task) and counts per-doc distinct hits with one
+      ``bincount`` — no shuffle at all: the contaminated-gram counts are
+      per-doc local.
+
+    Output: one row per training doc that has ≥1 gram (``len(words) >= n``),
+    ``(doc_id, hit_grams, n_grams)`` sorted by doc_id — zero rows verify the
+    negatives, nonzero rows are the contamination report.  Gram identity is
+    the shared 64-bit rolling-hash kernel (documented ~2^-64 collision
+    trade, same as the Jaccard queries)."""
+    import ray
+
+    from marc_record_merge_melindautils_ray.functions.hashing import word_trigram_hashes
+
+    def _doc_grams(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, per-doc-distinct gram hashes, doc index per gram)."""
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        h, offsets = word_trigram_hashes(t["text"], n=n)
+        counts = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        order = np.lexsort((h, doc_idx))
+        hs, ds = h[order], doc_idx[order]
+        if len(hs):
+            keep = np.r_[True, (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])]
+        else:
+            keep = np.zeros(0, dtype=bool)
+        return ids, hs[keep], ds[keep]
+
+    def eval_uniques(t: pa.Table) -> pa.Table:
+        mask = np.asarray(t["doc_id"], dtype=np.int64) % eval_mod == eval_rem
+        sub = t.filter(pa.array(mask))
+        if sub.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64())})
+        _, hk, _ = _doc_grams(sub)
+        return pa.table({"g": pa.array(np.unique(hk).view(np.int64), pa.int64())})
+
+    docs = _docs(sf_dir)
+    # pass 1: the small (benchmark) side — bounded by eval-set size
+    parts = [
+        np.asarray(b["g"], dtype=np.int64).view(np.uint64)
+        for b in docs.map_batches(eval_uniques, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    eval_sorted = (np.unique(np.concatenate(parts)) if parts
+                   else np.empty(0, np.uint64))
+    eval_ref = ray.put(eval_sorted)
+
+    def probe(t: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        mask = np.asarray(t["doc_id"], dtype=np.int64) % eval_mod != eval_rem
+        sub = t.filter(pa.array(mask))
+        if sub.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hit_grams": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64())})
+        ids, hk, dk = _doc_grams(sub)
+        pos = np.searchsorted(ev, hk)
+        hit = (pos < ev.size) & (ev[np.minimum(pos, max(ev.size - 1, 0))] == hk) \
+            if ev.size else np.zeros(hk.shape, bool)
+        n_grams = np.bincount(dk, minlength=len(ids)).astype(np.int64)
+        hit_grams = np.bincount(dk, weights=hit, minlength=len(ids)).astype(np.int64)
+        keep = n_grams > 0  # docs with <n words have no gram row in the oracle
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "hit_grams": pa.array(hit_grams[keep], pa.int64()),
+            "n_grams": pa.array(n_grams[keep], pa.int64()),
+        })
+
+    out = docs.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                            "hit_grams": pd.Series([], dtype=np.int64),
+                            "n_grams": pd.Series([], dtype=np.int64)})
+    return out.sort_values("doc_id").reset_index(drop=True)

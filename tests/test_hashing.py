@@ -98,3 +98,37 @@ def test_word_trigram_hashes_match_string_semantics():
     # batch-layout invariance: same text hashes identically alone
     h2, _ = word_trigram_hashes(["the quick brown fox jumps"])
     assert h2[0] == h[0]
+
+
+def test_word_ngram_hashes_general_n():
+    """The kernel's ``n`` parameter (decontamination window) keeps the exact
+    string-path gram-identity relation at n=8, and grams of different n
+    never alias (the hash mixes span byte-length)."""
+    import itertools
+
+    from marc_record_merge_melindautils_ray.functions.hashing import (
+        word_trigram_hashes,
+    )
+
+    texts = [
+        "a b c d e f g h i j",         # 3 grams of 8
+        "A  b c d E f g h i j",        # same after canon → identical hashes
+        "a b c d e f g h",             # exactly one 8-gram
+        "a b c d e f g",               # too short → zero grams
+        "", None,
+        "x b c d e f g h i j",         # differs in word 1 only
+    ]
+
+    def py_grams(s, n):
+        w = (s or "").lower().split()
+        return [" ".join(w[j:j + n]) for j in range(max(0, len(w) - n + 1))]
+
+    h, off = word_trigram_hashes(texts, n=8)
+    for d, t in enumerate(texts):
+        assert off[d + 1] - off[d] == len(py_grams(t, 8))
+    allg = [g for t in texts for g in py_grams(t, 8)]
+    for (i, a), (k, b) in itertools.combinations(enumerate(allg), 2):
+        assert (a == b) == (h[i] == h[k]), (a, b)
+    # cross-n no-alias: the 3-gram "a b c" never equals any 8-gram hash
+    h3, _ = word_trigram_hashes(["a b c"], n=3)
+    assert not np.isin(h3, h).any()

@@ -240,3 +240,31 @@ def test_perplexity_buckets_properties(ray_session, tmp_path):
     assert gib["bucket"] == "tail"
     assert gib["mean_logp_e6"] < out["mean_logp_e6"].median() - 1_000_000
     assert out.equals(q_perplexity_buckets(str(d)))  # deterministic
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    """A training doc that quotes an 8-word span from an eval doc is flagged
+    with the exact count of shared distinct 8-grams; clean docs report 0;
+    docs under 8 words emit no row (oracle parity)."""
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.dedup_text import q_decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # doc 3 (3 % 19 == 3) is the eval doc; doc 1 quotes words 0..7 → its one
+    # contaminated 8-gram; doc 2 is clean; doc 4 is too short for any gram
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "intro words alpha beta gamma delta epsilon zeta eta theta done",
+            "totally unrelated content with many distinct words here today",
+            eval_text,
+            "too short",
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_decontaminate(str(tmp_path))
+    assert out.doc_id.tolist() == [1, 2]
+    row1 = out[out.doc_id == 1].iloc[0]
+    assert row1.hit_grams == 1 and row1.n_grams == 4
+    assert out[out.doc_id == 2].iloc[0].hit_grams == 0
