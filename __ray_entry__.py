@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_project": similarity.q_embed_project,
         # text analysis
         "token_counts": text_analysis.q_token_counts,
+        # RAG chunking: 1→N overlapping word-window expansion, no shuffle
+        "doc_chunks": text_analysis.q_doc_chunks,
         "quality_signals": text_analysis.q_quality_signals,
         "top_terms": text_analysis.q_top_terms,
         "bigram_top": text_analysis.q_bigram_top,
@@ -1401,6 +1403,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 200
             ORDER BY id_a, id_b
+        """,
+        "doc_chunks": """
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            ), k AS (
+              SELECT doc_id, w, len(w) AS n,
+                CASE WHEN len(w) <= 32 THEN 1
+                     ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) + 1 END AS nk
+              FROM words
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(
+                     w[CAST(i*24+1 AS BIGINT) : CAST(LEAST(i*24+32, n) AS BIGINT)],
+                     ' ') AS chunk_text,
+                   CAST(LEAST(i*24+32, n) - i*24 AS BIGINT) AS n_words
+            FROM k, unnest(generate_series(0, nk - 1)) AS t(i)
+            ORDER BY doc_id, chunk_idx
         """,
         "decontaminate": """
             WITH words AS (

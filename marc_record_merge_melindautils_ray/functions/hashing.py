@@ -242,30 +242,18 @@ _IP_MULT = _U64(pow(int(_POLY_MULT), -1, 1 << 64))  # p is odd ⇒ invertible mo
 _TRI_LEN_MIX = _U64(0x9E3779B97F4A7C15)
 
 
-def word_trigram_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized word-``n``-gram hashing for a whole batch — the shared
-    kernel for the n-gram Jaccard queries (replaces per-doc Python ``split``
-    + ``join`` + per-gram string materialization; VERDICT r3 item 5) and,
-    with ``n=8``, the benchmark-decontamination query's contamination
-    window.
+def canon_word_bounds(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                      np.ndarray]:
+    """Canonicalize a batch of texts (lower + trim + whitespace-collapse,
+    the DuckDB ``regexp_split_to_array(trim(lower(text)), '\\s+')`` word
+    convention) and return vectorized word bounds over ONE shared UTF-8
+    buffer — the zero-per-doc-Python substrate under the n-gram kernel and
+    the RAG chunker.
 
-    Semantics match the DuckDB oracle (``regexp_split_to_array(trim(lower(
-    text)), '\\s+')`` + ``n``-word windows joined by single spaces): texts
-    are lowercased, whitespace runs collapse to one space, and each gram's
-    identity is a hash of its canonical byte span — equal gram strings
-    hash equal across docs, distinct ones collide at ~2^-64 (the same
-    documented trade the string-hash path made).  The hash mixes the span's
-    byte length, so grams of different ``n`` cannot alias each other.
-
-    Mechanics: one canonical UTF-8 buffer per batch (zero-copy out of the
-    Arrow array), word boundaries found as vectorized space positions,
-    and every trigram span hashed O(1) from modular prefix polynomial sums
-    (``p`` odd ⇒ invertible mod 2^64, so prefix differences recover any
-    span's polynomial hash) — no per-doc Python, no gram strings.
-
-    Returns ``(hashes, offsets)``: ``hashes[offsets[d]:offsets[d+1]]`` are
-    doc d's trigram hashes in order (not deduplicated).
-    """
+    Returns ``(data, ws, we, woff)``: ``data`` the concatenated canonical
+    byte buffer, ``ws``/``we`` global start/end byte positions of every
+    word, and ``woff`` per-doc word offsets (doc d's words are
+    ``ws[woff[d]:woff[d+1]]``)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -308,6 +296,36 @@ def word_trigram_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     nw = np.where(nonempty, n_sp_per_doc + 1, 0)
     woff = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(nw, out=woff[1:])
+    return data, ws, we, woff
+
+
+def word_trigram_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-``n``-gram hashing for a whole batch — the shared
+    kernel for the n-gram Jaccard queries (replaces per-doc Python ``split``
+    + ``join`` + per-gram string materialization; VERDICT r3 item 5) and,
+    with ``n=8``, the benchmark-decontamination query's contamination
+    window.
+
+    Semantics match the DuckDB oracle (``regexp_split_to_array(trim(lower(
+    text)), '\\s+')`` + ``n``-word windows joined by single spaces): texts
+    are lowercased, whitespace runs collapse to one space, and each gram's
+    identity is a hash of its canonical byte span — equal gram strings
+    hash equal across docs, distinct ones collide at ~2^-64 (the same
+    documented trade the string-hash path made).  The hash mixes the span's
+    byte length, so grams of different ``n`` cannot alias each other.
+
+    Mechanics: one canonical UTF-8 buffer per batch (zero-copy out of the
+    Arrow array), word boundaries found as vectorized space positions,
+    and every trigram span hashed O(1) from modular prefix polynomial sums
+    (``p`` odd ⇒ invertible mod 2^64, so prefix differences recover any
+    span's polynomial hash) — no per-doc Python, no gram strings.
+
+    Returns ``(hashes, offsets)``: ``hashes[offsets[d]:offsets[d+1]]`` are
+    doc d's trigram hashes in order (not deduplicated).
+    """
+    data, ws, we, woff = canon_word_bounds(texts)
+    ndocs = len(woff) - 1
+    nw = np.diff(woff)
 
     n_tri = np.maximum(nw - (n - 1), 0)
     offsets = np.zeros(ndocs + 1, dtype=np.int64)

@@ -497,3 +497,67 @@ def q_repetition_signals(sf_dir: str) -> pd.DataFrame:
 
     out = _docs(sf_dir).map_batches(kern, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_chunks(sf_dir: str, window: int = 32, stride: int = 24) -> rd.Dataset:
+    """RAG-style document chunking: each document becomes overlapping
+    ``window``-word chunks at ``stride`` spacing (the retrieval-index /
+    context-packing prep every LLM data pipeline runs; 1→N row expansion,
+    embarrassingly parallel — no shuffle, chunks stream out of the map).
+
+    Chunk k covers words ``[k·stride, min(k·stride + window, n_words))``;
+    a doc with ≤ ``window`` words is exactly one chunk; the tail chunk may
+    be short but is never empty (the last start is < n_words by
+    construction).  Word canonicalization is the repo-wide convention
+    (lower + trim + whitespace-collapse — ``canon_word_bounds``).
+
+    Fully vectorized over the batch's shared canonical byte buffer: chunk
+    word ranges become byte ranges via the word-bounds arrays, and all
+    chunk texts are built with ONE range-gather into a single output
+    buffer wrapped as an Arrow string array — no per-doc or per-chunk
+    Python."""
+    from marc_record_merge_melindautils_ray.functions.hashing import canon_word_bounds
+
+    W, S = int(window), int(stride)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        data, ws, we, woff = canon_word_bounds(t["text"])
+        nw = np.diff(woff)
+        nk = np.where(nw <= 0, 0,
+                      np.where(nw <= W, 1, (nw - W + S - 1) // S + 1))
+        coff = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(nk, out=coff[1:])
+        tot = int(coff[-1])
+        if tot == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_words": pa.array([], pa.int64()),
+            })
+        cd = np.repeat(np.arange(len(ids)), nk)
+        ci = np.arange(tot) - np.repeat(coff[:-1], nk)
+        wstart = ci * S
+        wend = np.minimum(wstart + W, nw[cd])
+        g0 = woff[cd] + wstart
+        g1 = woff[cd] + wend - 1
+        bstart, bend = ws[g0], we[g1]
+        lens = bend - bstart
+        out_off = np.zeros(tot + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        pos = (np.arange(out_off[-1]) - np.repeat(out_off[:-1], lens)
+               + np.repeat(bstart, lens))
+        buf = data[pos] if out_off[-1] else np.empty(0, np.uint8)
+        text_arr = pa.Array.from_buffers(
+            pa.utf8(), tot,
+            [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(buf)],
+        )
+        return pa.table({
+            "doc_id": pa.array(ids[cd], pa.int64()),
+            "chunk_idx": pa.array(ci, pa.int64()),
+            "chunk_text": text_arr,
+            "n_words": pa.array(wend - wstart, pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(chunks, batch_format="pyarrow")

@@ -268,3 +268,40 @@ def test_decontaminate_planted(ray_session, tmp_path):
     row1 = out[out.doc_id == 1].iloc[0]
     assert row1.hit_grams == 1 and row1.n_grams == 4
     assert out[out.doc_id == 2].iloc[0].hit_grams == 0
+
+
+def test_doc_chunks_semantics(ray_session, tmp_path):
+    """Window/stride chunk semantics pinned: ≤W words → one chunk; the tail
+    chunk is short but never empty; overlap regions repeat exactly; empty
+    docs emit nothing; canonicalization collapses whitespace + case."""
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.text_analysis import q_doc_chunks
+
+    w40 = " ".join(f"w{i}" for i in range(40))     # 40 words: chunks at 0, 8
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "Short  DOC with\tfew words", w40, "", "exactly " * 32,
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (q_doc_chunks(str(tmp_path), window=32, stride=24).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0].chunk_text == "short doc with few words"
+    assert d1.iloc[0].n_words == 5
+
+    d2 = out[out.doc_id == 2]
+    assert d2.chunk_idx.tolist() == [0, 1]
+    assert d2.iloc[0].chunk_text == " ".join(f"w{i}" for i in range(32))
+    assert d2.iloc[1].chunk_text == " ".join(f"w{i}" for i in range(24, 40))
+    assert d2.iloc[1].n_words == 16
+    # overlap region w24..w31 appears in both chunks verbatim
+    assert d2.iloc[0].chunk_text.endswith(" ".join(f"w{i}" for i in range(24, 32)))
+
+    assert (out.doc_id == 3).sum() == 0            # empty doc → no chunks
+
+    d4 = out[out.doc_id == 4]                      # exactly 32 words
+    assert len(d4) == 1 and d4.iloc[0].n_words == 32
