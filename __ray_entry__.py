@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup_text,
         editdist,
         multimodal,
+        packing,
         suffixarray,
         relational,
         similarity,
@@ -462,6 +463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_analysis.q_token_counts,
         # RAG chunking: 1→N overlapping word-window expansion, no shuffle
         "doc_chunks": text_analysis.q_doc_chunks,
+        # sequence packing into token-budget bins (hash-stream next-fit;
+        # rows-only: a sequential recurrence SQL cannot express)
+        "pack_sequences": packing.q_pack_sequences,
         "quality_signals": text_analysis.q_quality_signals,
         "top_terms": text_analysis.q_top_terms,
         "bigram_top": text_analysis.q_bigram_top,
