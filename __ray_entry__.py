@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": stats.q_event_deltas,
         "column_profile": stats.q_column_profile,
         "props_extract": stats.q_props_extract,
+        # ordered funnel (signup→click→purchase, strict-after first-touch)
+        "funnel_counts": stats.q_funnel_counts,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -1407,6 +1409,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 200
             ORDER BY id_a, id_b
+        """,
+        "funnel_counts": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST((SELECT count(*) FROM s3) AS BIGINT)
+            ORDER BY stage
         """,
         "doc_chunks": """
             WITH words AS (

@@ -293,3 +293,68 @@ def q_props_extract(sf_dir: str) -> pd.DataFrame:
         out.astype({"sum_k": np.int64, "n_with_k": np.int64, "n": np.int64})
         .sort_values("event_type").reset_index(drop=True)
     )
+
+
+def q_funnel_counts(sf_dir: str,
+                    steps: tuple = ("signup", "click", "purchase")
+                    ) -> pd.DataFrame:
+    """Ordered funnel analysis: how many users reach each step, where step
+    k+1 counts only events STRICTLY after the user's step-k completion time
+    (first-touch semantics: each step's completion is the MIN qualifying
+    timestamp).  The classic product-analytics query, and a sequential
+    cross-type dependency no single groupby expresses.
+
+    Scale shape: the read prunes to funnel-type rows only (columns + row
+    filter); one user-hash shuffle co-locates each user's funnel events;
+    each partition computes every resident user's full cascade vectorized
+    (per-type grouped mins, then the strict-after filter per step) and
+    emits ONE partial count row per step — the driver sums a
+    (partitions × steps)-row frame.  Nothing user-sized ever lands on the
+    driver."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    steps = tuple(steps)
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(list(steps), pa.string())))
+        u = np.asarray(t["user_id"], np.int64).view(np.uint64)
+        part = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                           "event_type": g["event_type"].to_numpy(object),
+                           "us": us})
+        counts = []
+        reached = None  # Series: user_id -> completion time of prior step
+        for step in steps:
+            ev = df[df["event_type"] == step]
+            if reached is not None:
+                ev = ev.merge(reached.rename("prev_us"), left_on="user_id",
+                              right_index=True, how="inner")
+                ev = ev[ev["us"] > ev["prev_us"]]
+            cur = ev.groupby("user_id")["us"].min()
+            counts.append(len(cur))
+            reached = cur
+        return pd.DataFrame({
+            "stage": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": list(steps),
+            "n_users": np.asarray(counts, np.int64),
+        })
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (partials.groupby(["stage", "event_type"], as_index=False)["n_users"]
+           .sum())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("stage").reset_index(drop=True)

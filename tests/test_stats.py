@@ -255,3 +255,45 @@ def test_column_profile_counts_nulls(ray_session, tmp_path):
     assert out.loc["o_orderpriority", "top_count"] == 2
     assert out.loc["o_orderstatus", "n_nulls"] == 2
     assert out.loc["o_custkey", "top_value"] == "7"
+
+
+def test_funnel_counts_strict_after(ray_session, tmp_path):
+    """Funnel cascade semantics pinned on a corpus the testdata can't
+    exercise (there every user saturates every stage): a click BEFORE the
+    first signup doesn't count; a purchase between signup and the first
+    qualifying click doesn't count; ties (equal timestamps) are excluded by
+    the strict inequality."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.stats import q_funnel_counts
+
+    def ev(eid, us, uid, typ):
+        return (eid, np.datetime64(us, "us"), uid, typ)
+
+    rows = [
+        # user 1: full funnel in order
+        ev(0, 1000, 1, "signup"), ev(1, 2000, 1, "click"),
+        ev(2, 3000, 1, "purchase"),
+        # user 2: click precedes its only signup → stalls at stage 1
+        ev(3, 2000, 2, "click"), ev(4, 5000, 2, "signup"),
+        # user 3: purchase at 1500 is BEFORE its first valid click (2000) →
+        # stalls at stage 2
+        ev(5, 1000, 3, "signup"), ev(6, 1500, 3, "purchase"),
+        ev(7, 2000, 3, "click"),
+        # user 4: click ties the signup timestamp → strict > excludes it
+        ev(8, 1000, 4, "signup"), ev(9, 1000, 4, "click"),
+        # user 5: no signup at all → never enters
+        ev(10, 100, 5, "click"), ev(11, 200, 5, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_funnel_counts(str(tmp_path))
+    assert out.n_users.tolist() == [4, 2, 1]
