@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": stats.q_props_extract,
         # ordered funnel (signup→click→purchase, strict-after first-touch)
         "funnel_counts": stats.q_funnel_counts,
+        # cohort retention triangle (first-activity day × day offset)
+        "retention_cohorts": stats.q_retention_cohorts,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -1432,6 +1434,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
             ORDER BY stage
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), firstday AS (
+              SELECT user_id, min(d) AS d0 FROM act GROUP BY 1
+            )
+            SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+                   CAST(a.d - f.d0 AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act a JOIN firstday f ON a.user_id = f.user_id
+            WHERE a.d - f.d0 <= 7
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "doc_chunks": """
             WITH words AS (

@@ -358,3 +358,61 @@ def q_funnel_counts(sf_dir: str,
            .sum())
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("stage").reset_index(drop=True)
+
+
+def q_retention_cohorts(sf_dir: str, max_offset: int = 7) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    on each later day they return (``day_offset`` 0..``max_offset``) — the
+    standard growth-analytics triangle.
+
+    Scale shape: one user-hash shuffle of (user_id, day) pairs — days
+    deduplicated per batch BEFORE the exchange, so the shuffle carries at
+    most one row per (user, day) per batch, never raw events; each
+    partition computes its resident users' cohort day + offsets vectorized
+    and emits (cohort_day, day_offset, partial count) rows; the final
+    groupby sums a calendar-sized frame (days × offsets), independent of
+    user count."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        day = (np.asarray(t["ts"]).astype("datetime64[D]")
+               .astype(np.int64))
+        # batch-local (user, day) dedup before the shuffle
+        key = np.stack([u, day], axis=1)
+        uniq = np.unique(key, axis=0)
+        part = (splitmix64(uniq[:, 0].view(np.uint64))
+                % np.uint64(nparts)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uniq[:, 0], pa.int64()),
+            "day": pa.array(uniq[:, 1], pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["user_id", "day"]].drop_duplicates()
+        d0 = df.groupby("user_id")["day"].transform("min")
+        off = (df["day"] - d0).astype(np.int64)
+        keep = off <= max_offset
+        out = pd.DataFrame({"cohort_day": d0[keep].astype(np.int64),
+                            "day_offset": off[keep]})
+        agg = out.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return agg.rename(columns={"size": "n_users"})
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (partials.groupby(["cohort_day", "day_offset"], as_index=False)
+           ["n_users"].sum())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["cohort_day"] = (
+        out["cohort_day"].astype("datetime64[D]").dt.strftime("%Y-%m-%d")
+    )
+    return (out.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))

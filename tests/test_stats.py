@@ -297,3 +297,38 @@ def test_funnel_counts_strict_after(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     out = q_funnel_counts(str(tmp_path))
     assert out.n_users.tolist() == [4, 2, 1]
+
+
+def test_retention_cohorts_constructed(ray_session, tmp_path):
+    """Multi-cohort retention pinned: several events on one day count the
+    user once; offsets beyond the cap drop; separate cohorts don't mix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.stats import q_retention_cohorts
+
+    day = 86_400_000_000  # us
+    rows = [
+        # user 1: cohort day0, returns day1 twice (counts once) and day9 (cap)
+        (0, 0, 1), (1, day + 5, 1), (2, day + 99, 1), (3, 9 * day, 1),
+        # user 2: same cohort, active day0 only
+        (4, 50, 2),
+        # user 3: cohort day1, returns day3
+        (5, day + 1, 3), (6, 3 * day + 7, 3),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "us") for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_retention_cohorts(str(tmp_path), max_offset=7)
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
+    assert got == {
+        ("1970-01-01", 0): 2, ("1970-01-01", 1): 1,
+        ("1970-01-02", 0): 1, ("1970-01-02", 2): 1,
+    }
