@@ -454,6 +454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": similarity.q_ann_lsh,
         "ann_lsh_shuffle": similarity.q_ann_lsh_shuffle,
         "ann_ivf": similarity.q_ann_ivf,
+        # full-corpus distributed Lloyd's k-means (iterative broadcast-
+        # centroid pattern; rows-only — iterative, not SQL-expressible)
+        "kmeans_embeddings": similarity.q_kmeans_embeddings,
         "cosine_pairs": similarity.q_cosine_pairs,
         "embed_dup_pairs": similarity.q_embed_dup_pairs,
         "lsh_bucket_counts": similarity.lsh_bucket_counts,

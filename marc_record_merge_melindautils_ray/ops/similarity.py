@@ -748,3 +748,118 @@ def q_embed_project(sf_dir: str, out_dim: int = 32, seed: int = 77) -> pd.DataFr
 
     out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------- distributed k-means
+def kmeans_lloyd_distributed(
+    ds: rd.Dataset, k: int = 8, n_iters: int = 10, seed_stride: bool = True,
+) -> tuple[pd.DataFrame, list[float], np.ndarray]:
+    """Full-corpus Lloyd's k-means — the iterative broadcast-centroid
+    pattern (unlike ``q_ann_ivf``, which trains its quantizer on a bounded
+    driver-side sample, this assigns EVERY row every iteration).
+
+    Per iteration: centroids broadcast once (``ray.put``); each batch
+    assigns its rows with one matmul and emits a k-row partial
+    ``(cluster, count, vector sum, squared-distance sum)`` — the shuffle
+    is O(k · batches) regardless of corpus size; the driver folds partials
+    and updates centroids (empty cluster keeps its previous centroid).
+    Euclidean on L2-normalized vectors, so the assignment argmax is the
+    cosine argmax.  The working set is materialized once into the object
+    store — the standard cache for an iterative pass (spills under
+    pressure rather than re-decoding parquet × iterations).
+
+    Initialization is a deterministic stride sample of k rows (layout-
+    independent: the k SMALLEST vec_ids), so results are reproducible on
+    any cluster size.  Returns (assignments sorted by vec_id, per-iteration
+    inertia — monotone non-increasing, pinned in tests —, final centroid
+    matrix)."""
+    import ray
+
+    def normalize(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                             1e-12, None)
+        return pa.table({
+            "vec_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "embedding": pa.array(list(matn.astype(np.float64))),
+        })
+
+    dsn = ds.map_batches(normalize, batch_format="pyarrow").materialize()
+
+    # deterministic init: the k smallest vec_ids (a global sort of a
+    # k-row head — tiny), layout-invariant by construction
+    head = dsn.sort("vec_id").limit(k).to_pandas()
+    cent = np.array([np.asarray(v, np.float64) for v in head["embedding"]])
+    dim = cent.shape[1]
+
+    inertia_trace: list[float] = []
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = maybe_get(ref)
+            ids, mat = _batch_matrix(t)
+            sims = mat @ c.T
+            assign = sims.argmax(axis=1)
+            # ||x - c||² = 2 − 2·cos on unit vectors
+            sq = 2.0 - 2.0 * sims[np.arange(len(ids)), assign]
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            sq_sum = np.bincount(assign, weights=sq, minlength=len(c))
+            vsum = np.zeros((len(c), mat.shape[1]))
+            np.add.at(vsum, assign, mat)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "sq": pa.array(sq_sum, pa.float64()),
+                "vsum": pa.array(list(vsum)),
+            })
+
+        agg_n = np.zeros(k, np.int64)
+        agg_sq = 0.0
+        agg_v = np.zeros((k, dim))
+        for b in dsn.map_batches(partial, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+            cl = np.asarray(b["cluster"], np.int64)
+            agg_n[cl] += np.asarray(b["n"], np.int64)
+            agg_sq += float(np.asarray(b["sq"], np.float64).sum())
+            agg_v[cl] += np.asarray(b["vsum"].combine_chunks().values,
+                                    np.float64).reshape(-1, dim)
+        inertia_trace.append(agg_sq)
+        # deterministic early stop: a converged assignment makes every
+        # further full-corpus pass pure waste
+        if (len(inertia_trace) >= 2
+                and inertia_trace[-2] - inertia_trace[-1]
+                <= 1e-9 * max(inertia_trace[-2], 1e-12)):
+            break
+        nz = agg_n > 0
+        newc = cent.copy()
+        newc[nz] = agg_v[nz] / agg_n[nz, None]
+        norms = np.clip(np.linalg.norm(newc, axis=1, keepdims=True),
+                        1e-12, None)
+        cent = newc / norms
+
+    final_ref = ray.put(cent)
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        c = maybe_get(final_ref)
+        ids, mat = _batch_matrix(t)
+        a = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "cluster": pa.array(a, pa.int64()),
+        })
+
+    out = (dsn.map_batches(assign_rows, batch_format="pyarrow")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return out, inertia_trace, cent
+
+
+def q_kmeans_embeddings(sf_dir: str, k: int = 8,
+                        n_iters: int = 10) -> pd.DataFrame:
+    """``queries()`` surface for distributed Lloyd's k-means over the
+    embeddings table: (vec_id, cluster) for every vector.  Rows-only — an
+    iterative algorithm SQL cannot express; invariants (inertia monotone
+    non-increasing, layout-invariant determinism, planted-blob recovery)
+    are pinned in tests/test_similarity.py."""
+    out, _, _ = kmeans_lloyd_distributed(_emb(sf_dir), k=k, n_iters=n_iters)
+    return out

@@ -219,3 +219,51 @@ def test_embed_project_jl_distortion(ray_session):
     # deterministic reproduction
     out2 = q_embed_project("/root/testdata/sf0.001", out_dim=32)
     assert out.equals(out2)
+
+
+def test_kmeans_planted_blobs_and_monotone_inertia(ray_session, tmp_path):
+    """Distributed Lloyd's on three well-separated planted blobs: recovers
+    the partition exactly, inertia is monotone non-increasing, and the
+    result is identical across block layouts (determinism at any cluster
+    size)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.similarity import (
+        kmeans_lloyd_distributed,
+    )
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    dim, per = 16, 40
+    bases = np.eye(dim)[:3] * 10.0
+    vecs, labels = [], []
+    for bi, base in enumerate(bases):
+        for _ in range(per):
+            vecs.append(base + rng.normal(0, 0.05, dim))
+            labels.append(bi)
+    # interleave blobs so init (k smallest vec_ids) starts impure
+    order = rng.permutation(len(vecs))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in order]),
+    })
+    truth = np.array(labels)[order]
+
+    out1, inertia, _ = kmeans_lloyd_distributed(
+        rd.from_arrow(t), k=3, n_iters=6)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])), inertia
+    # exact blob recovery: each k-means cluster maps 1:1 onto one blob
+    df = out1.assign(truth=truth[out1.vec_id.to_numpy()])
+    purity = df.groupby("cluster")["truth"].nunique()
+    assert (purity == 1).all()
+    assert df.groupby("truth")["cluster"].nunique().eq(1).all()
+
+    # layout invariance: same rows split across two blocks → same output
+    out2, _, _ = kmeans_lloyd_distributed(
+        rd.from_arrow(t.slice(0, 60)).union(rd.from_arrow(t.slice(60))),
+        k=3, n_iters=6)
+    pd.testing.assert_frame_equal(out1, out2)
