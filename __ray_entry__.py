@@ -161,6 +161,24 @@ def _clips_audio_features(sf_dir: str) -> Any:
     )
 
 
+def _clips_speaking_rate(sf_dir: str) -> Any:
+    """Cross-modal QC: transcript tokens per second of audio — the
+    misalignment detector (metadata + transcript only; payload bytes never
+    leave the scan).  Rows-only; integer-exactness + flag semantics pinned
+    in tests/test_audio_features.py."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_speaking_rate
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    return (
+        clip_speaking_rate(rd.from_arrow(clips))
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 def _clips_gain_normalize(sf_dir: str) -> Any:
     """Payload→payload transform: peak-normalize every clip to −1 dBFS,
     re-encoded in its own codec (non-SQL: PCM decode/encode; exactness in
@@ -438,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": dedup_text.q_decontaminate,
         # payload-axis audio features (decode + DSP over clip bytes)
         "clips_audio_features": _clips_audio_features,
+        "clips_speaking_rate": _clips_speaking_rate,
         "clips_gain_normalize": _clips_gain_normalize,
         "clips_resample": _clips_resample,
         "clips_silence_trim": _clips_silence_trim,

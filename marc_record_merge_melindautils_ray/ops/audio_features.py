@@ -177,3 +177,46 @@ def clip_gain_normalize(clips: rd.Dataset, concurrency: int | None = None,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def clip_speaking_rate(clips: rd.Dataset, too_slow_milli: int = 1_000,
+                       too_fast_milli: int = 20_000) -> rd.Dataset:
+    """Cross-modal speaking-rate QC: transcript tokens per second of audio,
+    the cheap misalignment detector every ASR corpus pipeline runs (a
+    transcript pasted onto the wrong clip, a truncated recording, or a
+    mislabeled duration shows up as an implausible rate long before any
+    decode).
+
+    Metadata-only — the stage selects (clip_id, dur_ms, transcript) so
+    payload bytes never leave the scan; one vectorized regex count per
+    batch; exact integer milli-tokens/sec (``1000·1000·n_tokens //
+    dur_ms``) so thresholds are reproducible everywhere.  ``dur_ms ≤ 0``
+    (metadata-corrupt) is flagged ``bad_duration`` rather than divided
+    by."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["clip_id"]
+        dur = np.asarray(t["dur_ms"], np.int64)
+        ntok = np.asarray(
+            pc.count_substring_regex(
+                pc.fill_null(t["transcript"], ""), r"\S+"),
+            np.int64)
+        safe = np.maximum(dur, 1)
+        rate = np.where(dur > 0, (1_000_000 * ntok) // safe, 0).astype(np.int64)
+        flag = np.full(len(dur), "ok", dtype=object)
+        flag[rate < too_slow_milli] = "too_slow"
+        flag[rate > too_fast_milli] = "too_fast"
+        flag[dur <= 0] = "bad_duration"
+        return pa.table({
+            "clip_id": ids,
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "dur_ms": pa.array(dur, pa.int64()),
+            "rate_milli_tok_s": pa.array(rate, pa.int64()),
+            "rate_flag": pa.array(flag.tolist(), pa.string()),
+        })
+
+    return clips.select_columns(["clip_id", "dur_ms", "transcript"]).map_batches(
+        kern, batch_format="pyarrow"
+    )

@@ -83,3 +83,39 @@ def test_known_signal_features(ray_session):
     assert abs(row["rms_cdb"] - (-302)) <= 3  # sine RMS = A/√2 → −3.02 dB
     assert row["silence_permille"] < 10
     assert abs(row["zcr_per_min"] - 2 * 997 * 60) <= 200  # 2 crossings/cycle
+
+
+def test_clip_speaking_rate_flags(ray_session):
+    """Integer rate exactness + all four flags pinned; constructed clips
+    carry no payload (the stage must not need bytes)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import (
+        clip_speaking_rate,
+    )
+
+    t = pa.table({
+        "clip_id": pa.array(["ok", "fast", "slow", "baddur"], pa.string()),
+        "dur_ms": pa.array([2000, 500, 10_000, 0], pa.int64()),
+        "transcript": pa.array([
+            "four words spoken here",       # 4 tok / 2 s  = 2000 milli
+            "way too many words crammed in tiny clip here now",  # 10/0.5s
+            "hi", None,
+        ], pa.string()),
+        "bytes": pa.array([None] * 4, pa.binary()),
+    })
+    out = (clip_speaking_rate(rd.from_arrow(t))
+           .to_pandas().set_index("clip_id"))
+    assert out.loc["ok", "rate_milli_tok_s"] == 2000
+    assert out.loc["ok", "rate_flag"] == "ok"
+    assert out.loc["fast", "rate_milli_tok_s"] == 20_000 * 10 // 10  # 20000
+    assert out.loc["fast", "rate_flag"] == "ok"  # exactly at threshold
+    assert out.loc["slow", "rate_flag"] == "too_slow"
+    assert out.loc["baddur", "rate_flag"] == "bad_duration"
+    assert out.loc["baddur", "n_tokens"] == 0
+    # strict > threshold: nudge duration down → too_fast
+    t2 = t.set_column(1, "dur_ms", pa.array([2000, 499, 10_000, 0], pa.int64()))
+    out2 = (clip_speaking_rate(rd.from_arrow(t2))
+            .to_pandas().set_index("clip_id"))
+    assert out2.loc["fast", "rate_flag"] == "too_fast"
