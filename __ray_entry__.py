@@ -331,6 +331,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from marc_record_merge_melindautils_ray.ops import (
+        bpe,
         dedup_text,
         editdist,
         multimodal,
@@ -492,6 +493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing into token-budget bins (hash-stream next-fit;
         # rows-only: a sequential recurrence SQL cannot express)
         "pack_sequences": packing.q_pack_sequences,
+        # BPE tokenizer training over the unique-word frequency table
+        # (rows-only: iterative; pinned to a pure-Python reference trainer)
+        "bpe_vocab": bpe.q_bpe_vocab,
         "quality_signals": text_analysis.q_quality_signals,
         "top_terms": text_analysis.q_top_terms,
         "bigram_top": text_analysis.q_bigram_top,
