@@ -332,6 +332,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from marc_record_merge_melindautils_ray.ops import (
         bpe,
+        curation,
         dedup_text,
         editdist,
         multimodal,
@@ -455,6 +456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with the held-out eval slice (broadcast sorted gram-hash probe,
         # zero shuffle)
         "decontaminate": dedup_text.q_decontaminate,
+        # the composed curation cascade: quality gate → eval exclusion +
+        # decontamination → exact-dedup keep-min, fused into one pass +
+        # one content-keyed exchange (only survivors shuffle)
+        "curation_pipeline": curation.q_curation_pipeline,
         # payload-axis audio features (decode + DSP over clip bytes)
         "clips_audio_features": _clips_audio_features,
         "clips_speaking_rate": _clips_speaking_rate,
@@ -1509,6 +1514,39 @@ def oracle_sql() -> dict[str, str]:
             FROM grams t LEFT JOIN eval_g e ON t.g = e.g
             WHERE t.doc_id % 19 <> 3
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "curation_pipeline": """
+            WITH q AS (
+              SELECT doc_id, text,
+                CAST(len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r]+'))
+                    AS BIGINT) AS n_tokens,
+                CAST((1000 * len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')))
+                    // greatest(length(coalesce(text, '')), 1) AS BIGINT)
+                    AS alpha_permille
+              FROM documents
+            ), pass1 AS (
+              SELECT doc_id, text, n_tokens FROM q
+              WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
+                    AND doc_id % 19 <> 3
+            ), words AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            ), grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+              FROM words, unnest(generate_series(1, len(w) - 7)) AS t(i)
+              WHERE len(w) >= 8
+            ), eval_g AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 3
+            ), hits AS (
+              SELECT DISTINCT t.doc_id FROM grams t JOIN eval_g e ON t.g = e.g
+              WHERE t.doc_id % 19 <> 3
+            ), pass2 AS (
+              SELECT * FROM pass1
+              WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(min(n_tokens) AS BIGINT) AS n_tokens
+            FROM pass2 GROUP BY text ORDER BY doc_id
         """,
         "containment_pairs_sa": """
             WITH d AS (

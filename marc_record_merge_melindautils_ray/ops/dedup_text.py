@@ -899,6 +899,48 @@ def q_winnow_dup_pairs(
 
 
 # --------------------------------------------------------- decontamination
+def doc_gram_uniques(t: pa.Table, n: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, per-doc-DISTINCT word-n-gram hashes, doc index per gram) —
+    the shared kernel + one batch-wide lexsort boundary dedup."""
+    from marc_record_merge_melindautils_ray.functions.hashing import word_trigram_hashes
+
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    h, offsets = word_trigram_hashes(t["text"], n=n)
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(ids)), counts)
+    order = np.lexsort((h, doc_idx))
+    hs, ds = h[order], doc_idx[order]
+    if len(hs):
+        keep = np.r_[True, (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])]
+    else:
+        keep = np.zeros(0, dtype=bool)
+    return ids, hs[keep], ds[keep]
+
+
+def build_eval_gram_set(docs: rd.Dataset, n: int, eval_mod: int,
+                        eval_rem: int) -> np.ndarray:
+    """Sorted u64 array of the eval slice's DISTINCT gram hashes —
+    O(|benchmark|), not O(corpus); bounded by eval-set size by definition
+    (it gets broadcast anyway)."""
+
+    def eval_uniques(t: pa.Table) -> pa.Table:
+        mask = np.asarray(t["doc_id"], dtype=np.int64) % eval_mod == eval_rem
+        sub = t.filter(pa.array(mask))
+        if sub.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64())})
+        _, hk, _ = doc_gram_uniques(sub, n)
+        return pa.table({"g": pa.array(np.unique(hk).view(np.int64), pa.int64())})
+
+    parts = [
+        np.asarray(b["g"], dtype=np.int64).view(np.uint64)
+        for b in docs.map_batches(eval_uniques, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+
 def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 19,
                     eval_rem: int = 3) -> pd.DataFrame:
     """Benchmark decontamination: flag training documents that share any
@@ -930,40 +972,9 @@ def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 19,
     trade, same as the Jaccard queries)."""
     import ray
 
-    from marc_record_merge_melindautils_ray.functions.hashing import word_trigram_hashes
-
-    def _doc_grams(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(doc_ids, per-doc-distinct gram hashes, doc index per gram)."""
-        ids = np.asarray(t["doc_id"], dtype=np.int64)
-        h, offsets = word_trigram_hashes(t["text"], n=n)
-        counts = np.diff(offsets)
-        doc_idx = np.repeat(np.arange(len(ids)), counts)
-        order = np.lexsort((h, doc_idx))
-        hs, ds = h[order], doc_idx[order]
-        if len(hs):
-            keep = np.r_[True, (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])]
-        else:
-            keep = np.zeros(0, dtype=bool)
-        return ids, hs[keep], ds[keep]
-
-    def eval_uniques(t: pa.Table) -> pa.Table:
-        mask = np.asarray(t["doc_id"], dtype=np.int64) % eval_mod == eval_rem
-        sub = t.filter(pa.array(mask))
-        if sub.num_rows == 0:
-            return pa.table({"g": pa.array([], pa.int64())})
-        _, hk, _ = _doc_grams(sub)
-        return pa.table({"g": pa.array(np.unique(hk).view(np.int64), pa.int64())})
-
     docs = _docs(sf_dir)
     # pass 1: the small (benchmark) side — bounded by eval-set size
-    parts = [
-        np.asarray(b["g"], dtype=np.int64).view(np.uint64)
-        for b in docs.map_batches(eval_uniques, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
-    eval_sorted = (np.unique(np.concatenate(parts)) if parts
-                   else np.empty(0, np.uint64))
+    eval_sorted = build_eval_gram_set(docs, n, eval_mod, eval_rem)
     eval_ref = ray.put(eval_sorted)
 
     def probe(t: pa.Table) -> pa.Table:
@@ -974,7 +985,7 @@ def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 19,
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "hit_grams": pa.array([], pa.int64()),
                              "n_grams": pa.array([], pa.int64())})
-        ids, hk, dk = _doc_grams(sub)
+        ids, hk, dk = doc_gram_uniques(sub, n)
         pos = np.searchsorted(ev, hk)
         hit = (pos < ev.size) & (ev[np.minimum(pos, max(ev.size - 1, 0))] == hk) \
             if ev.size else np.zeros(hk.shape, bool)
