@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": stats.q_funnel_counts,
         # cohort retention triangle (first-activity day × day offset)
         "retention_cohorts": stats.q_retention_cohorts,
+        # exact-integer 3σ outliers: (n·c−S)² > 9·(n·Q−S²) — no float hash
+        "value_outliers": stats.q_value_outliers,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -1465,6 +1467,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
             ORDER BY stage
+        """,
+        "value_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), m AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(value_c) AS BIGINT) AS s,
+                     CAST(sum(value_c * value_c) AS BIGINT) AS q
+              FROM c GROUP BY 1
+            )
+            SELECT c.event_id, c.event_type, c.value_c
+            FROM c JOIN m USING (event_type)
+            WHERE (m.n * c.value_c - m.s) * (m.n * c.value_c - m.s)
+                  > 9 * (m.n * m.q - m.s * m.s)
+            ORDER BY c.event_id
         """,
         "retention_cohorts": """
             WITH act AS (

@@ -416,3 +416,58 @@ def q_retention_cohorts(sf_dir: str, max_offset: int = 7) -> pd.DataFrame:
     )
     return (out.sort_values(["cohort_day", "day_offset"])
             .reset_index(drop=True))
+
+
+def q_value_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type 3σ outliers in EXACT integer arithmetic — the
+    anomaly gate for ingest QA, with none of the float-comparison
+    fragility: with cents ``c``, group count ``n``, sum ``S`` and
+    square-sum ``Q``, ``|x − μ| > 3σ  ⟺  (n·c − S)² > 9·(n·Q − S²)``
+    (both sides integers, so the oracle hash-compares exactly).
+
+    Scale shape: pass 1 folds per-batch (n, S, Q) partials over the tiny
+    event-type domain; pass 2 broadcasts the moment table and flags each
+    row locally — no row ever shuffles."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        c = np.round(np.asarray(t["value"], np.float64) * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "n": np.ones(len(c), np.int64),
+                           "s": c, "q": c * c})
+        return df.groupby("event_type", as_index=False).sum()
+
+    m = (ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+         .groupby("event_type", as_index=False).sum())
+    mom = {r.event_type: (int(r.n), int(r.s), int(r.q))
+           for r in m.itertuples()}
+    ref = ray.put(mom)
+
+    def flag(t: pa.Table) -> pa.Table:
+        mm = ray.get(ref)
+        t = t.drop_null()
+        et = t["event_type"].to_pandas().to_numpy(object)
+        c = np.round(np.asarray(t["value"], np.float64) * 100).astype(np.int64)
+        eid = np.asarray(t["event_id"], np.int64)
+        ets = pd.Series(et)
+        n = ets.map({k: v[0] for k, v in mm.items()}).to_numpy(np.int64)
+        s = ets.map({k: v[1] for k, v in mm.items()}).to_numpy(np.int64)
+        q = ets.map({k: v[2] for k, v in mm.items()}).to_numpy(np.int64)
+        lhs = (n * c - s) ** 2
+        rhs = 9 * (n * q - s * s)
+        keep = lhs > rhs
+        return pa.table({
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "event_type": pa.array(et[keep].tolist(), pa.string()),
+            "value_c": pa.array(c[keep], pa.int64()),
+        })
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                            "event_type": pd.Series([], dtype=object),
+                            "value_c": pd.Series([], dtype=np.int64)})
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -332,3 +332,34 @@ def test_retention_cohorts_constructed(ray_session, tmp_path):
         ("1970-01-01", 0): 2, ("1970-01-01", 1): 1,
         ("1970-01-02", 0): 1, ("1970-01-02", 2): 1,
     }
+
+
+def test_value_outliers_integer_identity(ray_session, tmp_path):
+    """The integer inequality (n·c − S)² > 9·(n·Q − S²) is exactly
+    |x − μ| > 3σ (population σ): a planted spike is flagged, in-band
+    values are not, and a zero-variance group flags nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.stats import q_value_outliers
+
+    vals = [10.0] * 20 + [10.5] + [200.0]          # spike in 'a'
+    types = ["a"] * len(vals) + ["b"] * 5          # 'b' is constant
+    vals += [7.77] * 5
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(vals)), pa.int64()),
+        "ts": pa.array([np.datetime64(i, "us") for i in range(len(vals))],
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(len(vals), np.int64), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(vals), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_value_outliers(str(tmp_path))
+    assert out.event_id.tolist() == [21]           # only the 200.0 spike
+    assert out.iloc[0].value_c == 20000
+    # numpy float reference agrees on the planted corpus
+    a = np.round(np.array(vals[:22]) * 100)
+    mu, sd = a.mean(), a.std()
+    assert (np.abs(a - mu) > 3 * sd).nonzero()[0].tolist() == [21]
