@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bpe,
         curation,
         dedup_text,
+        graph,
         editdist,
         multimodal,
         packing,
@@ -434,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": stats.q_retention_cohorts,
         # exact-integer 3σ outliers: (n·c−S)² > 9·(n·Q−S²) — no float hash
         "value_outliers": stats.q_value_outliers,
+        # degree-ordered triangle count over the user co-activity graph
+        "triangle_count": graph.q_triangle_count,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
@@ -1467,6 +1470,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
             ORDER BY stage
+        """,
+        "triangle_count": """
+            WITH buckets AS (
+              SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS h
+              FROM events
+            ), edges AS (
+              SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+              FROM buckets a JOIN buckets b
+                ON a.event_type = b.event_type AND a.h = b.h
+               AND a.user_id < b.user_id
+            ), nodes AS (
+              SELECT DISTINCT u
+              FROM (SELECT ua AS u FROM edges
+                    UNION ALL SELECT ub FROM edges)
+            ), tri AS (
+              SELECT count(*) AS c FROM edges e1
+              JOIN edges e2 ON e2.ua = e1.ua AND e2.ub > e1.ub
+              JOIN edges e3 ON e3.ua = e1.ub AND e3.ub = e2.ub
+            )
+            SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+                   CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+                   CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
         """,
         "value_outliers": """
             WITH c AS (
