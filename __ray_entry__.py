@@ -437,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": stats.q_value_outliers,
         # degree-ordered triangle count over the user co-activity graph
         "triangle_count": graph.q_triangle_count,
+        # power-iteration PageRank, ranks as a co-partitioned Dataset
+        # (rows-only: iterative; numpy power-iteration pin in tests)
+        "pagerank": graph.q_pagerank,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,

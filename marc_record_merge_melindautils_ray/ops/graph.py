@@ -65,15 +65,19 @@ def pairs_within_groups(vals: np.ndarray, gids: np.ndarray
     return vals[a], vals[b]
 
 
-def q_triangle_count(sf_dir: str, hub_guard: int = 65_536) -> pd.DataFrame:
-    """(n_nodes, n_edges, n_triangles) of the user co-activity graph."""
+def coactivity_edges(sf_dir: str, nparts: int,
+                     hub_guard: int = 65_536) -> rd.Dataset:
+    """Distinct undirected edges (a, b) with a<b of the user co-activity
+    graph (users sharing an (event_type, hour) bucket) — the shared graph
+    derivation under triangle counting and PageRank.  One bucket-key
+    exchange for hub-guarded pair emission + one edge-key exchange for
+    dedup; MATERIALIZED (both consumers iterate it)."""
     from marc_record_merge_melindautils_ray.functions.hashing import (
         splitmix64,
         stable_str_hash,
     )
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
-    nparts = adaptive_parts(ds.count())
 
     def bucket_rows(t: pa.Table) -> pa.Table:
         u = np.asarray(t["user_id"], np.int64)
@@ -125,9 +129,34 @@ def q_triangle_count(sf_dir: str, hub_guard: int = 65_536) -> pd.DataFrame:
     def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
         return g[["a", "b"]].drop_duplicates()
 
-    edges = (pairs.map_batches(add_ekey, batch_format="pyarrow")
-             .groupby("part").map_groups(dedup_edges, batch_format="pandas")
-             .materialize())
+    return (pairs.map_batches(add_ekey, batch_format="pyarrow")
+            .groupby("part").map_groups(dedup_edges, batch_format="pandas")
+            .materialize())
+
+
+def _edge_part(t: pa.Table, nparts: int) -> pa.Table:
+    """Append an edge-key hash partition column (preserves other columns)."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    a = np.asarray(t["a"], np.int64)
+    b = np.asarray(t["b"], np.int64)
+    e = (a.view(np.uint64) << np.uint64(32)) ^ b.view(np.uint64)
+    part = (splitmix64(e) % np.uint64(nparts)).astype(np.int64)
+    if "part" in t.column_names:
+        t = t.drop_columns(["part"])
+    return t.append_column("part", pa.array(part, pa.int64()))
+
+
+def q_triangle_count(sf_dir: str, hub_guard: int = 65_536) -> pd.DataFrame:
+    """(n_nodes, n_edges, n_triangles) of the user co-activity graph."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    nparts = adaptive_parts(
+        _read(sf_dir, "events", ["user_id"]).count())
+    edges = coactivity_edges(sf_dir, nparts, hub_guard)
+
+    def add_ekey(t: pa.Table) -> pa.Table:
+        return _edge_part(t, nparts)
 
     # degrees: explode endpoints, partial-count per batch, node-hash exchange
     def deg_partial(t: pa.Table) -> pd.DataFrame:
@@ -295,3 +324,127 @@ def q_triangle_count(sf_dir: str, hub_guard: int = 65_536) -> pd.DataFrame:
         "n_edges": np.array([n_edges], np.int64),
         "n_triangles": np.array([n_tri], np.int64),
     })
+
+
+# ------------------------------------------------------------- PageRank
+def pagerank_edges(edges: rd.Dataset, nparts: int, d: float = 0.85,
+                   n_iters: int = 12) -> pd.DataFrame:
+    """Power-iteration PageRank over an undirected edge Dataset (a, b) —
+    the second classic iterative graph algorithm here (alongside the dedup
+    pipeline's connected components).
+
+    Scale shape: the adjacency (both directions, out-degree attached,
+    source-hash partitioned) is built ONCE and materialized; ranks live as
+    a Dataset co-partitioned with it — NOTHING node-sized ever lands on
+    the driver (the driver holds two scalars: N and the damping base).
+    Each iteration is two bounded exchanges: a role-tagged source-hash
+    union joins ranks to adjacency and emits per-edge contributions; a
+    destination-hash exchange folds them (contributions sorted before
+    summation, so the float ranks are bit-identical on any block layout —
+    pinned in tests)."""
+    import ray  # noqa: F401  (parallel with the other iterative ops)
+
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    def _node_part(arr: np.ndarray) -> np.ndarray:
+        return (splitmix64(arr.view(np.uint64))
+                % np.uint64(nparts)).astype(np.int64)
+
+    def directed(t: pa.Table) -> pd.DataFrame:
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        df = pd.DataFrame({"src": np.concatenate([a, b]),
+                           "dst": np.concatenate([b, a])})
+        df["part"] = _node_part(df["src"].to_numpy(np.int64))
+        return df
+
+    def with_outdeg(g: pd.DataFrame) -> pd.DataFrame:
+        # src-partitioned ⇒ out-degrees are partition-complete
+        g = g.sort_values(["src", "dst"])
+        od = g.groupby("src")["dst"].transform("size").to_numpy(np.int64)
+        out = pd.DataFrame({"src": g["src"].to_numpy(np.int64),
+                            "dst": g["dst"].to_numpy(np.int64),
+                            "outdeg": od,
+                            "rank": np.zeros(len(g), np.float64),
+                            "role": np.zeros(len(g), np.int64)})
+        out["part"] = _node_part(out["src"].to_numpy(np.int64))
+        return out
+
+    adj = (edges.map_batches(directed, batch_format="pyarrow")
+           .groupby("part").map_groups(with_outdeg, batch_format="pandas")
+           .materialize())
+
+    n_nodes = int(sum(
+        r["n"] for r in
+        adj.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [df["src"].nunique()]}),   # partition-complete
+            batch_format="pandas").take_all()))
+
+    def init_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(g["src"].to_numpy(np.int64))
+        out = pd.DataFrame({"src": nodes,
+                            "dst": np.full(len(nodes), -1, np.int64),
+                            "outdeg": np.ones(len(nodes), np.int64),
+                            "rank": np.full(len(nodes), 1.0 / n_nodes),
+                            "role": np.ones(len(nodes), np.int64)})
+        out["part"] = _node_part(nodes)
+        return out
+
+    ranks = (adj.groupby("part").map_groups(init_ranks,
+                                            batch_format="pandas")
+             .materialize())
+    base = (1.0 - d) / n_nodes
+
+    for _ in range(n_iters):
+        def contribs(g: pd.DataFrame) -> pd.DataFrame:
+            rk = g[g["role"] == 1].sort_values("src")
+            ed = g[g["role"] == 0]
+            if ed.empty:
+                return pd.DataFrame({"dst": pd.Series([], dtype=np.int64),
+                                     "src": pd.Series([], dtype=np.int64),
+                                     "c": pd.Series([], dtype=np.float64),
+                                     "part": pd.Series([], dtype=np.int64)})
+            rn = rk["src"].to_numpy(np.int64)
+            rv = rk["rank"].to_numpy(np.float64)
+            pos = np.searchsorted(rn, ed["src"].to_numpy(np.int64))
+            c = rv[pos] / ed["outdeg"].to_numpy(np.int64)
+            df = pd.DataFrame({"dst": ed["dst"].to_numpy(np.int64),
+                               "src": ed["src"].to_numpy(np.int64),
+                               "c": c})
+            df["part"] = _node_part(df["dst"].to_numpy(np.int64))
+            return df
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["dst", "src"])   # deterministic float order
+            s = g.groupby("dst", sort=True)["c"].sum()
+            nodes = s.index.to_numpy(np.int64)
+            out = pd.DataFrame({"src": nodes,
+                                "dst": np.full(len(nodes), -1, np.int64),
+                                "outdeg": np.ones(len(nodes), np.int64),
+                                "rank": base + d * s.to_numpy(np.float64),
+                                "role": np.ones(len(nodes), np.int64)})
+            out["part"] = _node_part(nodes)
+            return out
+
+        ranks = (adj.union(ranks)
+                 .groupby("part").map_groups(contribs, batch_format="pandas")
+                 .groupby("part").map_groups(fold, batch_format="pandas")
+                 .materialize())
+
+    rows = ranks.to_pandas()
+    out = pd.DataFrame({
+        "user_id": rows["src"].to_numpy(np.int64),
+        "rank_micro": np.floor(rows["rank"].to_numpy(np.float64) * 1e6
+                               + 0.5).astype(np.int64),
+    })
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_pagerank(sf_dir: str, n_iters: int = 8) -> pd.DataFrame:
+    """PageRank of the user co-activity graph, micro-integer ranks.
+    Rows-only (iterative); pinned against a dense numpy power iteration +
+    layout invariance in tests/test_graph.py."""
+    nparts = adaptive_parts(_read(sf_dir, "events", ["user_id"]).count())
+    edges = coactivity_edges(sf_dir, nparts)
+    return pagerank_edges(edges, nparts, n_iters=n_iters)

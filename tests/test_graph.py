@@ -55,3 +55,40 @@ def test_triangle_count_hub_guard(ray_session, tmp_path):
     # within the guard the 50-clique counts C(50,3) exactly
     out = q_triangle_count(str(tmp_path), hub_guard=64)
     assert out.values.tolist() == [[50, 50 * 49 // 2, 50 * 49 * 48 // 6]]
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session, tmp_path):
+    """Distributed PageRank equals the dense numpy power iteration on the
+    same graph to micro precision, and is bit-identical across block
+    layouts (sorted-before-sum float determinism)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.graph import (
+        pagerank_edges,
+        q_pagerank,
+    )
+
+    # path + triangle graph: 1-2, 2-3, 3-4, 4-1, 1-3 (degrees 3,2,3,2)
+    e = pa.table({"a": pa.array([1, 2, 3, 1, 1], pa.int64()),
+                  "b": pa.array([2, 3, 4, 4, 3], pa.int64())})
+    got = pagerank_edges(rd.from_arrow(e), nparts=4, n_iters=12)
+
+    nodes = [1, 2, 3, 4]
+    deg = {1: 3, 2: 2, 3: 3, 4: 2}
+    M = np.zeros((4, 4))
+    for a, b in [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]:
+        M[nodes.index(b), nodes.index(a)] = 1.0 / deg[a]
+        M[nodes.index(a), nodes.index(b)] = 1.0 / deg[b]
+    r = np.full(4, 0.25)
+    for _ in range(12):
+        r = 0.15 / 4 + 0.85 * (M @ r)
+    want = np.floor(r * 1e6 + 0.5).astype(np.int64)
+    assert got.user_id.tolist() == nodes
+    assert got.rank_micro.to_numpy().tolist() == want.tolist()
+    assert abs(got.rank_micro.sum() - 1_000_000) <= 4   # ranks sum to 1
+
+    # layout invariance: edges split across two blocks
+    got2 = pagerank_edges(
+        rd.from_arrow(e.slice(0, 2)).union(rd.from_arrow(e.slice(2))),
+        nparts=4, n_iters=12)
+    pd.testing.assert_frame_equal(got, got2)
