@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": stats.q_retention_cohorts,
         # exact-integer 3σ outliers: (n·c−S)² > 9·(n·Q−S²) — no float hash
         "value_outliers": stats.q_value_outliers,
+        # declarative data-quality expectations (ingest gate)
+        "expectations_check": stats.q_expectations_check,
         # degree-ordered triangle count over the user co-activity graph
         "triangle_count": graph.q_triangle_count,
         # power-iteration PageRank, ranks as a co-partitioned Dataset
@@ -1473,6 +1475,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
             ORDER BY stage
+        """,
+        "expectations_check": """
+            SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
+              SELECT 'orderkey_not_null' AS rule,
+                     count(*) FILTER (o_orderkey IS NULL) AS violations
+              FROM orders
+              UNION ALL
+              SELECT 'custkey_positive',
+                     count(*) FILTER (o_custkey IS NULL OR o_custkey <= 0)
+              FROM orders
+              UNION ALL
+              SELECT 'status_in_domain',
+                     count(*) FILTER (o_orderstatus IS NULL
+                                      OR o_orderstatus NOT IN ('F','O','P'))
+              FROM orders
+              UNION ALL
+              SELECT 'totalprice_range',
+                     count(*) FILTER (o_totalprice IS NULL
+                                      OR NOT (o_totalprice > 0
+                                              AND o_totalprice < 1000000))
+              FROM orders
+              UNION ALL
+              SELECT 'priority_format',
+                     count(*) FILTER (o_orderpriority IS NULL
+                                      OR NOT regexp_matches(o_orderpriority,
+                                                            '^[1-5]-[A-Z ]+$'))
+              FROM orders
+              UNION ALL
+              SELECT 'date_in_window',
+                     count(*) FILTER (o_orderdate IS NULL
+                                      OR NOT (o_orderdate >= TIMESTAMP '1992-01-01'
+                                              AND o_orderdate < TIMESTAMP '1999-01-01'))
+              FROM orders
+            ) ORDER BY rule
         """,
         "triangle_count": """
             WITH buckets AS (

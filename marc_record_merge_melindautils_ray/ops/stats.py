@@ -471,3 +471,42 @@ def q_value_outliers(sf_dir: str) -> pd.DataFrame:
                             "event_type": pd.Series([], dtype=object),
                             "value_c": pd.Series([], dtype=np.int64)})
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_expectations_check(sf_dir: str) -> pd.DataFrame:
+    """Declarative data-quality expectations over the orders table — the
+    ingest-gate validation pass (Great-Expectations-shaped): each rule is a
+    vectorized predicate; one streaming pass emits per-batch violation
+    partials; the result is one row per rule with its exact violation
+    count.  Rules cover the expectation classes: non-null, value range,
+    categorical domain, string format, and cross-column consistency."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority"])
+
+    rules = [
+        ("orderkey_not_null", lambda t: pd.isna(t["o_orderkey"])),
+        ("custkey_positive", lambda t: ~(t["o_custkey"] > 0)),
+        ("status_in_domain", lambda t: ~t["o_orderstatus"].isin(
+            ["F", "O", "P"])),
+        ("totalprice_range", lambda t: ~((t["o_totalprice"] > 0)
+                                         & (t["o_totalprice"] < 1_000_000))),
+        ("priority_format", lambda t: ~t["o_orderpriority"]
+         .astype(str).str.match(r"^[1-5]-[A-Z ]+$")),
+        ("date_in_window", lambda t: ~((t["o_orderdate"]
+                                        >= pd.Timestamp("1992-01-01"))
+                                       & (t["o_orderdate"]
+                                          < pd.Timestamp("1999-01-01")))),
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "rule": [name for name, _ in rules],
+            "violations": np.array([int(pred(df).sum()) for _, pred in rules],
+                                   np.int64),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("rule", as_index=False)["violations"].sum())
+    out["violations"] = out["violations"].astype(np.int64)
+    return out.sort_values("rule").reset_index(drop=True)

@@ -363,3 +363,34 @@ def test_value_outliers_integer_identity(ray_session, tmp_path):
     a = np.round(np.array(vals[:22]) * 100)
     mu, sd = a.mean(), a.std()
     assert (np.abs(a - mu) > 3 * sd).nonzero()[0].tolist() == [21]
+
+
+def test_expectations_check_null_semantics(ray_session, tmp_path):
+    """NULLs violate every rule they appear in (pandas ~(NaN>0) == True
+    mirrors the SQL IS NULL arm); a fully clean corpus reports all
+    zeros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.ops.stats import q_expectations_check
+
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, None, 4], pa.int64()),
+        "o_custkey": pa.array([5, 0, 7, None], pa.int64()),
+        "o_orderstatus": pa.array(["F", "X", None, "O"], pa.string()),
+        "o_totalprice": pa.array([10.0, -1.0, None, 1e7], pa.float64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-06-01", "us"),
+             np.datetime64("1991-01-01", "us"),
+             np.datetime64("2001-01-01", "us"), None], pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "9-BOGUS", "nope", None], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = q_expectations_check(str(tmp_path)).set_index("rule")["violations"]
+    assert got["orderkey_not_null"] == 1
+    assert got["custkey_positive"] == 2      # 0 and NULL
+    assert got["status_in_domain"] == 2      # X and NULL
+    assert got["totalprice_range"] == 3      # -1, NULL, 1e7
+    assert got["priority_format"] == 3       # 9-BOGUS, nope, NULL
+    assert got["date_in_window"] == 3        # 1991, 2001, NULL
