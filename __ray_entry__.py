@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-corpus distributed Lloyd's k-means (iterative broadcast-
         # centroid pattern; rows-only — iterative, not SQL-expressible)
         "kmeans_embeddings": similarity.q_kmeans_embeddings,
+        # self-evaluating ANN accuracy report (recall@10 vs brute force)
+        "ann_recall": similarity.q_ann_recall,
         "cosine_pairs": similarity.q_cosine_pairs,
         "embed_dup_pairs": similarity.q_embed_dup_pairs,
         "lsh_bucket_counts": similarity.lsh_bucket_counts,

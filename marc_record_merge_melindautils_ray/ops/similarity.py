@@ -863,3 +863,31 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8,
     are pinned in tests/test_similarity.py."""
     out, _, _ = kmeans_lloyd_distributed(_emb(sf_dir), k=k, n_iters=n_iters)
     return out
+
+
+def q_ann_recall(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Self-evaluating ANN quality report: recall@k of each approximate
+    variant (hyperplane LSH, LSH-shuffle, IVF) against the brute-force
+    cosine truth on the same queries — the ANN analog of
+    ``clips_dedup_quality``'s self-report, so every run surfaces its own
+    accuracy instead of burying it in tests.  Cost: the truth is one
+    brute-force pass (the ``ann_topk`` query), each variant its normal
+    bucketed pass; comparison is per-query set intersection on the driver
+    over k·|queries| rows — O(1) in corpus size."""
+    truth = q_ann_topk(sf_dir)
+    t_sets = {qid: set(g["neighbor_id"]) for qid, g in truth.groupby("query_id")}
+
+    rows = []
+    for name, fn in (("lsh", q_ann_lsh), ("lsh_shuffle", q_ann_lsh_shuffle),
+                     ("ivf", q_ann_ivf)):
+        approx = fn(sf_dir)
+        hits = total = 0
+        for qid, g in approx.groupby("query_id"):
+            want = t_sets.get(qid, set())
+            hits += len(set(g["neighbor_id"]) & want)
+            total += len(want)
+        rows.append((name, 1000 * hits // max(total, 1)))
+    return pd.DataFrame({
+        "variant": [r[0] for r in rows],
+        "recall_permille": np.array([r[1] for r in rows], np.int64),
+    })

@@ -267,3 +267,17 @@ def test_kmeans_planted_blobs_and_monotone_inertia(ray_session, tmp_path):
         rd.from_arrow(t.slice(0, 60)).union(rd.from_arrow(t.slice(60))),
         k=3, n_iters=6)
     pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_ann_recall_self_report(ray_session):
+    from marc_record_merge_melindautils_ray.ops.similarity import q_ann_recall
+
+    out = q_ann_recall("/root/testdata/sf0.001")
+    assert out.variant.tolist() == ["lsh", "lsh_shuffle", "ivf"]
+    # the documented ANN trade on random 64-d vectors is recall ≥ 0.5
+    # (tests/test_similarity.py::test_ann_lsh_recall_vs_brute_force)
+    assert (out.recall_permille >= 500).all(), out
+    assert (out.recall_permille <= 1000).all()
+    # deterministic: a second run reports identical numbers
+    out2 = q_ann_recall("/root/testdata/sf0.001")
+    assert out.values.tolist() == out2.values.tolist()
