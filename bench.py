@@ -52,6 +52,7 @@ def run_bench() -> dict:
 
     from marc_record_merge_melindautils_ray.config import DedupConfig
     from marc_record_merge_melindautils_ray.ops import (
+        curation,
         dedup_text,
         editdist,
         relational,
@@ -110,6 +111,12 @@ def run_bench() -> dict:
         ("tiered_dedup", tiered.q_tiered_dedup),
         ("edit_distance_pairs", _edit_distance),
         ("containment_pairs_sa", _containment_sa),
+        ("curation_pipeline", curation.q_curation_pipeline),
+        ("decontaminate", dedup_text.q_decontaminate),
+        # kmeans_embeddings / bpe_vocab stay OUT of the bench: at sf0.1
+        # their wall is 10-16 iterations of fixed per-pass overhead over
+        # tiny tables (no data-scaling signal); their cost/accuracy is
+        # pinned in tests instead
     ]:
         t = time.monotonic()
         out = fn(sf_dir)

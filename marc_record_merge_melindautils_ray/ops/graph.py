@@ -147,7 +147,8 @@ def _edge_part(t: pa.Table, nparts: int) -> pa.Table:
     return t.append_column("part", pa.array(part, pa.int64()))
 
 
-def q_triangle_count(sf_dir: str, hub_guard: int = 65_536) -> pd.DataFrame:
+def q_triangle_count(sf_dir: str, hub_guard: int = 65_536,
+                     max_wedges: int = 50_000_000) -> pd.DataFrame:
     """(n_nodes, n_edges, n_triangles) of the user co-activity graph."""
     from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
 
@@ -261,7 +262,20 @@ def q_triangle_count(sf_dir: str, hub_guard: int = 65_536) -> pd.DataFrame:
         lo = g["lo"].to_numpy(np.int64)
         hi = g["hi"].to_numpy(np.int64)
         order = np.lexsort((hi, lo))
-        v, w = pairs_within_groups(hi[order], lo[order])
+        los = lo[order]
+        # visible work bound: exact triangle counting is Θ(Σ C(outdeg,2));
+        # a near-complete graph makes that ~n³/6 wedges, which no cluster
+        # size fixes — raise with the measured total instead of OOMing
+        # (same capped-work-is-visible contract as the hub guards)
+        sizes = np.bincount(np.cumsum(np.r_[True, los[1:] != los[:-1]]) - 1)
+        n_wedges = int((sizes * (sizes - 1) // 2).sum())
+        if n_wedges > max_wedges:
+            raise ValueError(
+                f"triangle counting would emit {n_wedges} wedges in one "
+                f"partition (> max_wedges={max_wedges}); the co-activity "
+                "graph is too dense for exact counting — sparsify the "
+                "bucket definition or raise max_wedges explicitly")
+        v, w = pairs_within_groups(hi[order], los)
         return pd.DataFrame({"v": v, "w": w,
                              "role": np.zeros(len(v), np.int64)})
 

@@ -92,3 +92,12 @@ def test_pagerank_matches_dense_power_iteration(ray_session, tmp_path):
         rd.from_arrow(e.slice(0, 2)).union(rd.from_arrow(e.slice(2))),
         nparts=4, n_iters=12)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_triangle_count_wedge_guard(ray_session, tmp_path):
+    """Exact triangle counting on a too-dense graph raises the visible
+    work bound instead of OOMing."""
+    rows = [(u, u, "click") for u in range(30)]   # 30-clique
+    pq.write_table(_events(rows), str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="max_wedges"):
+        q_triangle_count(str(tmp_path), max_wedges=100)
