@@ -538,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample_counts": multimodal.q_frame_sample_counts,
         # video-dedup primitive: item pairs sharing identical sampled frames
         "frame_dup_pairs": multimodal.q_frame_dup_pairs,
+        # shot-boundary detection: consecutive-sampled-frame differences
+        "scene_cuts": multimodal.q_scene_cuts,
         # domain pipeline (non-SQL: full dedup engine)
         "clips_dedup": _clips_dedup,
         "clips_canonical": _clips_canonical,
@@ -1728,6 +1730,29 @@ def oracle_sql() -> dict[str, str]:
                      ON a.frame = b.frame AND a.item_id < b.item_id
                    GROUP BY 1, 2)
             SELECT * FROM j ORDER BY id_a, id_b
+        """,
+        "scene_cuts": """
+            WITH t AS (
+              SELECT doc_id AS item_id, coalesce(nullif(text, ''), 'x') AS b
+              FROM documents),
+             s AS (SELECT item_id, b, length(b) AS lb,
+                          256*(1 + length(b)%61) AS size FROM t),
+             p AS (SELECT item_id, size,
+                          substring(repeat(b, CAST(size/lb AS INT)+1), 1, size)
+                              AS payload
+                   FROM s),
+             f AS (SELECT item_id, fi,
+                          substring(payload, 1 + fi*256, 256) AS frame
+                   FROM p, unnest(range(0, CAST(size/256 AS INT), 4)) AS u(fi)),
+             lagged AS (SELECT item_id, frame,
+                               lag(frame) OVER (PARTITION BY item_id
+                                                ORDER BY fi) AS prev
+                        FROM f)
+            SELECT item_id,
+                   CAST(count(*) FILTER (prev IS NOT NULL AND frame <> prev)
+                        AS BIGINT) AS n_cuts,
+                   CAST(count(*) AS BIGINT) AS n_frames_sampled
+            FROM lagged GROUP BY 1 ORDER BY 1
         """,
         "frame_sample_counts": """
             -- recompute the data-dependent frame count from each doc's utf8

@@ -199,3 +199,40 @@ def q_frame_dup_pairs(sf_dir: str, min_shared: int = 1) -> pd.DataFrame:
     out.columns = ["id_a", "id_b", "shared"]
     out = out[out["shared"] >= min_shared].astype(np.int64)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_scene_cuts(sf_dir: str, frame_bytes: int = 256,
+                 every: int = 4) -> pd.DataFrame:
+    """Scene-cut detection — the shot-boundary primitive of every video
+    pipeline: count transitions between CONSECUTIVE sampled frames whose
+    contents differ.  All frames of an item come from its own payload row,
+    so the whole operator is shuffle-free: one map stage slices each
+    payload into a (n_frames, frame_bytes) byte matrix (zero-copy
+    ``frombuffer`` + reshape), strides to the sampled frames, and counts
+    row-to-row differences with one vectorized compare.  Output:
+    ``(item_id, n_cuts, n_frames_sampled)``."""
+
+    items = synth_binary_items(sf_dir, frame_bytes=frame_bytes)
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids_out, cuts_out, nf_out = [], [], []
+        ids = np.asarray(t["item_id"], np.int64)
+        payloads = t["payload"].to_pylist()
+        for iid, payload in zip(ids, payloads):
+            payload = payload or b""
+            n = len(payload) // frame_bytes
+            fr = (np.frombuffer(payload, np.uint8, count=n * frame_bytes)
+                  .reshape(n, frame_bytes)[::every])
+            cuts = (int((fr[1:] != fr[:-1]).any(axis=1).sum())
+                    if len(fr) > 1 else 0)
+            ids_out.append(int(iid))
+            cuts_out.append(cuts)
+            nf_out.append(len(fr))
+        return pa.table({
+            "item_id": pa.array(ids_out, pa.int64()),
+            "n_cuts": pa.array(cuts_out, pa.int64()),
+            "n_frames_sampled": pa.array(nf_out, pa.int64()),
+        })
+
+    out = items.map_batches(kern, batch_format="pyarrow").to_pandas()
+    return out.sort_values("item_id").reset_index(drop=True)
