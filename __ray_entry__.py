@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_orders": relational.q_ntile_orders,
         "cume_dist_orders": relational.q_cume_dist_orders,
         "daily_active_users": relational.q_daily_active_users,
+        "full_outer_daily": relational.q_full_outer_daily,
+        "lead_lag_events": relational.q_lead_lag_events,
         # grouped mergeable sketch: approx distinct users per event type
         # (non-SQL fold; ≤5% accuracy + block-layout invariance in
         # tests/test_sketches.py)
@@ -1228,6 +1230,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "full_outer_daily": """
+            WITH o AS (
+              SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1),
+            s AS (
+              SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n_ship_lines,
+                     CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_c
+              FROM lineitem GROUP BY 1)
+            SELECT coalesce(o.day, s.day) AS day,
+                   coalesce(o.n_orders, 0) AS n_orders,
+                   coalesce(s.n_ship_lines, 0) AS n_ship_lines,
+                   coalesce(s.sum_qty_c, 0) AS sum_qty_c
+            FROM o FULL OUTER JOIN s ON o.day = s.day
+            ORDER BY 1
+        """,
+        "lead_lag_events": """
+            SELECT event_id, user_id,
+                   coalesce(lag(event_type) OVER w, '-') AS prev_type,
+                   coalesce(lead(event_type) OVER w, '-') AS next_type,
+                   first_value(event_type) OVER w AS first_type,
+                   last_value(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
         """,
         "tfidf_top": """
             WITH tok AS (

@@ -2541,3 +2541,108 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
         out.astype({"c_custkey": np.int64})
         .sort_values("c_custkey").reset_index(drop=True)
     )
+
+
+# ------------------------------------------- FULL OUTER join (daily volumes)
+def q_full_outer_daily(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN shape: per-day order count vs per-day shipped-line
+    stats on the calendar date.  Shipdates trail orderdates by the receipt
+    lag, so BOTH unmatched sides genuinely fire on the testdata (~1.4k
+    one-sided dates at sf0.001).
+
+    Plan: the outer join is expressed as a UNION of side-tagged partial
+    aggregates — each side combines to at most one row per (day, batch)
+    below the exchange, the single ``groupby(day)`` finishes both sides and
+    the zero-fill at once.  No join operator, no fact row ever shuffles."""
+
+    def order_partial(t: pa.Table) -> pd.DataFrame:
+        days = np.asarray(t["o_orderdate"]).astype("datetime64[D]")
+        d, n = np.unique(np.datetime_as_string(days, unit="D"), return_counts=True)
+        z = np.zeros(len(d), np.int64)
+        return pd.DataFrame({"day": d, "n_orders": n.astype(np.int64),
+                             "n_ship_lines": z, "sum_qty_c": z})
+
+    def ship_partial(t: pa.Table) -> pd.DataFrame:
+        days = np.datetime_as_string(
+            np.asarray(t["l_shipdate"]).astype("datetime64[D]"), unit="D")
+        qty_c = _cents(np.asarray(t["l_quantity"], np.float64))
+        df = pd.DataFrame({"day": days, "q": qty_c})
+        agg = df.groupby("day", as_index=False).agg(
+            n_ship_lines=("q", "size"), sum_qty_c=("q", "sum"))
+        agg["n_orders"] = np.int64(0)
+        return agg[["day", "n_orders", "n_ship_lines", "sum_qty_c"]].astype(
+            {"n_ship_lines": np.int64, "sum_qty_c": np.int64})
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        order_partial, batch_format="pyarrow")
+    ship = _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"]).map_batches(
+        ship_partial, batch_format="pyarrow")
+    out = (
+        orders.union(ship)
+        .groupby("day").sum(["n_orders", "n_ship_lines", "sum_qty_c"])
+        .to_pandas()
+    )
+    out.columns = ["day", "n_orders", "n_ship_lines", "sum_qty_c"]
+    for c in ("n_orders", "n_ship_lines", "sum_qty_c"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+# ------------------------------------------- LEAD/LAG + FIRST/LAST window
+def q_lead_lag_events(sf_dir: str) -> pd.DataFrame:
+    """Row-navigation window functions per user ordered by (ts, event_id):
+    LAG / LEAD with a '-' default plus FIRST_VALUE / LAST_VALUE over the
+    whole partition — the four navigation shapes in one pass.  Hash-partition
+    by user co-locates each user's rows; one vectorized sort + shift kernel
+    per partition (group run-ids, no per-group Python)."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64).view(np.uint64)
+        part = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "prev_type": pd.Series([], dtype=str),
+                "next_type": pd.Series([], dtype=str),
+                "first_type": pd.Series([], dtype=str),
+                "last_type": pd.Series([], dtype=str),
+            })
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy().astype(object)
+        n = len(g)
+        new_grp = np.r_[True, uid[1:] != uid[:-1]]          # partition starts
+        prev = np.r_[np.array(["-"], object), typ[:-1]]
+        prev[new_grp] = "-"
+        last_of_grp = np.r_[new_grp[1:], True]              # partition ends
+        nxt = np.r_[typ[1:], np.array(["-"], object)]
+        nxt[last_of_grp] = "-"
+        starts = np.flatnonzero(new_grp)
+        runlen = np.diff(np.r_[starts, n])
+        first = np.repeat(typ[starts], runlen)
+        last = np.repeat(typ[np.flatnonzero(last_of_grp)], runlen)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "prev_type": prev.astype(str),
+            "next_type": nxt.astype(str),
+            "first_type": first.astype(str),
+            "last_type": last.astype(str),
+        })
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
