@@ -521,6 +521,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": text_analysis.q_top_terms_per_lang,
         "tfidf_top": text_analysis.q_tfidf_top,
         "quality_filter": text_analysis.q_quality_filter,
+        # PII redaction: email|phone|number masking over the props sidecar
+        "pii_redact": text_analysis.q_pii_redact,
+        # inverted index: term → df + sorted posting list
+        "inverted_index": text_analysis.q_inverted_index,
+        # BM25 ranking of a fixed term query, exact-integer scoring
+        "bm25_top": text_analysis.q_bm25_top,
         "doc_fingerprint": text_analysis.q_doc_fingerprint,
         "lang_id": text_analysis.q_lang_id,
         # CCNet-style LM-perplexity quality buckets (non-SQL: self-trained
@@ -1439,6 +1445,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, alpha_permille FROM q
             WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
             ORDER BY doc_id
+        """,
+        "pii_redact": """
+            SELECT event_id,
+                   regexp_replace(coalesce(props, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}|[0-9]+',
+                       '<PII>', 'g') AS props_redacted,
+                   CAST(len(regexp_extract_all(coalesce(props, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}|[0-9]+'))
+                       AS BIGINT) AS n_pii
+            FROM events ORDER BY event_id
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS postings
+            FROM tok GROUP BY term ORDER BY term
+        """,
+        "bm25_top": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+            corp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(dl) AS BIGINT) AS t FROM dl),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+                   WHERE term IN ('join', 'hash', 'merge') GROUP BY 1, 2),
+            dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tok WHERE term IN ('join', 'hash', 'merge') GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     CAST(floor(1e6 * ln((2*corp.n - 2*dfq.df + 1.0)
+                                         / (2*dfq.df + 1.0)) + 0.5) AS BIGINT)
+                     * ((22 * tf.tf * corp.t * 1000)
+                        // (10 * tf.tf * corp.t + 3 * corp.t + 9 * dl.dl * corp.n))
+                       AS c
+              FROM tf, corp
+              JOIN dfq ON tf.term = dfq.term
+              JOIN dl ON tf.doc_id = dl.doc_id)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         "ngram_jaccard_pairs": """
             WITH words AS (

@@ -561,3 +561,141 @@ def q_doc_chunks(sf_dir: str, window: int = 32, stride: int = 24) -> rd.Dataset:
         })
 
     return _docs(sf_dir).map_batches(chunks, batch_format="pyarrow")
+
+
+# PII redaction: email | phone | digit-run masking (the privacy-scrub pass
+# every training-data pipeline runs before publishing).  Alternation order
+# matters (email and phone arms claim their digits before the digit-run arm)
+# and is identical on both sides; pandas `re` and DuckDB's RE2 share
+# leftmost-first alternation semantics — parity pinned on adversarial
+# strings (adjacent email+digit, overlong phones) in tests/test_pii.py.
+PII_PATTERN = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"   # email
+    r"|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"                 # phone
+    r"|[0-9]+"                                           # bare number run
+)
+
+
+def q_pii_redact(sf_dir: str) -> rd.Dataset:
+    """Redact PII-shaped spans from the events ``props`` sidecar: one
+    vectorized compiled-regex replace + count per batch, zero shuffle
+    (purely row-local).  ``n_pii`` counts the masked spans so the pass is
+    auditable; the testdata exercises the digit arm on every row, the
+    email/phone arms are pinned on a constructed corpus in tests."""
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        props = df["props"].fillna("")
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "props_redacted": props.str.replace(PII_PATTERN, "<PII>", regex=True),
+            "n_pii": props.str.count(PII_PATTERN).astype(np.int64),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+        .map_batches(kern, batch_format="pandas")
+    )
+
+
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted index build (the retrieval-prep pass): term → document
+    frequency + comma-joined SORTED posting list.  Two-level distinct like
+    every pair-dedup aggregate here: per-batch (term, doc_id) dedup
+    (combiner) → pair-keyed shuffle finishes the dedup → per-term assembly
+    is one tiny sort+join per group.  At web scale a posting list for a
+    stopword-grade term is O(corpus); real deployments shard postings by
+    (term, doc-range) — the per-term ``map_groups`` boundary here is exactly
+    where that sharding key would slot in."""
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.strip().str.lower().str.split()
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].repeat(words.str.len().fillna(0).astype(int)),
+            "term": words.explode().dropna(),
+        })
+        return out.drop_duplicates()
+
+    pairs = (
+        _docs(sf_dir)
+        .map_batches(local_pairs, batch_format="pandas")
+        .groupby(["term", "doc_id"]).count()
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": [np.int64(len(ids))],
+            "postings": [",".join(map(str, ids))],
+        })
+
+    out = pairs.groupby("term").map_groups(assemble, batch_format="pandas").to_pandas()
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values("term").reset_index(drop=True)
+
+
+BM25_TERMS = ("join", "hash", "merge")
+
+
+def q_bm25_top(sf_dir: str, terms: tuple = BM25_TERMS, k: int = 20) -> pd.DataFrame:
+    """BM25 ranking of a fixed term query against the corpus (k1=1.2,
+    b=0.75), in EXACT integer arithmetic so the oracle hash-compares: with
+    tf, dl, N (docs), T (total tokens) all integers, the per-term score
+
+        idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/T))
+
+    rationalizes to  idf_micro · (22·tf·T·1000 // (10·tf·T + 3·T + 9·dl·N))
+    — one floor division on all-positive operands (so //  ==  floor on both
+    engines) and idf_micro = floor(1e6·ln((2N−2df+1)/(2df+1)) + 0.5), the
+    same double on both sides.  Plan: ONE corpus pass emits per-doc
+    (dl, tf_j) stats rows (text never shuffles); N, T, df_j reduce from the
+    stats Dataset; scoring is a second stats-only map with local top-k per
+    block and a k-row driver merge."""
+    trm = [t.lower() for t in terms]
+
+    def stats_kern(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("").str.lower()
+        dl = text.str.count(r"\S+").astype(np.int64)
+        out = {"doc_id": df["doc_id"], "dl": dl}
+        for j, t in enumerate(trm):
+            # whitespace-delimited exact-token count == split-token equality
+            pat = r"(?<!\S)" + re.escape(t) + r"(?!\S)"
+            out[f"tf{j}"] = text.str.count(pat).astype(np.int64)
+        sdf = pd.DataFrame(out)
+        return sdf[sdf["dl"] > 0]
+
+    stats = _docs(sf_dir).map_batches(stats_kern, batch_format="pandas").materialize()
+    n_docs = stats.count()
+    sums = stats.sum(["dl"] + [f"tf{j}" for j in range(len(trm))])
+    total = int(sums["sum(dl)"])
+    # df_j: docs with tf_j > 0 (combiner partials, tiny rows)
+    dfs = stats.map_batches(
+        lambda d: pd.DataFrame({f"df{j}": [int((d[f"tf{j}"] > 0).sum())]
+                                for j in range(len(trm))}),
+        batch_format="pandas",
+    ).sum([f"df{j}" for j in range(len(trm))])
+    idf_micro = [
+        int(np.floor(1e6 * np.log((2 * n_docs - 2 * int(dfs[f"sum(df{j})"]) + 1.0)
+                                  / (2 * int(dfs[f"sum(df{j})"]) + 1.0)) + 0.5))
+        for j in range(len(trm))
+    ]
+
+    def score_kern(d: pd.DataFrame) -> pd.DataFrame:
+        dl = d["dl"].to_numpy(np.int64)
+        score = np.zeros(len(d), np.int64)
+        any_tf = np.zeros(len(d), bool)
+        for j in range(len(trm)):
+            tf = d[f"tf{j}"].to_numpy(np.int64)
+            denom = 10 * tf * total + 3 * total + 9 * dl * n_docs
+            frac_e3 = (22 * tf * total * 1000) // denom
+            score += idf_micro[j] * frac_e3
+            any_tf |= tf > 0
+        out = pd.DataFrame({"doc_id": d["doc_id"], "score": score})[any_tf]
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    parts = stats.map_batches(score_kern, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k).reset_index(drop=True)
+    )
