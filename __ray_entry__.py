@@ -324,6 +324,15 @@ def _ngram_jaccard_capped(sf_dir: str) -> Any:
     return dedup_text.q_ngram_jaccard_pairs(sf_dir, max_df=NGRAM_CAP_DF)
 
 
+def _clips_align_offset(sf_dir: str) -> Any:
+    """Shift-invariant dedup pass over the shifted-duplicate corpus: best
+    per-pair time offset via FFT cross-correlation + SNR on the aligned
+    overlap (the samplewise phase-2 gate rejects these pairs by design)."""
+    from marc_record_merge_melindautils_ray.ops.audio_align import q_clips_align_offset
+
+    return q_clips_align_offset(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline; driver checks rows >= 0 and a stable schema."""
     return _clips_dedup(SF_SMOKE)
@@ -482,6 +491,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_stitch": _clips_stitch,
         "clips_transcode": _clips_transcode,
         "clips_prep_features": _clips_prep_features,
+        # shift-invariant dedup: FFT cross-correlation offset + aligned-SNR
+        # re-check for time-shifted duplicate pairs (rows-only: FFT kernel;
+        # exact-lag recovery pinned in tests/test_audio_align.py)
+        "clips_align_offset": _clips_align_offset,
         # composed training-data dedup: exact → MinHash near → embedding
         # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
         # family + chain-resolution exactness in tests/test_tiered.py)

@@ -373,3 +373,46 @@ def write_corpus(out_dir: str, **kwargs) -> None:
     pq.write_table(clips, os.path.join(out_dir, "clips.parquet"))
     pq.write_table(truth, os.path.join(out_dir, "truth.parquet"))
     pq.write_table(golden, os.path.join(out_dir, "golden_pairs.parquet"))
+
+
+def make_shifted_corpus(
+    n_pairs: int = 20, seed: int = 7
+) -> tuple[pa.Table, pa.Table]:
+    """Corpus of TIME-SHIFTED duplicate pairs (the re-broadcast / padded-
+    intro case the samplewise SNR gate rejects by design): member B is
+    member A front-padded with ``true_lag_ms`` of silence, same transcript.
+    Every third pair is ulaw-encoded (lossy round-trip) so alignment is
+    exercised off the exact-bytes path.  Also plants same-transcript
+    INDEPENDENT-signal distractor pairs (``true_lag_ms`` = -1 in the truth
+    table) that blocking must propose and alignment must reject.
+
+    Returns ``(clips, pairs_truth)`` — truth rows are
+    (id_a, id_b, true_lag_ms)."""
+    b = CorpusBuilder(seed)
+    truth_pairs: list[dict] = []
+    for i in range(n_pairs):
+        tag = f"shift:{i}"
+        sr = 8000
+        rng = _rng_for("shiftfam:" + tag, seed)
+        n = int(rng.integers(6000, 12000))
+        pcm = _pcm(tag, seed, n, sr)
+        text = _transcript(tag, seed)
+        codec = "ulaw" if i % 3 == 2 else "pcm16"
+        # lag in whole milliseconds so true_lag_ms is exact at 8 kHz
+        lag_ms = int(rng.integers(50, 400))
+        shifted = np.concatenate(
+            [np.zeros(lag_ms * sr // 1000, np.float32), pcm])
+        a = b.add_row(pcm, sr, codec, text, f"fam-shift-{i}")
+        bb = b.add_row(shifted, sr, codec, text, f"fam-shift-{i}")
+        truth_pairs.append({"id_a": a, "id_b": bb, "true_lag_ms": lag_ms})
+    for i in range(max(1, n_pairs // 2)):
+        tag = f"shiftneg:{i}"
+        sr = 8000
+        rng = _rng_for("shiftneg:" + tag, seed)
+        n = int(rng.integers(6000, 12000))
+        text = _transcript(tag, seed)
+        a = b.add_row(_pcm(tag + ":a", seed, n, sr), sr, "pcm16", text, None)
+        bb = b.add_row(_pcm(tag + ":b", seed, n, sr), sr, "pcm16", text, None)
+        truth_pairs.append({"id_a": a, "id_b": bb, "true_lag_ms": -1})
+    clips, _, _ = b.tables()
+    return clips, pa.Table.from_pylist(truth_pairs)
