@@ -333,6 +333,34 @@ def _clips_align_offset(sf_dir: str) -> Any:
     return q_clips_align_offset(sf_dir)
 
 
+def _clips_vad_segments(sf_dir: str) -> Any:
+    """VAD speech segmentation over the synthetic corpus (rows-only: real
+    PCM decode + frame energy; closed-form boundary pins in
+    tests/test_audio_features.py)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_vad_segments
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    return (
+        clip_vad_segments(rd.from_arrow(clips))
+        .to_pandas().sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
+    )
+
+
+def _clips_shift_clusters(sf_dir: str) -> Any:
+    """Composed shift-dedup: alignment pass → align_ok edges → the engine's
+    distributed union-find (rows-only; planted-pair cluster exactness in
+    tests/test_audio_align.py)."""
+    from marc_record_merge_melindautils_ray.ops.audio_align import (
+        q_clips_shift_clusters,
+    )
+
+    return q_clips_shift_clusters(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline; driver checks rows >= 0 and a stable schema."""
     return _clips_dedup(SF_SMOKE)
@@ -495,6 +523,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-check for time-shifted duplicate pairs (rows-only: FFT kernel;
         # exact-lag recovery pinned in tests/test_audio_align.py)
         "clips_align_offset": _clips_align_offset,
+        # composed shift-dedup: alignment pass → union-find clusters
+        "clips_shift_clusters": _clips_shift_clusters,
+        # VAD: energy-threshold speech segmentation, 1→N expansion
+        "clips_vad_segments": _clips_vad_segments,
         # composed training-data dedup: exact → MinHash near → embedding
         # semantic, each tier pruning the next (non-SQL: tiers 2-3; planted-
         # family + chain-resolution exactness in tests/test_tiered.py)

@@ -221,3 +221,37 @@ def q_clips_align_offset(sf_dir: str) -> pd.DataFrame:
     clips, _ = make_shifted_corpus(max(10, n_li // 300), 7)
     out = align_candidate_pairs(rd.from_arrow(clips)).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def shift_clusters(clips: rd.Dataset, min_snr_db: float = 30.0,
+                   min_corr_permille: int = 500) -> rd.Dataset:
+    """Composed shift-dedup pipeline: alignment pass → keep ``align_ok``
+    pairs → distributed union-find → (clip_id, cluster_id) assignments.
+    The duplicate class the flagship engine's samplewise invariant rejects
+    by construction, clustered with the engine's own CC machinery."""
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.stages.cluster import connected_components
+
+    aligned = align_candidate_pairs(
+        clips, min_snr_db=min_snr_db, min_corr_permille=min_corr_permille)
+    edges = aligned.map_batches(
+        lambda d: d.loc[d["align_ok"], ["id_a", "id_b"]],
+        batch_format="pandas",
+    )
+    return connected_components(edges, DedupConfig())
+
+
+def q_clips_shift_clusters(sf_dir: str) -> pd.DataFrame:
+    """Query entry: cluster the shifted-duplicate corpus.  Rows-only; planted
+    pairs must land in one cluster each, distractors in none."""
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.sources.synth import make_shifted_corpus
+
+    try:
+        n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    except Exception:
+        n_li = 6000
+    clips, _ = make_shifted_corpus(max(10, n_li // 300), 7)
+    out = shift_clusters(rd.from_arrow(clips)).to_pandas()
+    return out.sort_values("clip_id").reset_index(drop=True)

@@ -220,3 +220,96 @@ def clip_speaking_rate(clips: rd.Dataset, too_slow_milli: int = 1_000,
     return clips.select_columns(["clip_id", "dur_ms", "transcript"]).map_batches(
         kern, batch_format="pyarrow"
     )
+
+
+# ----------------------------------------------------------------- VAD
+def vad_segments_row(pcm: np.ndarray, sr_hz: int, frame_ms: int = 20,
+                     thresh: float = SILENCE_THRESH, bridge_frames: int = 2,
+                     min_frames: int = 3) -> list[tuple[int, int, int]]:
+    """Energy-threshold voice-activity segments for one decoded clip:
+    (start_ms, end_ms, rms_milli) per active segment.
+
+    Frame RMS via one reshape (tail zero-padded), activity = RMS > thresh;
+    gaps of ≤ ``bridge_frames`` inactive frames between active runs are
+    bridged (speech pauses), then runs shorter than ``min_frames`` are
+    dropped (clicks).  All boundaries are exact frame multiples so tests
+    pin them closed-form."""
+    spf = max(1, sr_hz * frame_ms // 1000)
+    n = int(pcm.size)
+    if n == 0:
+        return []
+    nf = (n + spf - 1) // spf
+    buf = np.zeros(nf * spf, np.float32)
+    buf[:n] = pcm
+    rms = np.sqrt(np.mean(buf.reshape(nf, spf).astype(np.float64) ** 2, axis=1))
+    active = rms > thresh
+    if not active.any():
+        return []
+    # bridge short inactive gaps BETWEEN active frames (not the edges)
+    idx = np.flatnonzero(active)
+    gaps = np.diff(idx) - 1
+    for g in np.flatnonzero((gaps > 0) & (gaps <= bridge_frames)):
+        active[idx[g] + 1:idx[g + 1]] = True
+    # run extraction
+    d = np.diff(np.r_[0, active.astype(np.int8), 0])
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)          # exclusive
+    out = []
+    for s, e in zip(starts, ends):
+        if e - s < min_frames:
+            continue
+        seg = buf[s * spf:min(e * spf, n)]
+        r = float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))) if len(seg) else 0.0
+        out.append((int(s * frame_ms),
+                    int(min(e * spf, n) * 1000 // sr_hz),
+                    int(round(r * 1000))))
+    return out
+
+
+def clip_vad_segments(clips: rd.Dataset, frame_ms: int = 20,
+                      thresh: float = SILENCE_THRESH, bridge_frames: int = 2,
+                      min_frames: int = 3, batch_size: int = 128) -> rd.Dataset:
+    """VAD segmentation: 1→N expansion of each clip into detected speech
+    segments (the ASR-corpus prep pass that splits long recordings on
+    silence).  Stateless task pool — decode per row, vectorized frame
+    energy, no shuffle; payload bytes never leave the stage.  Undecodable
+    clips emit one ``seg_idx=-1`` audit row instead of disappearing."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        seg_idx: list[int] = []
+        s_ms: list[int] = []
+        e_ms: list[int] = []
+        rms: list[int] = []
+        oks: list[bool] = []
+        for i in range(len(t)):
+            cid = t["clip_id"][i].as_py()
+            codec = t["codec"][i].as_py()
+            buf = t["bytes"][i]
+            sr = t["sr_hz"][i].as_py() or 8000
+            if not buf.is_valid or codec is None or not is_decodable(codec):
+                ids.append(cid); seg_idx.append(-1); s_ms.append(-1)
+                e_ms.append(-1); rms.append(0); oks.append(False)
+                continue
+            pcm = decode(buf.as_buffer(), codec)
+            segs = vad_segments_row(pcm, int(sr), frame_ms, thresh,
+                                    bridge_frames, min_frames)
+            if not segs:
+                ids.append(cid); seg_idx.append(-1); s_ms.append(-1)
+                e_ms.append(-1); rms.append(0); oks.append(True)
+                continue
+            for j, (s, e, r) in enumerate(segs):
+                ids.append(cid); seg_idx.append(j); s_ms.append(s)
+                e_ms.append(e); rms.append(r); oks.append(True)
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "seg_idx": pa.array(seg_idx, pa.int64()),
+            "start_ms": pa.array(s_ms, pa.int64()),
+            "end_ms": pa.array(e_ms, pa.int64()),
+            "rms_milli": pa.array(rms, pa.int64()),
+            "decode_ok": pa.array(oks, pa.bool_()),
+        })
+
+    return clips.select_columns(
+        ["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
+        kern, batch_format="pyarrow", batch_size=batch_size)

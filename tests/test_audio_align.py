@@ -97,3 +97,20 @@ def test_align_hub_guard_raises(ray_session):
     clips, _, _ = b.tables()
     with pytest.raises(Exception, match="hub_guard"):
         align_candidate_pairs(rd.from_arrow(clips), hub_guard=5).to_pandas()
+
+
+def test_shift_clusters_end_to_end(ray_session):
+    """Each planted shifted pair lands in exactly one 2-member cluster;
+    distractor rows cluster with nobody."""
+    from marc_record_merge_melindautils_ray.ops.audio_align import shift_clusters
+    from marc_record_merge_melindautils_ray.sources.synth import make_shifted_corpus
+
+    clips, truth = make_shifted_corpus(10, 7)
+    asg = shift_clusters(rd.from_arrow(clips)).to_pandas()
+    t = truth.to_pandas()
+    pos = t[t["true_lag_ms"] >= 0]
+    lbl = asg.set_index("clip_id")["cluster_id"]
+    assert set(asg["clip_id"]) == set(pos["id_a"]) | set(pos["id_b"])
+    for _, r in pos.iterrows():
+        assert lbl[r["id_a"]] == lbl[r["id_b"]]
+    assert asg["cluster_id"].nunique() == len(pos)

@@ -119,3 +119,49 @@ def test_clip_speaking_rate_flags(ray_session):
     out2 = (clip_speaking_rate(rd.from_arrow(t2))
             .to_pandas().set_index("clip_id"))
     assert out2.loc["fast", "rate_flag"] == "too_fast"
+
+
+# ------------------------------------------------------------------- VAD
+def test_vad_closed_form_boundaries():
+    """silence|tone|silence|tone layout → exact frame-multiple boundaries;
+    the inner short gap bridges, the isolated click drops."""
+    import numpy as np
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import vad_segments_row
+
+    sr, f = 8000, 20          # 160 samples per frame
+    spf = sr * f // 1000
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(spf * 10) / sr).astype(np.float32)
+    z = np.zeros(spf * 5, np.float32)
+    # [5 silent][10 tone][2 silent (bridged)][10 tone][5 silent][1 tone (click)]
+    pcm = np.concatenate([z, tone, np.zeros(spf * 2, np.float32), tone, z,
+                          tone[:spf]])
+    segs = vad_segments_row(pcm, sr, frame_ms=f)
+    # one merged segment: frames 5..27 → 100 ms .. 540 ms
+    assert segs == [(100, 540, segs[0][2])]
+    assert segs[0][2] > 0
+    # without bridging: two segments, click still dropped
+    segs2 = vad_segments_row(pcm, sr, frame_ms=f, bridge_frames=0)
+    assert [(s, e) for s, e, _ in segs2] == [(100, 300), (340, 540)]
+    # all-silence clip: no segments
+    assert vad_segments_row(np.zeros(spf * 8, np.float32), sr) == []
+
+
+def test_vad_dataset_stage(ray_session):
+    """Corpus run: every decodable clip yields ≥1 segment row or a seg_idx=-1
+    audit row; undecodable codecs flag decode_ok=False; start<end on real
+    segments."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_vad_segments
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, _, _ = make_corpus(5, 10, 42)
+    out = clip_vad_segments(rd.from_arrow(clips)).to_pandas()
+    assert set(out["clip_id"]) == set(clips["clip_id"].to_pylist())
+    real = out[out["seg_idx"] >= 0]
+    assert len(real) > 0
+    assert (real["start_ms"] < real["end_ms"]).all()
+    assert real["decode_ok"].all()
+    bad = out[~out["decode_ok"]]
+    assert (bad["seg_idx"] == -1).all()
