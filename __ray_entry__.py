@@ -474,6 +474,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": stats.q_retention_cohorts,
         # exact-integer 3σ outliers: (n·c−S)² > 9·(n·Q−S²) — no float hash
         "value_outliers": stats.q_value_outliers,
+        # exact-integer robust dispersion: 2×median + 4×MAD per group
+        "group_mad": stats.q_group_mad,
+        # zlib compressibility quality signal (rows-only: no SQL zlib)
+        "compression_ratio": text_analysis.q_compression_ratio,
         # declarative data-quality expectations (ingest gate)
         "expectations_check": stats.q_expectations_check,
         # degree-ordered triangle count over the user co-activity graph
@@ -1490,6 +1494,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, alpha_permille FROM q
             WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
             ORDER BY doc_id
+        """,
+        "group_mad": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 100, 0) AS BIGINT) AS vc
+              FROM events),
+            m AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(2 * median(vc), 0) AS BIGINT) AS med_c_x2
+              FROM v GROUP BY 1),
+            d AS (
+              SELECT v.event_type, abs(2 * v.vc - m.med_c_x2) AS dev
+              FROM v JOIN m ON v.event_type = m.event_type)
+            SELECT m.event_type, m.n, m.med_c_x2,
+                   CAST(round(2 * median(d.dev), 0) AS BIGINT) AS mad_c_x4
+            FROM d JOIN m ON d.event_type = m.event_type
+            GROUP BY 1, 2, 3 ORDER BY 1
         """,
         "pii_redact": """
             SELECT event_id,

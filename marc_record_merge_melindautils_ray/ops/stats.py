@@ -510,3 +510,48 @@ def q_expectations_check(sf_dir: str) -> pd.DataFrame:
            .groupby("rule", as_index=False)["violations"].sum())
     out["violations"] = out["violations"].astype(np.int64)
     return out.sort_values("rule").reset_index(drop=True)
+
+
+def q_group_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust dispersion per event type: exact median and median-absolute-
+    deviation, in EXACT integers — 2·median of n sorted integers is
+    v[(n−1)//2] + v[n//2] (integer whether n is odd or even), so the table
+    carries ``med_c_x2`` (2×median, cents) and ``mad_c_x4`` (4×MAD: devs are
+    |2v−med_x2| in half-cent×2 units, doubled again by the outer median) and
+    hash-compares with DuckDB's interpolated median bit-for-bit.  One
+    event_type-hash exchange; both medians are one vectorized sort per
+    group."""
+    from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"]).astype(object)
+        part = (stable_str_hash(et) % np.uint64(nparts)).astype(np.int64)
+        vc = np.round(np.asarray(t["value"], np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "vc": pa.array(vc, pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in g.groupby("event_type"):
+            v = np.sort(sub["vc"].to_numpy(np.int64))
+            n = len(v)
+            med_x2 = int(v[(n - 1) // 2] + v[n // 2])
+            dev = np.sort(np.abs(2 * v - med_x2))
+            mad_x4 = int(dev[(n - 1) // 2] + dev[n // 2])
+            rows.append((et, n, med_x2, mad_x4))
+        return pd.DataFrame(rows, columns=["event_type", "n", "med_c_x2",
+                                           "mad_c_x4"]).astype(
+            {"n": np.int64, "med_c_x2": np.int64, "mad_c_x4": np.int64})
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

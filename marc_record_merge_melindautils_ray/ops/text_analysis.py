@@ -699,3 +699,30 @@ def q_bm25_top(sf_dir: str, terms: tuple = BM25_TERMS, k: int = 20) -> pd.DataFr
         parts.sort_values(["score", "doc_id"], ascending=[False, True])
         .head(k).reset_index(drop=True)
     )
+
+
+def q_compression_ratio(sf_dir: str) -> rd.Dataset:
+    """Gopher-style compressibility quality signal: per-document zlib
+    (level 6) compressed length and permille ratio — highly repetitive
+    (boilerplate/spam) documents compress far below prose.  Row-local, zero
+    shuffle; the zlib call is per doc (C speed) but every derived column is
+    integer so reruns hash-compare.  Rows-only (no SQL zlib); pinned to a
+    direct computation in tests."""
+    import zlib
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        raw = texts.str.len().astype(np.int64)
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), 6)) for t in texts),
+            np.int64, count=len(texts))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "raw_len": raw,
+            "zlib_len": comp,
+            "compress_permille": np.where(
+                raw > 0, 1000 * comp // np.maximum(raw, 1), 0
+            ).astype(np.int64),
+        })
+
+    return _docs(sf_dir).map_batches(kern, batch_format="pandas")

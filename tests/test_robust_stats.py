@@ -1,0 +1,54 @@
+"""Exact-integer MAD (odd/even-count pins) and zlib compressibility signal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_group_mad_constructed(ray_session, tmp_path):
+    """Even-count group hits the interpolated (x.5) median on BOTH levels;
+    odd-count group stays integral — both exact in the x2/x4 encoding."""
+    from marc_record_merge_melindautils_ray.ops.stats import q_group_mad
+
+    df = pd.DataFrame({
+        "event_id": np.arange(9, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-01"),
+        "user_id": np.int64(1),
+        "event_type": ["a"] * 4 + ["b"] * 5,
+        "value": [1.00, 2.00, 4.00, 10.00,      # even: med 3.0, devs |v-3|
+                  1.00, 2.00, 3.00, 8.00, 9.00],  # odd: med 3, devs 2,1,0,5,6
+        "props": "{}",
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_group_mad(str(tmp_path)).set_index("event_type")
+    # a: vc=[100,200,400,1000] → med_x2=600; devs|2v-600|=[400,200,200,1400]
+    #    sorted [200,200,400,1400] → mad_x4 = 200+400 = 600 → MAD=1.50
+    assert got.loc["a"].tolist() == [4, 600, 600]
+    # b: med_x2 = 2·300 = 600; devs=[400,200,0,1000,1200] sorted → mid 400
+    #    mad_x4 = 400+400 = 800 → MAD = 2.00
+    assert got.loc["b"].tolist() == [5, 600, 800]
+
+
+def test_compression_ratio(ray_session, tmp_path):
+    """Repetitive text compresses far below random-ish prose; lengths match
+    a direct zlib computation exactly; empty doc yields the zero row."""
+    import zlib
+
+    from marc_record_merge_melindautils_ray.ops.text_analysis import (
+        q_compression_ratio,
+    )
+
+    texts = ["spam " * 200, "the quick brown fox jumps over the lazy dog "
+             "while mixed entropy words pile up here", ""]
+    pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], np.int64),
+        "text": texts, "lang": "en", "source": "s", "n_chars": np.int64(1),
+    }).to_parquet(tmp_path / "documents.parquet")
+    got = (q_compression_ratio(str(tmp_path)).to_pandas()
+           .set_index("doc_id"))
+    for i, t in enumerate(texts, 1):
+        assert got.loc[i, "raw_len"] == len(t)
+        assert got.loc[i, "zlib_len"] == len(zlib.compress(t.encode(), 6))
+    assert got.loc[1, "compress_permille"] < 100      # boilerplate
+    assert got.loc[2, "compress_permille"] > 500      # prose
+    assert got.loc[3].tolist() == [0, len(zlib.compress(b"", 6)), 0]
