@@ -3,11 +3,15 @@
 The pipeline's final tables are written as hash-bucketed parquet directories
 (``<out>/<table>/bucket=NN/part-*.parquet``) — never one giant file — with a
 per-table ``_SUCCESS`` marker written only after every bucket landed.  A
-re-run skips tables whose marker exists, so a failed multi-table export
-resumes at the first incomplete table; per-stage mid-pipeline resume is the
-Checkpointer's job (``state/checkpoint.py``), this covers the user-facing
-export.  Bucket count is the re-read parallelism knob (one key range per
-bucket; downstream consumers can process buckets independently).
+re-run skips tables whose marker exists, and WITHIN an incomplete table it
+skips finished buckets: each bucket directory carries its own
+``_BUCKET_SUCCESS`` marker, a crashed attempt's unmarked (possibly
+half-written) bucket dirs are deleted, and only the missing buckets' rows
+are re-filtered and re-written — finished partitions are never touched or
+re-shipped.  Per-stage mid-pipeline resume is the Checkpointer's job
+(``state/checkpoint.py``), this covers the user-facing export.  Bucket
+count is the re-read parallelism knob (one key range per bucket; downstream
+consumers can process buckets independently).
 """
 
 from __future__ import annotations
@@ -48,9 +52,7 @@ def write_table(
     marker = os.path.join(target, "_SUCCESS")
     if os.path.exists(marker):
         return False
-    shutil.rmtree(target, ignore_errors=True)
     os.makedirs(target, exist_ok=True)
-    bucketed = ds.map_batches(_with_bucket(key_col, num_buckets), batch_format="pyarrow")
     use_lance = file_format == "lance" or (
         file_format == "auto" and hasattr(rd.Dataset, "write_lance")
         and _lance_available()
@@ -58,9 +60,54 @@ def write_table(
     if use_lance:
         # Lance handles its own fragmenting; the bucket column stays as the
         # key-range re-read/resume handle
+        shutil.rmtree(target, ignore_errors=True)
+        os.makedirs(target, exist_ok=True)
+        bucketed = ds.map_batches(_with_bucket(key_col, num_buckets),
+                                  batch_format="pyarrow")
         bucketed.write_lance(os.path.join(target, "data.lance"))
     else:
-        bucketed.write_parquet(target, partition_cols=["bucket"])
+        # BUCKET-granular resume: a bucket directory counts as complete only
+        # if its own _BUCKET_SUCCESS marker exists (written strictly after
+        # the write op returns).  A crashed attempt leaves unmarked bucket
+        # dirs — those are deleted (half-written files must not accumulate
+        # alongside the rewrite) and ONLY the missing buckets' rows are
+        # re-filtered and re-written; finished buckets are never touched or
+        # re-shipped.
+        done = {
+            b for b in range(num_buckets)
+            if os.path.exists(os.path.join(
+                target, f"bucket={b}", "_BUCKET_SUCCESS"))
+        }
+        for entry in os.listdir(target):
+            p = os.path.join(target, entry)
+            if entry.startswith("bucket=") and os.path.isdir(p):
+                try:
+                    b = int(entry.split("=", 1)[1])
+                except ValueError:
+                    b = -1
+                if b not in done:
+                    shutil.rmtree(p, ignore_errors=True)
+        missing = sorted(set(range(num_buckets)) - done)
+        if missing:
+            bucketed = ds.map_batches(_with_bucket(key_col, num_buckets),
+                                      batch_format="pyarrow")
+            if done:  # resume: ship only the incomplete buckets' rows
+                miss_arr = np.array(missing, np.int64)
+                bucketed = bucketed.map_batches(
+                    lambda t, _m=miss_arr: t.filter(
+                        np.isin(np.asarray(t["bucket"], np.int64), _m)),
+                    batch_format="pyarrow",
+                )
+            bucketed.write_parquet(target, partition_cols=["bucket"])
+            for b in missing:
+                # a bucket with zero rows writes no dir — create it so the
+                # marker (and the resume contract) is uniform
+                bdir = os.path.join(target, f"bucket={b}")
+                os.makedirs(bdir, exist_ok=True)
+                with open(os.path.join(bdir, "_BUCKET_SUCCESS"), "w") as f:
+                    f.write("complete\n")
+                    f.flush()
+                    os.fsync(f.fileno())
     with open(marker, "w") as f:
         f.write("complete\n")
         f.flush()

@@ -66,3 +66,54 @@ def test_cli_end_to_end(tmp_path):
     assert res["assignments"] > 0 and res["clusters"] > 0
     assert (out_dir / "assignments" / "_SUCCESS").exists()
     assert (out_dir / "canonical" / "_SUCCESS").exists()
+
+
+def test_bucket_granular_resume(ray_session, tmp_path):
+    """Crash simulation: table marker missing, one bucket unmarked and one
+    bucket dir gone → resume rewrites ONLY those two; completed buckets'
+    files are bit-untouched (same inode+mtime) and the re-read equals the
+    full dataset exactly once."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.pipelines.io import write_table
+
+    df = pd.DataFrame({
+        "k": [f"id{i:04d}" for i in range(500)],
+        "v": np.arange(500, dtype=np.int64),
+    })
+    root = tmp_path / "t"
+    assert write_table(rd.from_pandas(df), str(root), "k", num_buckets=8)
+
+    def bucket_files(b):
+        d = root / f"bucket={b}"
+        return sorted(p for p in os.listdir(d) if p.endswith(".parquet"))
+
+    # record inode+mtime of a bucket that will stay complete
+    keep = [(f, os.stat(root / "bucket=3" / f).st_ino,
+             os.stat(root / "bucket=3" / f).st_mtime_ns)
+            for f in bucket_files(3)]
+
+    # simulate the crash
+    os.remove(root / "_SUCCESS")
+    os.remove(root / "bucket=5" / "_BUCKET_SUCCESS")   # half-written bucket
+    import shutil
+    shutil.rmtree(root / "bucket=6")                    # bucket never landed
+
+    assert write_table(rd.from_pandas(df), str(root), "k", num_buckets=8)
+    # untouched complete bucket: same files, same inodes, same mtimes
+    got = [(f, os.stat(root / "bucket=3" / f).st_ino,
+            os.stat(root / "bucket=3" / f).st_mtime_ns)
+           for f in bucket_files(3)]
+    assert got == keep
+    assert (root / "bucket=5" / "_BUCKET_SUCCESS").exists()
+    assert (root / "bucket=6" / "_BUCKET_SUCCESS").exists()
+    # exactly-once read-back
+    back = rd.read_parquet(str(root)).to_pandas()
+    assert sorted(back["k"]) == sorted(df["k"])
+    assert back["v"].sum() == df["v"].sum()
+    # idempotent skip once complete
+    assert not write_table(rd.from_pandas(df), str(root), "k", num_buckets=8)
