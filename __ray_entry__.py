@@ -476,6 +476,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": stats.q_value_outliers,
         # exact-integer robust dispersion: 2×median + 4×MAD per group
         "group_mad": stats.q_group_mad,
+        # per-group OLS as exact rationals (slope/intercept num + den)
+        "group_regression": stats.q_group_regression,
+        # self-evaluating Count-Min term-frequency sketch (rows-only:
+        # sketch estimates beside exact counts; bounds in tests)
+        "cms_term_counts": sketches.q_cms_term_counts,
         # zlib compressibility quality signal (rows-only: no SQL zlib)
         "compression_ratio": text_analysis.q_compression_ratio,
         # declarative data-quality expectations (ingest gate)
@@ -1494,6 +1499,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, alpha_permille FROM q
             WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
             ORDER BY doc_id
+        """,
+        "group_regression": """
+            WITH t0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+            v AS (
+              SELECT event_type,
+                     CAST(date_diff('day', t0.d0, date_trunc('day', ts))
+                         AS BIGINT) AS x,
+                     CAST(round(value * 100, 0) AS BIGINT) AS y
+              FROM events, t0),
+            s AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM v GROUP BY 1)
+            SELECT event_type, n,
+                   n * sxy - sx * sy AS slope_num,
+                   n * sxx - sx * sx AS den,
+                   sy * sxx - sx * sxy AS icept_num
+            FROM s ORDER BY 1
         """,
         "group_mad": """
             WITH v AS (

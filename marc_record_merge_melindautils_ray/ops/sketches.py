@@ -326,3 +326,77 @@ def q_heavy_hitters(sf_dir: str, k: int = 20, s: int = MG_SUMMARY_SIZE) -> pd.Da
     from marc_record_merge_melindautils_ray.ops.text_analysis import q_top_terms
 
     return q_top_terms(sf_dir, k=k)
+
+
+# -------------------------------------------------------------- Count-Min
+CMS_D, CMS_W = 4, 2048  # 4 rows × 2048 cols → ε = e/w ≈ 0.13 %, 64 KB int64
+
+
+def _cms_partial(keys: np.ndarray, weights: np.ndarray,
+                 d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """Weighted Count-Min partial for one batch: d independent hash rows,
+    one np.add.at scatter per row — vectorized over the batch's distinct
+    keys (callers pre-count, so ``weights`` carries multiplicity)."""
+    from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
+
+    cms = np.zeros((d, w), np.int64)
+    if len(keys) == 0:
+        return cms
+    kh = stable_str_hash(keys.astype(object))
+    for j in range(d):
+        hj = splitmix64(kh ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF))
+        np.add.at(cms[j], (hj % np.uint64(w)).astype(np.int64), weights)
+    return cms
+
+
+def cms_query(cms: np.ndarray, keys: np.ndarray, w: int = CMS_W) -> np.ndarray:
+    """Point estimates: min over the d rows (classic CM guarantee:
+    estimate ≥ true, overshoot ≤ ε·N with high probability)."""
+    from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
+
+    kh = stable_str_hash(np.asarray(keys, dtype=object))
+    est = np.full(len(keys), np.iinfo(np.int64).max, np.int64)
+    for j in range(cms.shape[0]):
+        hj = splitmix64(kh ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF))
+        est = np.minimum(est, cms[j][(hj % np.uint64(w)).astype(np.int64)])
+    return est
+
+
+def count_min_terms(ds: rd.Dataset, col: str = "text") -> np.ndarray:
+    """Corpus-wide term-frequency Count-Min: per-batch value_counts feed the
+    weighted partial (one 64 KB blob per batch shuffles — cardinality-
+    independent, the HLL layout), folded on the driver in O(batches)."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        words = df[col].fillna("").str.strip().str.lower().str.split()
+        vc = words.explode().dropna().value_counts()
+        cms = _cms_partial(vc.index.to_numpy(), vc.to_numpy().astype(np.int64))
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary())})
+
+    total = np.zeros((CMS_D, CMS_W), np.int64)
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_size=256, batch_format="pyarrow"
+    ):
+        for blob in b["cms"]:
+            total += np.frombuffer(blob.as_py(), np.int64).reshape(CMS_D, CMS_W)
+    return total
+
+
+def q_cms_term_counts(sf_dir: str, k: int = 15) -> pd.DataFrame:
+    """Self-evaluating Count-Min report: estimate the corpus's top-k term
+    frequencies from the sketch and carry the exact counts beside them, so
+    every run exposes its own overestimate (the ann_recall pattern).  The
+    exact side reuses the wordcount combiner; the sketch side never
+    shuffles term strings at all."""
+    from marc_record_merge_melindautils_ray.ops.text_analysis import q_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cms = count_min_terms(docs)
+    top = q_top_terms(sf_dir, k=k)
+    est = cms_query(cms, top["term"].to_numpy())
+    return pd.DataFrame({
+        "term": top["term"],
+        "true_n": top["n"].astype(np.int64),
+        "est_n": est,
+        "overshoot": (est - top["n"].to_numpy()).astype(np.int64),
+    })

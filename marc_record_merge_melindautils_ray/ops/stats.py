@@ -555,3 +555,46 @@ def q_group_mad(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_group_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-group ordinary least squares as EXACT RATIONALS: regress value
+    (cents) on days-since-corpus-start per event type, emitting the slope
+    and intercept as (numerator, shared denominator) BIGINT columns —
+    slope = slope_num/den, intercept = icept_num/den — so no division ever
+    happens and the oracle hash-compares bit-for-bit (DuckDB's regr_slope
+    would be float).  Day-grain x keeps every cross-sum inside int64 at any
+    sf.  One combiner pass (per-batch 5-sum partials per group) + one tiny
+    groupby; the global min-ts scalar is one metadata-cheap pre-pass."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    t0 = np.datetime64(ds.min("ts"), "us").astype("datetime64[D]")
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        x = (np.asarray(t["ts"]).astype("datetime64[D]") - t0).astype(np.int64)
+        y = np.round(np.asarray(t["value"], np.float64) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": np.asarray(t["event_type"]).astype(object),
+            "n": np.int64(1), "sx": x, "sy": y,
+            "sxx": x * x, "sxy": x * y,
+        })
+        return df.groupby("event_type", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type").sum(["n", "sx", "sy", "sxx", "sxy"])
+        .to_pandas()
+    )
+    agg.columns = ["event_type", "n", "sx", "sy", "sxx", "sxy"]
+    n = agg["n"].astype(np.int64)
+    sx, sy = agg["sx"].astype(np.int64), agg["sy"].astype(np.int64)
+    sxx, sxy = agg["sxx"].astype(np.int64), agg["sxy"].astype(np.int64)
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": n,
+        "slope_num": n * sxy - sx * sy,
+        "den": n * sxx - sx * sx,
+        "icept_num": sy * sxx - sx * sxy,
+    })
+    for c in ("slope_num", "den", "icept_num"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
