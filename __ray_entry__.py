@@ -437,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_orders": relational.q_cume_dist_orders,
         "daily_active_users": relational.q_daily_active_users,
         "full_outer_daily": relational.q_full_outer_daily,
+        # CDC MERGE INTO: co-partitioned update/delete/insert apply
+        "upsert_merge": relational.q_upsert_merge,
         "lead_lag_events": relational.q_lead_lag_events,
         # grouped mergeable sketch: approx distinct users per event type
         # (non-SQL fold; ≤5% accuracy + block-layout invariance in
@@ -1308,6 +1310,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.sum_qty_c, 0) AS sum_qty_c
             FROM o FULL OUTER JOIN s ON o.day = s.day
             ORDER BY 1
+        """,
+        "upsert_merge": """
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+                     o_custkey AS ck
+              FROM orders),
+            delta AS (
+              SELECT k, 'U' AS op, price_c + 100000 AS price_c
+              FROM base WHERE ck % 10 = 7 AND k % 3 = 0
+              UNION ALL
+              SELECT k, 'D', 0 FROM base WHERE ck % 10 = 7 AND k % 3 = 1
+              UNION ALL
+              SELECT k + 10000000, 'I', price_c
+              FROM base WHERE ck % 10 = 7 AND k % 3 = 2)
+            SELECT b.k AS orderkey,
+                   CASE WHEN d.op = 'U' THEN d.price_c
+                        ELSE b.price_c END AS price_c,
+                   coalesce(d.op, '=') AS op
+            FROM base b LEFT JOIN delta d ON b.k = d.k
+            WHERE d.op IS DISTINCT FROM 'D'
+            UNION ALL
+            SELECT k AS orderkey, price_c, 'I' AS op FROM delta WHERE op = 'I'
+            ORDER BY orderkey
         """,
         "lead_lag_events": """
             SELECT event_id, user_id,

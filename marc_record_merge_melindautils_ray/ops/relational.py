@@ -2646,3 +2646,76 @@ def q_lead_lag_events(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- CDC upsert
+def q_upsert_merge(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO (CDC upsert): apply a delta stream of update/delete/insert
+    ops to the orders base table — the lakehouse ingest shape.  The delta is
+    derived deterministically from the base (custkey%10==7 rows split by
+    orderkey%3 into U/D/I) so both engines construct the identical stream
+    with no side files.
+
+    Plan: base and delta rows are tagged and co-partitioned on ONE key-hash
+    exchange; each partition applies its ops vectorized (a sorted searchsorted
+    membership per op class — no per-row Python, no join operator).  Updates
+    on missing keys and deletes of missing keys are defined no-ops; inserts
+    always append."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+    from marc_record_merge_melindautils_ray.stages.cluster import adaptive_parts
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    nparts = adaptive_parts(ds.count())
+
+    def tag_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.asarray(t["o_orderkey"], np.int64)
+        ck = np.asarray(t["o_custkey"], np.int64)
+        pc = _cents(np.asarray(t["o_totalprice"], np.float64))
+        base = pd.DataFrame({"k": k, "price_c": pc, "src": "B"})
+        m = ck % 10 == 7
+        ku, kd, ki = k[m & (k % 3 == 0)], k[m & (k % 3 == 1)], k[m & (k % 3 == 2)]
+        delta = pd.DataFrame({
+            "k": np.r_[ku, kd, ki + 10_000_000],
+            "price_c": np.r_[pc[m & (k % 3 == 0)] + 100_000,
+                             np.zeros(len(kd), np.int64),
+                             pc[m & (k % 3 == 2)]],
+            "src": np.r_[np.full(len(ku), "U"), np.full(len(kd), "D"),
+                         np.full(len(ki), "I")],
+        })
+        out = pd.concat([base, delta], ignore_index=True)
+        out["part"] = (splitmix64(out["k"].to_numpy(np.int64).view(np.uint64))
+                       % np.uint64(nparts)).astype(np.int64)
+        return out
+
+    def apply_ops(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["src"] == "B"]
+        keys = b["k"].to_numpy(np.int64)
+        price = b["price_c"].to_numpy(np.int64).copy()
+        op = np.full(len(b), "=", object)
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        for code in ("U", "D"):
+            d = g[g["src"] == code]
+            pos = np.searchsorted(skeys, d["k"].to_numpy(np.int64))
+            hit = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)]
+                                        == d["k"].to_numpy(np.int64))
+            rows = order[pos[hit]]
+            if code == "U":
+                price[rows] = d["price_c"].to_numpy(np.int64)[hit]
+                op[rows] = "U"
+            else:
+                op[rows] = "D"
+        keep = op != "D"
+        ins = g[g["src"] == "I"]
+        return pd.DataFrame({
+            "orderkey": np.r_[keys[keep], ins["k"].to_numpy(np.int64)],
+            "price_c": np.r_[price[keep], ins["price_c"].to_numpy(np.int64)],
+            "op": np.r_[op[keep], np.full(len(ins), "I", object)].astype(str),
+        })
+
+    out = (
+        ds.map_batches(tag_rows, batch_format="pyarrow")
+        .groupby("part").map_groups(apply_ops, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("orderkey").reset_index(drop=True)
