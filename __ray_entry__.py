@@ -483,6 +483,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-evaluating Count-Min term-frequency sketch (rows-only:
         # sketch estimates beside exact counts; bounds in tests)
         "cms_term_counts": sketches.q_cms_term_counts,
+        # KMV theta sketch: distinct + union + intersection estimates with
+        # exact truth beside them (rows-only; bounds in tests)
+        "kmv_user_overlap": sketches.q_kmv_user_overlap,
+        # per-vector int8 embedding quantization with per-row error audit
+        "embed_quantize": similarity.q_embed_quantize,
         # zlib compressibility quality signal (rows-only: no SQL zlib)
         "compression_ratio": text_analysis.q_compression_ratio,
         # declarative data-quality expectations (ingest gate)

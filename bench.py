@@ -52,11 +52,13 @@ def run_bench() -> dict:
 
     from marc_record_merge_melindautils_ray.config import DedupConfig
     from marc_record_merge_melindautils_ray.ops import (
+        audio_align,
         curation,
         dedup_text,
         editdist,
         relational,
         similarity,
+        stats,
         suffixarray,
         text_analysis,
         tiered,
@@ -113,6 +115,14 @@ def run_bench() -> dict:
         ("containment_pairs_sa", _containment_sa),
         ("curation_pipeline", curation.q_curation_pipeline),
         ("decontaminate", dedup_text.q_decontaminate),
+        # round-4-late additions: payload-axis alignment, retrieval prep,
+        # privacy scrub, CDC merge, robust stats
+        ("align_offset", audio_align.q_clips_align_offset),
+        ("bm25_top", text_analysis.q_bm25_top),
+        ("inverted_index", text_analysis.q_inverted_index),
+        ("pii_redact", text_analysis.q_pii_redact),
+        ("upsert_merge", relational.q_upsert_merge),
+        ("group_mad", stats.q_group_mad),
         # kmeans_embeddings / bpe_vocab stay OUT of the bench: at sf0.1
         # their wall is 10-16 iterations of fixed per-pass overhead over
         # tiny tables (no data-scaling signal); their cost/accuracy is

@@ -400,3 +400,102 @@ def q_cms_term_counts(sf_dir: str, k: int = 15) -> pd.DataFrame:
         "est_n": est,
         "overshoot": (est - top["n"].to_numpy()).astype(np.int64),
     })
+
+
+# ------------------------------------------------------------------- KMV
+KMV_K = 1024  # k-minimum-values sketch: RSE ≈ 1/√(k−2) ≈ 3.1 %
+
+
+def _kmv_partial(keys: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """k smallest 64-bit key hashes of one batch (sorted uint64)."""
+    if len(keys) == 0:
+        return np.empty(0, np.uint64)
+    h = np.unique(splitmix64(np.asarray(keys, np.int64).view(np.uint64)))
+    return h[:k]
+
+
+def kmv_fold(parts: list[np.ndarray], k: int = KMV_K) -> np.ndarray:
+    """Merge partials: k smallest of the union — the mergeability that makes
+    KMV a distributed-aggregate sketch."""
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_estimate(sk: np.ndarray, k: int = KMV_K) -> int:
+    """Distinct-count estimate: (k−1)·2⁶⁴ / h_k; exact when the sketch never
+    filled (fewer than k distinct keys — the sketch IS the key set)."""
+    if len(sk) < k:
+        return int(len(sk))
+    return int((k - 1) * (2.0 ** 64) / float(sk[k - 1]))
+
+
+def kmv_set_ops(a: np.ndarray, b: np.ndarray, k: int = KMV_K) -> dict:
+    """Union / intersection estimates from two sketches: the merged sketch
+    estimates |A∪B|; Jaccard is estimated inside the merged k-min sample
+    (fraction of its values present in BOTH input sketches — each value is a
+    uniform hash, so the k-min set is a uniform sample of the union)."""
+    u = kmv_fold([a, b], k)
+    est_union = kmv_estimate(u, k)
+    if len(u) == 0:
+        return {"est_union": 0, "est_intersection": 0}
+    both = np.isin(u, a) & np.isin(u, b)
+    j = float(both.sum()) / float(len(u))
+    return {"est_union": est_union, "est_intersection": int(round(j * est_union))}
+
+
+def q_kmv_user_overlap(sf_dir: str) -> pd.DataFrame:
+    """Self-evaluating KMV report: distinct users in the first vs second
+    half of the event stream's time range, their union and overlap — all
+    estimated from two mergeable 8 KB sketches — with the EXACT counts
+    beside them (the ann_recall pattern).  Sketch partials are one row per
+    (half, batch); nothing user-cardinality-sized shuffles or lands on the
+    driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    lo = np.datetime64(ds.min("ts"), "us")
+    hi = np.datetime64(ds.max("ts"), "us")
+    mid = lo + (hi - lo) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]")
+        u = np.asarray(t["user_id"], np.int64)
+        rows, tags = [], []
+        for tag, mask in (("a", ts < mid), ("b", ts >= mid)):
+            sk = _kmv_partial(u[mask])
+            rows.append(sk.tobytes())
+            tags.append(tag)
+        return pa.table({"half": pa.array(tags, pa.string()),
+                         "kmv": pa.array(rows, pa.binary())})
+
+    parts: dict[str, list[np.ndarray]] = {"a": [], "b": []}
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=256, batch_format="pyarrow"
+    ):
+        for tag, blob in zip(batch["half"].to_pylist(), batch["kmv"]):
+            parts[tag].append(np.frombuffer(blob.as_py(), np.uint64))
+    ska, skb = kmv_fold(parts["a"]), kmv_fold(parts["b"])
+    ops = kmv_set_ops(ska, skb)
+
+    # exact truth for the self-report (two-level distinct, tiny rows)
+    def exact_pairs(t: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]")
+        return pd.DataFrame({
+            "user_id": np.asarray(t["user_id"], np.int64),
+            "half": np.where(ts < mid, "a", "b"),
+        }).drop_duplicates()
+
+    ex = (ds.map_batches(exact_pairs, batch_format="pyarrow")
+          .groupby(["user_id", "half"]).count().to_pandas())
+    na = int((ex["half"] == "a").sum())
+    nb = int((ex["half"] == "b").sum())
+    n_users = ex["user_id"].nunique()
+    return pd.DataFrame({
+        "est_a": [np.int64(kmv_estimate(ska))],
+        "est_b": [np.int64(kmv_estimate(skb))],
+        "est_union": [np.int64(ops["est_union"])],
+        "est_intersection": [np.int64(ops["est_intersection"])],
+        "true_a": [np.int64(na)],
+        "true_b": [np.int64(nb)],
+        "true_union": [np.int64(n_users)],
+        "true_intersection": [np.int64(na + nb - n_users)],
+    })

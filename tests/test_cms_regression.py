@@ -66,3 +66,65 @@ def test_group_regression_constructed(ray_session, tmp_path):
     assert lin["icept_num"] == 7 * lin["den"]
     flat = got.loc["flat"]
     assert flat["den"] == 0 and flat["slope_num"] == 0
+
+
+# -------------------------------------------------------------------- KMV
+def test_kmv_exact_under_k_and_estimate_over_k():
+    from marc_record_merge_melindautils_ray.ops.sketches import (
+        KMV_K,
+        _kmv_partial,
+        kmv_estimate,
+        kmv_fold,
+    )
+    import numpy as np
+
+    small = np.arange(100, dtype=np.int64)
+    assert kmv_estimate(_kmv_partial(small)) == 100     # sketch IS the set
+    big = np.arange(100_000, dtype=np.int64)
+    est = kmv_estimate(_kmv_partial(big))
+    assert abs(est - 100_000) < 100_000 * 0.10          # ~3σ of 3.1% RSE
+    # mergeability: fold of split partials == partial of the whole
+    a, b = big[:60_000], big[40_000:]                   # overlapping halves
+    assert (kmv_fold([_kmv_partial(a), _kmv_partial(b)])
+            == _kmv_partial(big)).all()
+
+
+def test_kmv_set_ops_accuracy():
+    from marc_record_merge_melindautils_ray.ops.sketches import (
+        _kmv_partial,
+        kmv_set_ops,
+    )
+    import numpy as np
+
+    a = np.arange(0, 50_000, dtype=np.int64)            # |A| = 50k
+    b = np.arange(30_000, 80_000, dtype=np.int64)       # |B| = 50k, ∩ = 20k
+    ops = kmv_set_ops(_kmv_partial(a), _kmv_partial(b))
+    assert abs(ops["est_union"] - 80_000) < 80_000 * 0.12
+    assert abs(ops["est_intersection"] - 20_000) < 20_000 * 0.30
+
+
+def test_kmv_query_self_report(ray_session):
+    from marc_record_merge_melindautils_ray.ops.sketches import q_kmv_user_overlap
+
+    out = q_kmv_user_overlap("/root/testdata/sf0.001").iloc[0]
+    # 15 users < k → every estimate is exact by construction
+    assert out["est_a"] == out["true_a"]
+    assert out["est_union"] == out["true_union"]
+    assert out["est_intersection"] == out["true_intersection"]
+    assert (out["true_a"] + out["true_b"]
+            == out["true_union"] + out["true_intersection"])
+
+
+def test_embed_quantize_bounds(ray_session):
+    import numpy as np
+
+    from marc_record_merge_melindautils_ray.ops.similarity import q_embed_quantize
+
+    out = q_embed_quantize("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    codes = np.stack(out["codes"].to_numpy())
+    assert codes.dtype == np.int8
+    assert np.abs(codes).max() <= 127
+    # symmetric-quantization error bound: ≤ scale/2 + micro rounding slack
+    assert (out["max_err_micro"] <= out["scale_micro"] // 2 + 2).all()
+    assert (out["scale_micro"] > 0).all()
