@@ -480,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mad": stats.q_group_mad,
         # per-group OLS as exact rationals (slope/intercept num + den)
         "group_regression": stats.q_group_regression,
+        # key-skew profiler: exact Gini + hottest-key share of group sizes
+        "key_skew": stats.q_key_skew,
         # self-evaluating Count-Min term-frequency sketch (rows-only:
         # sketch estimates beside exact counts; bounds in tests)
         "cms_term_counts": sketches.q_cms_term_counts,
@@ -1530,6 +1532,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, alpha_permille FROM q
             WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
             ORDER BY doc_id
+        """,
+        "key_skew": """
+            WITH c AS (
+              SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1),
+            r AS (
+              SELECT n,
+                     row_number() OVER (ORDER BY n, k) AS i,
+                     count(*) OVER () AS cnt,
+                     sum(n) OVER () AS tot
+              FROM c)
+            SELECT CAST(max(cnt) AS BIGINT) AS n_keys,
+                   CAST(max(tot) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_n,
+                   CAST(1000 * max(n) // greatest(max(tot), 1) AS BIGINT)
+                     AS top1_share_permille,
+                   CAST(2 * sum(i * n) - (max(cnt) + 1) * max(tot) AS BIGINT)
+                     AS gini_num,
+                   CAST(max(cnt) * max(tot) AS BIGINT) AS gini_den
+            FROM r
         """,
         "group_regression": """
             WITH t0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),

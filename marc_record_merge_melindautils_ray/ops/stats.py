@@ -598,3 +598,53 @@ def q_group_regression(sf_dir: str) -> pd.DataFrame:
     for c in ("slope_num", "den", "icept_num"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_key_skew(sf_dir: str) -> pd.DataFrame:
+    """Key-distribution skew profiler over orders.o_custkey — the diagnostic
+    the north rule's "skew handled explicitly" story runs BEFORE choosing a
+    salting strategy.  Exact integers: key count, row count, max group size,
+    hottest-key share (permille), and the Gini coefficient of group sizes as
+    a rational (gini_num/gini_den, from the sorted-rank identity
+    Σᵢ(2i−n−1)·xᵢ) — no float anywhere, so the oracle hash-compares.
+
+    Plan: one groupby(key).count() (the only data-sized exchange) → sizes
+    sort by (n, key) → a STREAMING driver fold over the sorted size table
+    (O(1) driver state; the stream is O(distinct keys), already reduced from
+    O(rows) — documented profiler trade; scale path: block-offset rank
+    partials)."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    counts = (
+        ds.map_batches(
+            lambda t: pd.DataFrame({"k": np.asarray(t["o_custkey"], np.int64),
+                                    "one": np.int64(1)})
+            .groupby("k", as_index=False).sum(),
+            batch_format="pyarrow")
+        .groupby("k").sum("one")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["k"], "n": t["sum(one)"]})
+
+    sized = counts.map_batches(rename, batch_format="pyarrow").sort(["n", "k"])
+    n_keys = 0
+    n_rows = 0
+    max_n = 0
+    rank_sum = 0  # Σ i·xᵢ with 1-based rank i in (n, k) order
+    for b in sized.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        x = np.asarray(b["n"], np.int64)
+        i = np.arange(n_keys + 1, n_keys + len(x) + 1, dtype=np.int64)
+        rank_sum += int((i * x).sum())
+        n_keys += len(x)
+        n_rows += int(x.sum())
+        if len(x):
+            max_n = max(max_n, int(x.max()))
+    gini_num = 2 * rank_sum - (n_keys + 1) * n_rows
+    return pd.DataFrame({
+        "n_keys": [np.int64(n_keys)],
+        "n_rows": [np.int64(n_rows)],
+        "max_n": [np.int64(max_n)],
+        "top1_share_permille": [np.int64(1000 * max_n // max(n_rows, 1))],
+        "gini_num": [np.int64(gini_num)],
+        "gini_den": [np.int64(n_keys * n_rows)],
+    })

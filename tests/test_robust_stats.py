@@ -52,3 +52,23 @@ def test_compression_ratio(ray_session, tmp_path):
     assert got.loc[1, "compress_permille"] < 100      # boilerplate
     assert got.loc[2, "compress_permille"] > 500      # prose
     assert got.loc[3].tolist() == [0, len(zlib.compress(b"", 6)), 0]
+
+
+def test_key_skew_constructed(ray_session, tmp_path):
+    """Hand-computed Gini on a 3-key distribution (sizes 1,1,4): Gini =
+    Σ(2i−n−1)x / (n·Σx) = (−2·1 + 0·1 + 2·4)/(3·6) = 6/18 = 1/3."""
+    from marc_record_merge_melindautils_ray.ops.stats import q_key_skew
+
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(6, dtype=np.int64),
+        "o_custkey": np.array([1, 2, 3, 3, 3, 3], np.int64),
+        "o_orderstatus": "F",
+        "o_totalprice": 1.0,
+        "o_orderdate": pd.Timestamp("1995-01-01"),
+        "o_orderpriority": "1-URGENT",
+    })
+    df.to_parquet(tmp_path / "orders.parquet")
+    got = q_key_skew(str(tmp_path)).iloc[0]
+    assert got.tolist() == [3, 6, 4, 666, 6, 18]
+    # sanity: gini_num/gini_den == 1/3
+    assert got["gini_num"] * 3 == got["gini_den"]
