@@ -490,6 +490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_user_overlap": sketches.q_kmv_user_overlap,
         # per-vector int8 embedding quantization with per-row error audit
         "embed_quantize": similarity.q_embed_quantize,
+        # MMR diverse rerank over the distributed top-m candidate fetch
+        "mmr_rerank": similarity.q_mmr_rerank,
         # zlib compressibility quality signal (rows-only: no SQL zlib)
         "compression_ratio": text_analysis.q_compression_ratio,
         # declarative data-quality expectations (ingest gate)

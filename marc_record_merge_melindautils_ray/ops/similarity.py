@@ -934,3 +934,78 @@ def q_embed_quantize(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(kern, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ MMR
+def q_mmr_rerank(sf_dir: str, k: int = 10, m: int = 50,
+                 lam_permille: int = 500) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k (the retrieval reranker):
+    distributed brute-force top-m candidate fetch per query (per-block local
+    top-m with sims AND vectors — m·dim floats per block, tiny), then the
+    O(m·k) greedy MMR selection on the driver over the merged candidate set.
+    Relevance/diversity scores round to integer micro before every argmax
+    (ties by id), so the selection is deterministic on any block layout.
+    Rows-only; duplicate-suppression and λ=1 ≡ plain top-k pinned in
+    tests."""
+    import ray
+
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+    ds = _emb(sf_dir)
+    q = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 3)), batch_format="pyarrow"
+    ).to_pandas().sort_values("vec_id")
+    q_ids = q["vec_id"].to_numpy(np.int64)
+    qm = np.array([np.asarray(v, np.float64) for v in q["embedding"]])
+    qn = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12, None)
+    ref = ray.put((q_ids, qn))
+
+    def local(t: pa.Table) -> pd.DataFrame:
+        qi_ids, qv = maybe_get(ref)
+        ids, mat = _batch_matrix(t)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = matn @ qv.T
+        out = []
+        for j in range(len(qi_ids)):
+            s = sims[:, j]
+            mask = ids != qi_ids[j]
+            cid, cs, cv = ids[mask], s[mask], matn[mask]
+            # order by MICRO-rounded sim (the selection currency) so the
+            # block-local and merged orderings agree exactly
+            top = np.lexsort((cid, -np.round(cs * 1e6).astype(np.int64)))[:m]
+            out.append(pd.DataFrame({
+                "query_id": qi_ids[j],
+                "cand_id": cid[top].astype(np.int64),
+                "sim_micro": np.round(cs[top] * 1e6).astype(np.int64),
+                "vec": [v.tobytes() for v in cv[top]],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = (g.sort_values(["sim_micro", "cand_id"], ascending=[False, True])
+             .head(m).reset_index(drop=True))
+        cid = g["cand_id"].to_numpy(np.int64)
+        rel = g["sim_micro"].to_numpy(np.int64)
+        vecs = np.array([np.frombuffer(b, np.float64) for b in g["vec"]])
+        chosen: list[int] = []
+        max_div = np.full(len(g), -(10 ** 9), np.int64)  # max sim to chosen set
+        for _ in range(min(k, len(g))):
+            div = np.where(max_div == -(10 ** 9), 0, max_div)
+            score = (lam_permille * rel - (1000 - lam_permille) * div) // 1000
+            # sentinel must survive negation: int64 min negates to ITSELF
+            # (two's-complement wrap) and would sort a chosen row first
+            score[chosen] = -(10 ** 15)
+            order = np.lexsort((cid, -score))
+            pick = int(order[0])
+            chosen.append(pick)
+            sim_new = np.round((vecs @ vecs[pick]) * 1e6).astype(np.int64)
+            max_div = np.maximum(max_div, sim_new)
+        rows.append(pd.DataFrame({
+            "query_id": np.int64(qid),
+            "neighbor_id": cid[chosen],
+            "rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+        }))
+    return (pd.concat(rows, ignore_index=True)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))

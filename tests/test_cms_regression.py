@@ -128,3 +128,56 @@ def test_embed_quantize_bounds(ray_session):
     # symmetric-quantization error bound: ≤ scale/2 + micro rounding slack
     assert (out["max_err_micro"] <= out["scale_micro"] // 2 + 2).all()
     assert (out["scale_micro"] > 0).all()
+
+
+# -------------------------------------------------------------------- MMR
+def test_mmr_lambda1_equals_topk(ray_session):
+    """λ=1000 permille (no diversity term) must reproduce plain cosine
+    top-k under the op's micro-rounded ordering — pinned against a direct
+    numpy reference on the same table."""
+    import pandas as pd
+
+    from marc_record_merge_melindautils_ray.ops.similarity import q_mmr_rerank
+
+    sf = "/root/testdata/sf0.001"
+    mmr = q_mmr_rerank(sf, k=10, lam_permille=1000)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy(np.int64)
+    mat = np.array([np.asarray(v, np.float64) for v in emb["embedding"]])
+    matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    for qid in (0, 1, 2):
+        qv = matn[ids == qid][0]
+        sims = np.round(matn @ qv * 1e6).astype(np.int64)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[:10]
+        want = ids[mask][order].tolist()
+        got = mmr[mmr["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert got == want, qid
+
+
+def test_mmr_suppresses_near_duplicates(ray_session, tmp_path):
+    """Two near-identical high-relevance candidates: plain top-k returns
+    both back-to-back; MMR (λ=0.5) picks one and then a diverse vector."""
+    import pandas as pd
+
+    from marc_record_merge_melindautils_ray.ops.similarity import q_mmr_rerank
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal(8)
+    q /= np.linalg.norm(q)
+    u = rng.standard_normal(8); u -= (u @ q) * q; u /= np.linalg.norm(u)
+    v = rng.standard_normal(8); v -= (v @ q) * q; v -= (v @ u) * u
+    v /= np.linalg.norm(v)
+    c1 = 0.9 * q + np.sqrt(1 - 0.81) * v           # rel ≈ 0.90
+    c2 = c1 + 0.001 * u                             # near-copy, rel ≈ 0.90
+    c3 = 0.7 * q + np.sqrt(1 - 0.49) * u           # rel 0.70, cos(c3,c1)=0.63
+    vecs = {0: q, 10: c1, 11: c2, 12: c3}
+    pd.DataFrame({
+        "vec_id": np.array(list(vecs), np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs.values()],
+        "label": np.int32(0),
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    out = q_mmr_rerank(str(tmp_path), k=2, lam_permille=500)
+    picks = out[out["query_id"] == 0]["neighbor_id"].tolist()
+    assert picks[0] in (10, 11)          # most relevant first
+    assert picks[1] == 12                # the near-copy is suppressed
