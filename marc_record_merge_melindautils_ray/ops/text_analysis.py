@@ -599,37 +599,43 @@ def q_pii_redact(sf_dir: str) -> rd.Dataset:
 
 def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted index build (the retrieval-prep pass): term → document
-    frequency + comma-joined SORTED posting list.  Two-level distinct like
-    every pair-dedup aggregate here: per-batch (term, doc_id) dedup
-    (combiner) → pair-keyed shuffle finishes the dedup → per-term assembly
-    is one tiny sort+join per group.  At web scale a posting list for a
-    stopword-grade term is O(corpus); real deployments shard postings by
-    (term, doc-range) — the per-term ``map_groups`` boundary here is exactly
-    where that sharding key would slot in."""
+    frequency + comma-joined SORTED posting list.  ONE term-keyed exchange
+    end to end: per-batch (term, doc_id) dedup (combiner) → a single
+    ``groupby(tkey)`` on the term's int64 hash (integer sort keys, not
+    strings) → per-group assembly finishes the distinct with one np.unique
+    (a 64-bit hash collision would co-locate two terms in a group, so the
+    assembler sub-groups by the carried term string — correctness never
+    rests on hash uniqueness).  The original two-level plan (pair-dedup
+    groupby, THEN per-term groupby) sorted the full pair table twice and
+    measured 17–20 s at sf0.1; this plan sorts it once.  At web scale a
+    posting list for a stopword-grade term is O(corpus); real deployments
+    shard postings by (term, doc-range) — the per-term group boundary here
+    is exactly where that sharding key would slot in."""
+    from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
 
     def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].fillna("").str.strip().str.lower().str.split()
         out = pd.DataFrame({
             "doc_id": df["doc_id"].repeat(words.str.len().fillna(0).astype(int)),
             "term": words.explode().dropna(),
-        })
-        return out.drop_duplicates()
-
-    pairs = (
-        _docs(sf_dir)
-        .map_batches(local_pairs, batch_format="pandas")
-        .groupby(["term", "doc_id"]).count()
-    )
+        }).drop_duplicates()
+        out["tkey"] = stable_str_hash(
+            out["term"].to_numpy(object)).view(np.int64)
+        return out
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(np.int64))
-        return pd.DataFrame({
-            "term": [g["term"].iloc[0]],
-            "df": [np.int64(len(ids))],
-            "postings": [",".join(map(str, ids))],
-        })
+        rows = []
+        for term, sub in g.groupby("term"):  # ≥2 terms only on hash collision
+            ids = np.unique(sub["doc_id"].to_numpy(np.int64))
+            rows.append((term, np.int64(len(ids)), ",".join(map(str, ids))))
+        return pd.DataFrame(rows, columns=["term", "df", "postings"])
 
-    out = pairs.groupby("term").map_groups(assemble, batch_format="pandas").to_pandas()
+    out = (
+        _docs(sf_dir)
+        .map_batches(local_pairs, batch_format="pandas")
+        .groupby("tkey").map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+    )
     out["df"] = out["df"].astype(np.int64)
     return out.sort_values("term").reset_index(drop=True)
 
