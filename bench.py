@@ -34,6 +34,10 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
+    # validity probes BEFORE anything heavy: a reading taken at
+    # membw < 7.5 or cpu_ratio < 0.9 is contention-contaminated (BASELINE.md)
+    probe_membw = membw_probe()
+    probe_cpu = cpu_steal_probe()
 
     import ray
     import ray.data as rd
@@ -143,6 +147,8 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "clips": int(n_clips),
         "clips_per_sec": round(n_clips / headline, 1),
+        "membw_gbps_before": probe_membw,
+        "cpu_ratio_before": probe_cpu,
         "clusters": int(n_canon),
         "clustered_clips": int(n_assign),
         # per-stage driver laps + pair-split counters from run_dedup metrics:
@@ -173,6 +179,30 @@ def membw_probe() -> float:
     return round(0.2 / best, 2)
 
 
+def _spin_half_s(_):
+    # module-level: multiprocessing must pickle the worker fn
+    import time as _t
+
+    t0 = _t.perf_counter()
+    x = 0
+    while _t.perf_counter() - t0 < 0.5:
+        x += 1
+    return x
+
+
+def cpu_steal_probe() -> float:
+    """All-cores busy-spin throughput ratio vs one core × 32 (1.0 = the VM
+    owns its CPUs).  The SECOND storm class on this host: hypervisor CPU
+    steal inflates every stage uniformly (~2.5× observed at ratio 0.74)
+    while membw reads clean — the two probes together distinguish
+    DRAM-bus storms (membw < 2) from CPU-steal storms (ratio < 0.9)."""
+    import multiprocessing as _mp
+
+    with _mp.Pool(32) as p:
+        r = p.map(_spin_half_s, range(32))
+    return round(sum(r) / (_spin_half_s(0) * 32), 2)
+
+
 def run_scaling() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out = {}
@@ -183,6 +213,7 @@ def run_scaling() -> dict:
     nfam = os.environ.get("GRAFT_NFAM", "240000")
     for ncpu in (8, 32):
         probes[f"membw_gbps_before_{ncpu}cpu"] = membw_probe()
+        probes[f"cpu_ratio_before_{ncpu}cpu"] = cpu_steal_probe()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_NFAM=nfam)
         proc = subprocess.run(
@@ -191,6 +222,7 @@ def run_scaling() -> dict:
         )
         out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
     probes["membw_gbps_after"] = membw_probe()
+    probes["cpu_ratio_after"] = cpu_steal_probe()
     tput8 = out[8]["clips_per_sec"]
     tput32 = out[32]["clips_per_sec"]
     eff = (tput32 / tput8) / (32 / 8)
