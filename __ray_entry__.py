@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_regression": stats.q_group_regression,
         # key-skew profiler: exact Gini + hottest-key share of group sizes
         "key_skew": stats.q_key_skew,
+        # per-user time-weighted average as exact rationals
+        "time_weighted_avg": stats.q_time_weighted_avg,
         # self-evaluating Count-Min term-frequency sketch (rows-only:
         # sketch estimates beside exact counts; bounds in tests)
         "cms_term_counts": sketches.q_cms_term_counts,
@@ -1534,6 +1536,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, alpha_permille FROM q
             WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
             ORDER BY doc_id
+        """,
+        "time_weighted_avg": """
+            WITH g AS (
+              SELECT user_id,
+                     CAST(round(value * 100, 0) AS BIGINT) AS vc,
+                     CAST((epoch_us(lead(ts) OVER w) // 1000)
+                          - (epoch_us(ts) // 1000) AS BIGINT) AS gap_ms
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(coalesce(sum(vc * gap_ms), 0) AS BIGINT) AS twa_num,
+                   CAST(coalesce(sum(gap_ms), 0) AS BIGINT) AS twa_den
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         "key_skew": """
             WITH c AS (

@@ -648,3 +648,52 @@ def q_key_skew(sf_dir: str) -> pd.DataFrame:
         "gini_num": [np.int64(gini_num)],
         "gini_den": [np.int64(n_keys * n_rows)],
     })
+
+
+def q_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-user TIME-WEIGHTED average of the value series — the
+    interval-weighted mean a metrics pipeline uses when samples arrive
+    unevenly (each value holds until the user's next event).  Exact
+    rationals again: twa = twa_num/twa_den with
+    twa_num = Σ value_c·gap_ms and twa_den = Σ gap_ms over each user's
+    consecutive-event gaps (ms grain keeps the products well inside int64
+    at any sf).  Single-event users emit (0, 0) — undefined stays explicit.
+    Same plan as every navigation window here: one user-hash exchange, one
+    vectorized sort + shifted-difference kernel per partition."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    # event_id in the sort key: equal-ts events would otherwise attribute
+    # the next gap to an arbitrary peer (block-arrival-order nondeterminism)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64).view(np.uint64)
+        part = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "twa_num": pd.Series([], dtype=np.int64),
+                "twa_den": pd.Series([], dtype=np.int64),
+            })
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        ms = g["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        vc = np.round(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        same = np.r_[uid[1:] == uid[:-1], False]       # row i starts a gap
+        gap = np.r_[ms[1:] - ms[:-1], np.int64(0)]
+        gap = np.where(same, gap, 0)
+        df = pd.DataFrame({"user_id": uid, "num": vc * gap, "den": gap})
+        agg = df.groupby("user_id", as_index=False).sum()
+        return agg.rename(columns={"num": "twa_num", "den": "twa_den"}).astype(
+            {"twa_num": np.int64, "twa_den": np.int64})
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -72,3 +72,27 @@ def test_key_skew_constructed(ray_session, tmp_path):
     assert got.tolist() == [3, 6, 4, 666, 6, 18]
     # sanity: gini_num/gini_den == 1/3
     assert got["gini_num"] * 3 == got["gini_den"]
+
+
+def test_time_weighted_avg_constructed(ray_session, tmp_path):
+    """Hand-computed TWA: v=100¢ held 2000 ms then v=300¢ held 1000 ms →
+    num = 100·2000 + 300·1000 = 500000, den = 3000 (last value holds no
+    time); a single-event user emits the explicit (0, 0) undefined pair;
+    equal-ts events order by event_id."""
+    from marc_record_merge_melindautils_ray.ops.stats import q_time_weighted_avg
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 5, 6], np.int64),
+        "ts": [t0, t0 + pd.Timedelta(seconds=2), t0 + pd.Timedelta(seconds=3),
+               t0,                                   # user 9: single event
+               t0, t0],                              # user 5: ts tie
+        "user_id": np.array([7, 7, 7, 9, 5, 5], np.int64),
+        "value": [1.00, 3.00, 9.99, 1.23, 4.00, 8.00],
+        "props": "{}",
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_time_weighted_avg(str(tmp_path)).set_index("user_id")
+    assert got.loc[7].tolist() == [100 * 2000 + 300 * 1000, 3000]
+    assert got.loc[9].tolist() == [0, 0]
+    assert got.loc[5].tolist() == [0, 0]   # zero-length gap carries no weight
