@@ -333,6 +333,22 @@ def _clips_align_offset(sf_dir: str) -> Any:
     return q_clips_align_offset(sf_dir)
 
 
+def _clips_pitch(sf_dir: str) -> Any:
+    """Per-clip f0 via the autocorrelation peak (rows-only: FFT kernel;
+    closed-form sine pins in tests/test_audio_features.py)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_pitch
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    return (
+        clip_pitch(rd.from_arrow(clips))
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+
+
 def _clips_vad_segments(sf_dir: str) -> Any:
     """VAD speech segmentation over the synthetic corpus (rows-only: real
     PCM decode + frame energy; closed-form boundary pins in
@@ -484,6 +500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": stats.q_key_skew,
         # per-user time-weighted average as exact rationals
         "time_weighted_avg": stats.q_time_weighted_avg,
+        # first-order event-type transition counts (Markov/session flow)
+        "event_transitions": stats.q_event_transitions,
+        # per-clip autocorrelation pitch (f0) estimate over payload PCM
+        "clips_pitch": _clips_pitch,
         # self-evaluating Count-Min term-frequency sketch (rows-only:
         # sketch estimates beside exact counts; bounds in tests)
         "cms_term_counts": sketches.q_cms_term_counts,
@@ -1536,6 +1556,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, alpha_permille FROM q
             WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
             ORDER BY doc_id
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events)
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "time_weighted_avg": """
             WITH g AS (

@@ -313,3 +313,61 @@ def clip_vad_segments(clips: rd.Dataset, frame_ms: int = 20,
     return clips.select_columns(
         ["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
         kern, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ----------------------------------------------------------------- pitch
+def pitch_f0_row(pcm: np.ndarray, sr_hz: int, f_lo: int = 60,
+                 f_hi: int = 1000) -> tuple[int, int]:
+    """Fundamental-frequency estimate for one clip via the autocorrelation
+    peak inside the [f_lo, f_hi] lag band: (f0_mhz, strength_permille).
+    One rfft/irfft round over the whole clip (Wiener–Khinchin), no O(n·lag)
+    scan; strength = peak autocorrelation / zero-lag energy."""
+    n = int(pcm.size)
+    if n == 0:
+        return 0, 0
+    x = pcm.astype(np.float64) - float(pcm.mean())
+    m = 1 << int(2 * n - 1).bit_length()
+    f = np.fft.rfft(x, m)
+    ac = np.fft.irfft(f * np.conj(f), m)[:n]
+    if ac[0] <= 0:
+        return 0, 0
+    lag_min = max(1, sr_hz // f_hi)
+    lag_max = min(n - 1, sr_hz // f_lo)
+    if lag_max <= lag_min:
+        return 0, 0
+    band = ac[lag_min:lag_max + 1]
+    pk = int(np.argmax(band)) + lag_min
+    strength = float(ac[pk] / ac[0])
+    return int(round(1000.0 * sr_hz / pk)), int(round(strength * 1000))
+
+
+def clip_pitch(clips: rd.Dataset, batch_size: int = 128) -> rd.Dataset:
+    """Per-clip pitch estimation (f0 in milli-Hz + autocorrelation strength
+    permille) — the prosody/QC feature an ASR corpus pipeline extracts.
+    Stateless task pool; payload bytes never leave the stage; undecodable
+    rows emit decode_ok=false."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        n = len(t)
+        f0 = np.zeros(n, np.int64)
+        st = np.zeros(n, np.int64)
+        ok = np.zeros(n, bool)
+        for i in range(n):
+            codec = t["codec"][i].as_py()
+            buf = t["bytes"][i]
+            sr = t["sr_hz"][i].as_py() or 8000
+            if not buf.is_valid or codec is None or not is_decodable(codec):
+                continue
+            pcm = decode(buf.as_buffer(), codec)
+            f0[i], st[i] = pitch_f0_row(pcm, int(sr))
+            ok[i] = True
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "f0_mhz": pa.array(f0, pa.int64()),
+            "strength_permille": pa.array(st, pa.int64()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+        })
+
+    return clips.select_columns(
+        ["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
+        kern, batch_format="pyarrow", batch_size=batch_size)

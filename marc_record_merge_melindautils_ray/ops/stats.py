@@ -697,3 +697,48 @@ def q_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order transition counts of each user's event-type sequence
+    (the Markov-chain/session-flow mining pass): (prev_type → next_type, n)
+    over consecutive events ordered by (ts, event_id).  One user-hash
+    exchange; each partition shifts its sorted frame once and emits
+    transition-count PARTIALS, so the second groupby moves at most
+    |types|² rows per partition."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64).view(np.uint64)
+        part = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "prev_type": pd.Series([], dtype=str),
+                "next_type": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype=np.int64),
+            })
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy().astype(object)
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame({"prev_type": typ[:-1][same],
+                           "next_type": typ[1:][same]})
+        out = df.groupby(["prev_type", "next_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(per_part, batch_format="pandas")
+        .groupby(["prev_type", "next_type"]).sum("n")
+        .to_pandas()
+    )
+    out.columns = ["prev_type", "next_type", "n"]
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))

@@ -165,3 +165,40 @@ def test_vad_dataset_stage(ray_session):
     assert real["decode_ok"].all()
     bad = out[~out["decode_ok"]]
     assert (bad["seg_idx"] == -1).all()
+
+
+# ----------------------------------------------------------------- pitch
+def test_pitch_closed_form_sine():
+    """Pure 440 Hz sine at 8 kHz: autocorrelation peak at lag
+    round(8000/440)=18 → f0 = 8000/18 = 444.444 Hz (the lag-quantized
+    value), strength ≈ 1; white noise scores far lower strength."""
+    import numpy as np
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import pitch_f0_row
+
+    sr = 8000
+    t = np.arange(8000) / sr
+    f0, st = pitch_f0_row(np.sin(2 * np.pi * 440 * t).astype(np.float32), sr)
+    assert f0 == round(1000 * sr / round(sr / 440))   # 444444 mHz
+    assert st > 950
+    rng = np.random.default_rng(0)
+    _, st_noise = pitch_f0_row(rng.standard_normal(8000).astype(np.float32), sr)
+    assert st_noise < st - 300
+    # silence/empty edge
+    assert pitch_f0_row(np.zeros(4000, np.float32), sr) == (0, 0)
+    assert pitch_f0_row(np.zeros(0, np.float32), sr) == (0, 0)
+
+
+def test_pitch_dataset_stage(ray_session):
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_pitch
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, _, _ = make_corpus(5, 10, 42)
+    out = clip_pitch(rd.from_arrow(clips)).to_pandas()
+    assert len(out) == len(clips)
+    ok = out[out["decode_ok"]]
+    # synthetic clips are sine mixes: every decodable clip has a real f0
+    assert (ok["f0_mhz"] > 0).all()
+    assert (~out["decode_ok"] == (out["f0_mhz"] == 0)).all()

@@ -96,3 +96,23 @@ def test_time_weighted_avg_constructed(ray_session, tmp_path):
     assert got.loc[7].tolist() == [100 * 2000 + 300 * 1000, 3000]
     assert got.loc[9].tolist() == [0, 0]
     assert got.loc[5].tolist() == [0, 0]   # zero-length gap carries no weight
+
+
+def test_event_transitions_constructed(ray_session, tmp_path):
+    """Sequence a→b→b→a for one user (ties ordered by event_id), a lone
+    event for another: transitions (a,b)=1, (b,b)=1, (b,a)=1, nothing from
+    the singleton."""
+    from marc_record_merge_melindautils_ray.ops.stats import q_event_transitions
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 9], np.int64),
+        "ts": [t0, t0, t0, t0 + pd.Timedelta(seconds=1), t0],  # 1-3 tie
+        "user_id": np.array([7, 7, 7, 7, 9], np.int64),
+        "event_type": ["a", "b", "b", "a", "solo"],
+        "value": 0.0, "props": "{}",
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_event_transitions(str(tmp_path))
+    want = [("a", "b", 1), ("b", "a", 1), ("b", "b", 1)]
+    assert list(map(tuple, got.to_numpy())) == want
