@@ -57,10 +57,34 @@ FEATURE_COLS = [
 def read_clips(path: str) -> rd.Dataset:
     """Read the clip table.  The target format is Lance (`input_hint`); this
     environment ships no lance reader, so parquet is the storage layer and
-    ``read_lance`` is attempted first for parity."""
+    ``read_lance`` is attempted first for parity.  ``.jsonl``/``.json``
+    dumps are accepted as an ingest shim (raw audio rides base64 in a
+    ``bytes_b64`` column — JSON has no binary type — decoded once at the
+    read boundary); columnar formats remain the scale path."""
     if hasattr(rd, "read_lance") and path.endswith(".lance"):
         return rd.read_lance(path)
+    if path.endswith((".jsonl", ".json")):
+        return rd.read_json(path).map_batches(
+            _decode_b64_payloads, batch_format="pyarrow")
     return rd.read_parquet(path)
+
+
+def _decode_b64_payloads(t: pa.Table) -> pa.Table:
+    """JSON-ingest shim: materialize ``bytes_b64`` → binary ``bytes``.
+    Per-row b64decode is ingest-boundary-only cost (the engine's own
+    formats carry real binary)."""
+    import base64
+
+    if "bytes_b64" not in t.column_names:
+        return t
+    raw = [
+        base64.b64decode(v) if v is not None else None
+        for v in t["bytes_b64"].to_pylist()
+    ]
+    t = t.drop_columns(["bytes_b64"])
+    if "bytes" in t.column_names:
+        t = t.drop_columns(["bytes"])
+    return t.append_column("bytes", pa.array(raw, pa.binary()))
 
 
 def prepared_clips(clips: rd.Dataset) -> rd.Dataset:
@@ -403,14 +427,22 @@ def build_payload_blocks(clips: rd.Dataset, id_refs, cfg: DedupConfig):
             })
 
     # prune the re-read to payload columns only; blocks stay source-shaped
-    # (verify actors hold the whole store zero-copy, no coalescing needed)
+    # (verify actors hold the whole store zero-copy, no coalescing needed).
+    # Pool width caps BELOW the cluster CPU count: a pool equal to it pins
+    # every slot and starves its own upstream read tasks — a resource
+    # deadlock, observed as a hard hang at num_cpus=4 with the default
+    # verify_concurrency=4 (actors hold CPUs while waiting for input that
+    # can never schedule).
+    from marc_record_merge_melindautils_ray.stages.cluster import cluster_parallelism
+
+    pool = max(2, min(max(4, cfg.verify_concurrency), cluster_parallelism() - 1))
     pay = clips.select_columns(
         ["clip_id", "bytes", "codec", "transcript", "sr_hz"]
     ).map_batches(
         PayRows,
         fn_constructor_args=(id_refs,),
         batch_format="pyarrow",
-        concurrency=max(4, cfg.verify_concurrency),
+        concurrency=pool,
     ).materialize()
     return pay.to_arrow_refs()
 

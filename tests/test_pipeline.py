@@ -294,3 +294,35 @@ def test_clips_dedup_quality_query(ray_session):
     out = entry.queries()["clips_dedup_quality"]("/root/testdata/sf0.001")
     assert out["recall_permille"].iloc[0] >= 990  # the north-star bar
     assert out["cross_family_clusters"].iloc[0] == 0
+
+
+def test_read_clips_jsonl_ingest(ray_session, tmp_path):
+    """JSONL ingest shim: a base64-payload dump reads back with byte-
+    identical payloads and the full dedup run matches the parquet-read
+    run cluster-for-cluster."""
+    import base64
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.pipelines.dedup import read_clips, run_dedup
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, _, _ = make_corpus(4, 6, 42)
+    pq.write_table(clips, str(tmp_path / "clips.parquet"))
+    with open(tmp_path / "clips.jsonl", "w") as f:
+        for row in clips.to_pylist():
+            row["bytes_b64"] = (base64.b64encode(row.pop("bytes")).decode()
+                                if row["bytes"] is not None else None) \
+                if "bytes" in row else None
+            f.write(_json.dumps(row, default=str) + "\n")
+    ds_j = read_clips(str(tmp_path / "clips.jsonl"))
+    got = ds_j.to_pandas().sort_values("clip_id")
+    want = clips.to_pandas().sort_values("clip_id")
+    assert list(got["bytes"]) == list(want["bytes"])   # byte-identical payloads
+    a1 = (run_dedup(ds_j, DedupConfig())["assignments"].to_pandas()
+          .sort_values("clip_id").reset_index(drop=True))
+    a2 = (run_dedup(read_clips(str(tmp_path / "clips.parquet")), DedupConfig())
+          ["assignments"].to_pandas().sort_values("clip_id").reset_index(drop=True))
+    assert a1.equals(a2)
