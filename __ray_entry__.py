@@ -510,6 +510,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV theta sketch: distinct + union + intersection estimates with
         # exact truth beside them (rows-only; bounds in tests)
         "kmv_user_overlap": sketches.q_kmv_user_overlap,
+        # grouped mergeable histogram quantiles (rows-only; ≤bin-width
+        # accuracy vs exact per-group quantiles in tests)
+        "group_value_quantiles": sketches.q_group_value_quantiles,
         # per-vector int8 embedding quantization with per-row error audit
         "embed_quantize": similarity.q_embed_quantize,
         # MMR diverse rerank over the distributed top-m candidate fetch

@@ -499,3 +499,78 @@ def q_kmv_user_overlap(sf_dir: str) -> pd.DataFrame:
         "true_union": [np.int64(n_users)],
         "true_intersection": [np.int64(na + nb - n_users)],
     })
+
+
+# ------------------------------------------------- grouped quantile sketch
+def q_group_value_quantiles(sf_dir: str, n_bins: int = 4096) -> pd.DataFrame:
+    """Approximate per-GROUP quantiles (p50/p90/p99 of value per event
+    type) via mergeable fixed-width histograms — the grouped companion of
+    ``value_quantiles``: one tiny (group, lo, hi, n) reduce sizes each
+    group's bins, one pass accumulates per-(group, batch) histogram blobs
+    (4096×8 B each, cardinality-independent), quantiles interpolate within
+    their bin so error ≤ bin width against the mass-based quantile (≤ ~2
+    bins against rank-based ``quantile_cont`` — convention difference).
+    The driver folds O(groups × batches) blobs — never values."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def ranges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.dropna(subset=["value"]).groupby("event_type")["value"]
+        out = g.agg(lo="min", hi="max", n="size").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    # groups × batches partial rows — a driver fold, never the values
+    rng = (
+        ds.map_batches(ranges, batch_format="pandas").to_pandas()
+        .groupby("event_type").agg(lo=("lo", "min"), hi=("hi", "max"),
+                                   n=("n", "sum"))
+    )
+    lo = rng["lo"].to_dict()
+    hi = rng["hi"].to_dict()
+
+    def hist_blobs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.dropna(subset=["value"]).groupby("event_type"):
+            l, h = lo[et], hi[et]
+            if h <= l:
+                rows.append((et, np.zeros(n_bins, np.int64).tobytes()))
+                continue
+            b = np.clip(((sub["value"].to_numpy(np.float64) - l)
+                         / ((h - l) / n_bins)).astype(np.int64), 0, n_bins - 1)
+            rows.append((et, np.bincount(b, minlength=n_bins)
+                         .astype(np.int64).tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "hist"])
+
+    folded: dict[str, np.ndarray] = {}
+    for batch in ds.map_batches(hist_blobs, batch_format="pandas").iter_batches(
+        batch_size=256, batch_format="pyarrow"
+    ):
+        for et, blob in zip(batch["event_type"].to_pylist(), batch["hist"]):
+            h = np.frombuffer(blob.as_py(), np.int64)
+            folded[et] = folded.get(et, np.zeros(n_bins, np.int64)) + h
+
+    out_rows = []
+    for et in sorted(folded):
+        h = folded[et]
+        l, hh = lo[et], hi[et]
+        width = (hh - l) / n_bins if hh > l else 0.0
+        cum = np.cumsum(h)
+        total = int(cum[-1])
+        qs = {}
+        for q in (0.5, 0.9, 0.99):
+            if total == 0 or width == 0.0:
+                qs[q] = l
+                continue
+            target = q * total
+            b = int(np.searchsorted(cum, target))
+            prev = int(cum[b - 1]) if b > 0 else 0
+            frac = (target - prev) / max(int(h[b]), 1)
+            qs[q] = l + (b + frac) * width
+        out_rows.append((et, int(rng["n"][et]),
+                         int(round(qs[0.5] * 100)),
+                         int(round(qs[0.9] * 100)),
+                         int(round(qs[0.99] * 100))))
+    return pd.DataFrame(out_rows, columns=[
+        "event_type", "n", "p50_c", "p90_c", "p99_c"]).astype(
+        {"n": np.int64, "p50_c": np.int64, "p90_c": np.int64,
+         "p99_c": np.int64})

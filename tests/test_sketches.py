@@ -102,3 +102,30 @@ def test_heavy_hitters_exact_and_fallback(ray_session):
     exact = q_top_terms(sf)
     assert q_heavy_hitters(sf).equals(exact)            # certified path
     assert q_heavy_hitters(sf, s=3).equals(exact)       # fallback path
+
+
+def test_group_value_quantiles_accuracy(ray_session):
+    """Histogram-sketch contract on sparse groups: each estimate lies
+    within one bin width of an order statistic whose rank is within ±2 of
+    q·n (with few values per bin, rank-interpolating quantile_cont can sit
+    bins away — the sketch's guarantee is bin-level, not sub-rank)."""
+    import numpy as np
+    import pandas as pd
+
+    from marc_record_merge_melindautils_ray.ops.sketches import (
+        q_group_value_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_group_value_quantiles(sf).set_index("event_type")
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    for et, sub in ev.groupby("event_type"):
+        v = np.sort(sub["value"].to_numpy(np.float64))
+        binw = (v[-1] - v[0]) / 4096
+        assert got.loc[et, "n"] == len(v)
+        for q, col in ((0.5, "p50_c"), (0.9, "p90_c"), (0.99, "p99_c")):
+            est = got.loc[et, col] / 100.0
+            ranks = [max(0, min(len(v) - 1, int(round(q * len(v))) + d))
+                     for d in (-2, -1, 0, 1, 2)]
+            near = min(abs(est - v[r]) for r in ranks)
+            assert near <= binw + 1e-6, (et, q, est, near, binw)
