@@ -2555,34 +2555,40 @@ def q_full_outer_daily(sf_dir: str) -> pd.DataFrame:
     below the exchange, the single ``groupby(day)`` finishes both sides and
     the zero-fill at once.  No join operator, no fact row ever shuffles."""
 
+    # partials and the shuffle run on INTEGER epoch-days (datetime_as_string
+    # over the full fact table cost most of a measured 15 s at sf0.01);
+    # stringification happens once on the ~2.4 k-row result
     def order_partial(t: pa.Table) -> pd.DataFrame:
-        days = np.asarray(t["o_orderdate"]).astype("datetime64[D]")
-        d, n = np.unique(np.datetime_as_string(days, unit="D"), return_counts=True)
+        days = np.asarray(t["o_orderdate"]).astype("datetime64[D]").astype(np.int64)
+        d, n = np.unique(days, return_counts=True)
         z = np.zeros(len(d), np.int64)
-        return pd.DataFrame({"day": d, "n_orders": n.astype(np.int64),
+        return pd.DataFrame({"day_i": d, "n_orders": n.astype(np.int64),
                              "n_ship_lines": z, "sum_qty_c": z})
 
     def ship_partial(t: pa.Table) -> pd.DataFrame:
-        days = np.datetime_as_string(
-            np.asarray(t["l_shipdate"]).astype("datetime64[D]"), unit="D")
+        days = np.asarray(t["l_shipdate"]).astype("datetime64[D]").astype(np.int64)
         qty_c = _cents(np.asarray(t["l_quantity"], np.float64))
-        df = pd.DataFrame({"day": days, "q": qty_c})
-        agg = df.groupby("day", as_index=False).agg(
-            n_ship_lines=("q", "size"), sum_qty_c=("q", "sum"))
-        agg["n_orders"] = np.int64(0)
-        return agg[["day", "n_orders", "n_ship_lines", "sum_qty_c"]].astype(
-            {"n_ship_lines": np.int64, "sum_qty_c": np.int64})
+        d, inv, n = np.unique(days, return_counts=True, return_inverse=True)
+        qsum = np.zeros(len(d), np.int64)
+        np.add.at(qsum, inv, qty_c)
+        return pd.DataFrame({"day_i": d, "n_orders": np.zeros(len(d), np.int64),
+                             "n_ship_lines": n.astype(np.int64),
+                             "sum_qty_c": qsum})
 
     orders = _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
         order_partial, batch_format="pyarrow")
     ship = _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"]).map_batches(
         ship_partial, batch_format="pyarrow")
-    out = (
-        orders.union(ship)
-        .groupby("day").sum(["n_orders", "n_ship_lines", "sum_qty_c"])
-        .to_pandas()
-    )
-    out.columns = ["day", "n_orders", "n_ship_lines", "sum_qty_c"]
+    # the fold input is O(days × batches) partial rows — CALENDAR-bounded,
+    # so a driver pandas groupby finishes it; the distributed sort-aggregate
+    # here cost a measured 17.8 s of pure blocks×partitions fixed overhead
+    # on 56 k tiny rows (64 input blocks × 64 sort partitions, ~1.5 s per
+    # near-empty unit) vs ~0.01 s of actual combining work
+    parts = orders.union(ship).to_pandas()
+    out = parts.groupby("day_i", as_index=False).sum()
+    out["day"] = np.datetime_as_string(
+        out["day_i"].to_numpy(np.int64).astype("datetime64[D]"), unit="D")
+    out = out[["day", "n_orders", "n_ship_lines", "sum_qty_c"]]
     for c in ("n_orders", "n_ship_lines", "sum_qty_c"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)
