@@ -333,6 +333,19 @@ def _clips_align_offset(sf_dir: str) -> Any:
     return q_clips_align_offset(sf_dir)
 
 
+def _clips_expectations(sf_dir: str) -> Any:
+    """Declarative ingest-gate expectations over the clip table (rows-only;
+    planted-poison violation counts pinned in tests)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import clip_expectations
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    return clip_expectations(rd.from_arrow(clips))
+
+
 def _clips_pitch(sf_dir: str) -> Any:
     """Per-clip f0 via the autocorrelation peak (rows-only: FFT kernel;
     closed-form sine pins in tests/test_audio_features.py)."""
@@ -504,6 +517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": stats.q_event_transitions,
         # per-clip autocorrelation pitch (f0) estimate over payload PCM
         "clips_pitch": _clips_pitch,
+        # ingest-gate expectations over the input_hint clip table
+        "clips_expectations": _clips_expectations,
         # self-evaluating Count-Min term-frequency sketch (rows-only:
         # sketch estimates beside exact counts; bounds in tests)
         "cms_term_counts": sketches.q_cms_term_counts,

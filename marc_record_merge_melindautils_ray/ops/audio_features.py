@@ -371,3 +371,47 @@ def clip_pitch(clips: rd.Dataset, batch_size: int = 128) -> rd.Dataset:
     return clips.select_columns(
         ["clip_id", "bytes", "sr_hz", "codec"]).map_batches(
         kern, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ------------------------------------------------------------ expectations
+CLIP_CODECS = ("pcm16", "f32", "ulaw", "alaw", "opus", "mp3")
+CLIP_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def clip_expectations(clips: rd.Dataset) -> "pd.DataFrame":
+    """Declarative ingest-gate expectations over the ``input_hint`` clip
+    table (the clips-side twin of ``q_expectations_check``): every rule is a
+    vectorized row-local predicate, one streaming pass emits rule-count-
+    sized violation partials.  The synthetic conformance corpus plants rows
+    that violate several rules by design (poison statuses, ``^^`` Aleph
+    multifield residue), so the pass has real signal in tests."""
+    import pandas as pd
+
+    rules = [
+        ("clip_id_not_null", lambda d: d["clip_id"].isna()
+         | (d["clip_id"].astype(str).str.len() == 0)),
+        ("sr_in_domain", lambda d: ~d["sr_hz"].isin(CLIP_RATES)),
+        ("dur_positive", lambda d: ~(d["dur_ms"] > 0)),
+        ("codec_in_domain", lambda d: ~d["codec"].isin(CLIP_CODECS)),
+        ("status_in_domain", lambda d: ~d["status"].isin(
+            ["active", "deleted", "suppressed"])),
+        ("transcript_no_aleph_multifield", lambda d: d["transcript"]
+         .fillna("").astype(str).str.contains(r"\^\^", regex=True)),
+        ("payload_not_empty", lambda d: d["bytes"].isna()
+         | (d["bytes"].str.len() == 0)),
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "rule": [name for name, _ in rules],
+            "violations": np.array([int(pred(df).sum()) for _, pred in rules],
+                                   np.int64),
+        })
+
+    cols = ["clip_id", "sr_hz", "dur_ms", "codec", "status", "transcript",
+            "bytes"]
+    out = (clips.select_columns(cols)
+           .map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("rule", as_index=False)["violations"].sum())
+    out["violations"] = out["violations"].astype(np.int64)
+    return out.sort_values("rule").reset_index(drop=True)

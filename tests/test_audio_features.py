@@ -202,3 +202,39 @@ def test_pitch_dataset_stage(ray_session):
     # synthetic clips are sine mixes: every decodable clip has a real f0
     assert (ok["f0_mhz"] > 0).all()
     assert (~out["decode_ok"] == (out["f0_mhz"] == 0)).all()
+
+
+def test_clip_expectations_planted_poison(ray_session, tmp_path):
+    """The conformance corpus plants exactly one codec-domain violator (the
+    codec-class poison pair's 'weird' codec) and one Aleph-multifield
+    transcript; a constructed batch exercises every remaining rule."""
+    import pandas as pd
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.ops.audio_features import (
+        clip_expectations,
+    )
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    clips, _, _ = make_corpus(5, 10, 42)
+    got = clip_expectations(rd.from_arrow(clips)).set_index("rule")["violations"]
+    assert got["codec_in_domain"] == 1
+    assert got["transcript_no_aleph_multifield"] == 1
+    assert got[["clip_id_not_null", "dur_positive", "payload_not_empty",
+                "sr_in_domain", "status_in_domain"]].sum() == 0
+
+    bad = pd.DataFrame({
+        "clip_id": ["", "x1", "x2", "x3"],
+        "bytes": [b"aa", b"", b"aa", b"aa"],
+        "sr_hz": [8000, 8000, 11025, 8000],
+        "dur_ms": [100, 100, 100, 0],
+        "codec": ["pcm16"] * 4,
+        "transcript": ["t"] * 4,
+        "status": ["active", "active", "active", "zombie"],
+    })
+    got2 = clip_expectations(rd.from_pandas(bad)).set_index("rule")["violations"]
+    assert got2["clip_id_not_null"] == 1
+    assert got2["payload_not_empty"] == 1
+    assert got2["sr_in_domain"] == 1
+    assert got2["dur_positive"] == 1
+    assert got2["status_in_domain"] == 1
