@@ -346,6 +346,28 @@ def _clips_expectations(sf_dir: str) -> Any:
     return clip_expectations(rd.from_arrow(clips))
 
 
+def _clips_dedup_edges(sf_dir: str) -> Any:
+    """Auditability surface of the flagship run: the verified dup-pair edge
+    table (id_a, id_b, rel) — the per-pair EVIDENCE behind the cluster
+    assignments (rows-only; pair-level recall/precision of the same edges
+    is what clips_dedup_quality scores)."""
+    import ray.data as rd
+
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.pipelines.dedup import run_dedup
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+    from marc_record_merge_melindautils_ray.stages.cluster import actor_pool_size
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    pool = actor_pool_size(rows=clips.num_rows)
+    cfg = DedupConfig(fingerprint_concurrency=pool, verify_concurrency=pool)
+    res = run_dedup(rd.from_arrow(clips), cfg)
+    out = res["edges"].to_pandas()
+    cols = [c for c in ("id_a", "id_b", "rel") if c in out.columns]
+    return out[cols].sort_values(cols).reset_index(drop=True)
+
+
 def _clips_pitch(sf_dir: str) -> Any:
     """Per-clip f0 via the autocorrelation peak (rows-only: FFT kernel;
     closed-form sine pins in tests/test_audio_features.py)."""
@@ -543,6 +565,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": graph.q_pagerank,
         # dedup family over documents
         "exact_dedup_docs": dedup_text.q_exact_dedup_docs,
+        # duplicate-cluster size distribution (corpus-health report)
+        "dup_size_histogram": dedup_text.q_dup_size_histogram,
+        # flagship evidence surface: the verified dup-pair edge table
+        "clips_dedup_edges": _clips_dedup_edges,
         "minhash_lsh_docs": dedup_text.q_minhash_lsh_docs,
         "simhash_docs": dedup_text.q_simhash_docs,
         "simhash_dup_pairs": dedup_text.q_simhash_dup_pairs,
@@ -1620,6 +1646,14 @@ def oracle_sql() -> dict[str, str]:
                      AS gini_num,
                    CAST(max(cnt) * max(tot) AS BIGINT) AS gini_den
             FROM r
+        """,
+        "dup_size_histogram": """
+            WITH g AS (
+              SELECT md5(coalesce(text, '')) AS h,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1)
+            SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         "group_regression": """
             WITH t0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),

@@ -1004,3 +1004,32 @@ def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 19,
                             "hit_grams": pd.Series([], dtype=np.int64),
                             "n_grams": pd.Series([], dtype=np.int64)})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dup_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster size distribution of the documents table — the
+    corpus-health report every dedup run publishes (how much of the corpus
+    is singletons vs heavy clusters).  Exact-content grouping keyed on
+    md5(text) so the key matches DuckDB's ``md5()`` byte-for-byte; two-level
+    count (per-batch partials → hash groupby) then a tiny size-regroup —
+    fact text never shuffles, only (md5, count) partials."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+             for t in df["text"]]
+        out = pd.DataFrame({"h": h})
+        agg = out.groupby("h", as_index=False).size()
+        return agg.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    sizes = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("h").sum("n")
+        .to_pandas()
+    )
+    sizes.columns = ["h", "n"]
+    hist = sizes.groupby("n", as_index=False).size().rename(
+        columns={"n": "cluster_size", "size": "n_clusters"})
+    hist = hist.astype({"cluster_size": np.int64, "n_clusters": np.int64})
+    return hist.sort_values("cluster_size").reset_index(drop=True)

@@ -305,3 +305,23 @@ def test_doc_chunks_semantics(ray_session, tmp_path):
 
     d4 = out[out.doc_id == 4]                      # exactly 32 words
     assert len(d4) == 1 and d4.iloc[0].n_words == 32
+
+
+def test_dup_size_histogram_constructed(ray_session, tmp_path):
+    """Planted clusters: 3 copies of A, 2 of B, 4 singletons → histogram
+    {1: 4, 2: 1, 3: 1}; the testdata itself is all-unique (pinned by the
+    oracle row)."""
+    import numpy as np
+    import pandas as pd
+
+    from marc_record_merge_melindautils_ray.ops.dedup_text import (
+        q_dup_size_histogram,
+    )
+
+    texts = ["A"] * 3 + ["B"] * 2 + [f"solo {i}" for i in range(4)]
+    pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts, "lang": "en", "source": "s", "n_chars": np.int64(1),
+    }).to_parquet(tmp_path / "documents.parquet")
+    got = q_dup_size_histogram(str(tmp_path))
+    assert list(map(tuple, got.to_numpy())) == [(1, 4), (2, 1), (3, 1)]
