@@ -490,6 +490,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_daily": relational.q_full_outer_daily,
         # CDC MERGE INTO: co-partitioned update/delete/insert apply
         "upsert_merge": relational.q_upsert_merge,
+        # count(*) FILTER(WHERE …) conditional aggregates in one pass
+        "filtered_aggregates": relational.q_filtered_aggregates,
+        # correlated EXISTS with an aggregate threshold (any single month)
+        "busy_month_customers": relational.q_busy_month_customers,
         "lead_lag_events": relational.q_lead_lag_events,
         # grouped mergeable sketch: approx distinct users per event type
         # (non-SQL fold; ≤5% accuracy + block-layout invariance in
@@ -1385,6 +1389,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.sum_qty_c, 0) AS sum_qty_c
             FROM o FULL OUTER JOIN s ON o.day = s.day
             ORDER BY 1
+        """,
+        "filtered_aggregates": """
+            SELECT c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                       AS BIGINT) AS n_urgent,
+                   CAST(count(*) FILTER (
+                       WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             > 15000000) AS BIGINT) AS n_high_value,
+                   CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0)
+                       AS BIGINT)) FILTER (
+                       WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             > 15000000), 0) AS BIGINT) AS high_value_rev_c
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "busy_month_customers": """
+            WITH m AS (
+              SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2)
+            SELECT o_custkey, CAST(max(n) AS BIGINT) AS max_month_orders
+            FROM m GROUP BY 1 HAVING max(n) >= 3 ORDER BY 1
         """,
         "upsert_merge": """
             WITH base AS (

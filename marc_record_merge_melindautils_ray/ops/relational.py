@@ -2725,3 +2725,83 @@ def q_upsert_merge(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("orderkey").reset_index(drop=True)
+
+
+# ------------------------------------------------- FILTER-clause aggregates
+def q_filtered_aggregates(sf_dir: str) -> pd.DataFrame:
+    """Conditional aggregates per customer segment — the ``count(*) FILTER
+    (WHERE …)`` shape: total orders, urgent orders, high-value orders, and
+    high-value revenue in ONE pass (each filter arm is a vectorized mask
+    feeding the same per-batch partial row; no per-arm scans)."""
+    import ray
+
+    from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_numpy(np.int64),
+                               cust["c_mktsegment"].astype(str))))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        seg = maybe_get(seg_ref)  # broadcast once, read from plasma per task
+        ck = np.asarray(t["o_custkey"], np.int64)
+        urgent = np.asarray(t["o_orderpriority"]).astype(str) == "1-URGENT"
+        price_c = _cents(np.asarray(t["o_totalprice"], np.float64))
+        high = price_c > 15_000_000  # > $150k
+        df = pd.DataFrame({
+            "segment": pd.Series(ck).map(seg).fillna("?"),
+            "n_orders": np.int64(1),
+            "n_urgent": urgent.astype(np.int64),
+            "n_high_value": high.astype(np.int64),
+            "high_value_rev_c": np.where(high, price_c, 0),
+        })
+        return df.groupby("segment", as_index=False).sum()
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("segment")
+        .sum(["n_orders", "n_urgent", "n_high_value", "high_value_rev_c"])
+        .to_pandas()
+    )
+    out.columns = ["segment", "n_orders", "n_urgent", "n_high_value",
+                   "high_value_rev_c"]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("segment").reset_index(drop=True)
+
+
+# --------------------------------------- correlated EXISTS with a threshold
+def q_busy_month_customers(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Customers with ≥ k orders in SOME single calendar month — the
+    correlated-EXISTS-with-aggregate-threshold shape (a plain per-customer
+    count cannot express "in any one month").  Per-batch (custkey, month)
+    partial counts combine below the exchange; one groupby finishes the
+    month counts; a max-per-customer reduce applies the threshold — three
+    tiny aggregate levels, fact rows never shuffle."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["o_custkey"], np.int64)
+        m = np.asarray(t["o_orderdate"]).astype("datetime64[M]").astype(np.int64)
+        df = pd.DataFrame({"ck": ck, "m": m, "n": np.int64(1)})
+        return df.groupby(["ck", "m"], as_index=False).sum()
+
+    months = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["ck", "m"]).sum("n")
+    )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        agg = df.groupby("ck", as_index=False)["n"].max()
+        return agg.rename(columns={"n": "max_month_orders"})
+
+    out = (
+        months.map_batches(best, batch_format="pandas")
+        .groupby("ck").max("max_month_orders")
+        .to_pandas()
+    )
+    out.columns = ["o_custkey", "max_month_orders"]
+    out["max_month_orders"] = out["max_month_orders"].astype(np.int64)
+    out = out[out["max_month_orders"] >= k]
+    return out.sort_values("o_custkey").reset_index(drop=True)
