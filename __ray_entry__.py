@@ -541,6 +541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg": stats.q_time_weighted_avg,
         # first-order event-type transition counts (Markov/session flow)
         "event_transitions": stats.q_event_transitions,
+        # log2-bucketed inter-event gap histogram (latency distribution)
+        "gap_histogram": stats.q_gap_histogram,
         # per-clip autocorrelation pitch (f0) estimate over payload PCM
         "clips_pitch": _clips_pitch,
         # ingest-gate expectations over the input_hint clip table
@@ -1627,6 +1629,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, alpha_permille FROM q
             WHERE alpha_permille BETWEEN 800 AND 900 AND n_tokens >= 30
             ORDER BY doc_id
+        """,
+        "gap_histogram": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000)
+                       - (epoch_us(lag(ts) OVER w) // 1000) AS gap_ms
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type,
+                   CASE WHEN gap_ms = 0 THEN -1
+                        ELSE CAST(floor(log2(gap_ms)) AS BIGINT) END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM g WHERE gap_ms IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "event_transitions": """
             WITH s AS (

@@ -742,3 +742,57 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype(np.int64)
     return (out.sort_values(["prev_type", "next_type"])
             .reset_index(drop=True))
+
+
+def q_gap_histogram(sf_dir: str) -> pd.DataFrame:
+    """Log₂-bucketed inter-event gap distribution per event type — the
+    latency-histogram shape (Prometheus-style exponential buckets) over the
+    LAG window.  Bucket = floor(log₂(gap_ms)) computed as the integer bit
+    length on the Ray side; DuckDB's float log₂ floors identically for
+    gap < 2⁴⁰ ms (a non-power-of-two's log₂ sits ≥ 2⁻¹⁶ above the integer,
+    far outside double rounding).  Zero gaps take bucket −1.  Same user-hash
+    partition plan as every navigation window here; the exchange carries
+    (type, bucket) partials only."""
+    from marc_record_merge_melindautils_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    nparts = adaptive_parts(ds.count())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64).view(np.uint64)
+        part = (splitmix64(u) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "bucket": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+            })
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        ms = g["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        typ = g["event_type"].to_numpy().astype(object)
+        same = uid[1:] == uid[:-1]
+        gap = (ms[1:] - ms[:-1])[same]
+        # integer-exact floor(log2) via frexp (x = m·2^e, ½ ≤ m < 1 ⇒
+        # floor(log2 x) = e − 1, exact for any int64); −1 for gap == 0
+        bucket = np.full(len(gap), -1, np.int64)
+        nz = gap > 0
+        _, e = np.frexp(gap[nz].astype(np.float64))
+        bucket[nz] = e.astype(np.int64) - 1
+        df = pd.DataFrame({"event_type": typ[1:][same], "bucket": bucket,
+                           "n": np.int64(1)})
+        return df.groupby(["event_type", "bucket"], as_index=False).sum()
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(per_part, batch_format="pandas")
+        .groupby(["event_type", "bucket"]).sum("n")
+        .to_pandas()
+    )
+    out.columns = ["event_type", "bucket", "n"]
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)

@@ -116,3 +116,24 @@ def test_event_transitions_constructed(ray_session, tmp_path):
     got = q_event_transitions(str(tmp_path))
     want = [("a", "b", 1), ("b", "a", 1), ("b", "b", 1)]
     assert list(map(tuple, got.to_numpy())) == want
+
+
+def test_gap_histogram_constructed(ray_session, tmp_path):
+    """Hand-placed gaps: 0 ms → bucket −1, 1 ms → 0, 1000 ms → 9 (2^9=512 ≤
+    1000 < 1024), 1024 ms → 10 (exact power of two); buckets key on the
+    LATER event's type."""
+    from marc_record_merge_melindautils_ray.ops.stats import q_gap_histogram
+
+    t0 = pd.Timestamp("2024-01-01")
+    off = [0, 0, 1, 1001, 2025]          # gaps: 0, 1, 1000, 1024
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(milliseconds=int(o)) for o in off],
+        "user_id": np.int64(1),
+        "event_type": ["a", "b", "b", "c", "c"],
+        "value": 0.0, "props": "{}",
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_gap_histogram(str(tmp_path))
+    assert list(map(tuple, got.to_numpy())) == [
+        ("b", -1, 1), ("b", 0, 1), ("c", 9, 1), ("c", 10, 1)]
