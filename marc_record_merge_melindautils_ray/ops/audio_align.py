@@ -128,7 +128,9 @@ class PairAligner:
         for i in range(n):
             pa_, sra = self._pcm_of(df["id_a"].iat[i], ba[i], ra[i])
             pb, srb = self._pcm_of(df["id_b"].iat[i], bb[i], rb[i])
-            if pa_ is None or pb is None:
+            # zero-length decoded payloads are as unalignable as undecodable
+            # ones: there is no overlap window to correlate against.
+            if pa_ is None or pb is None or len(pa_) == 0 or len(pb) == 0:
                 decodable[i] = False
                 continue
             if sra != srb:  # conform the higher rate down, like phase-2
@@ -141,8 +143,13 @@ class PairAligner:
             s = au.snr_db(sa, sb) if len(sa) else -np.inf
             lag_ms[i] = round(lag * 1000 / sra)
             peak[i] = int(round(corr * 1000))
-            snr_cdb[i] = SNR_CAP_CDB if np.isinf(s) and s > 0 else (
-                max(int(round(s * 100)), -(10 ** 6)))
+            # non-finite SNR: +inf (identical overlap) caps at SNR_CAP_CDB;
+            # -inf/nan (silent or empty reference overlap) pins at the floor —
+            # int(round(-inf)) would raise OverflowError and kill the stage.
+            if not np.isfinite(s):
+                snr_cdb[i] = SNR_CAP_CDB if s > 0 else -(10 ** 6)
+            else:
+                snr_cdb[i] = max(int(round(s * 100)), -(10 ** 6))
             ok[i] = (peak[i] >= self.min_corr_permille
                      and snr_cdb[i] >= int(self.min_snr_db * 100))
         return pd.DataFrame({

@@ -945,9 +945,9 @@ def q_decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 19,
                     eval_rem: int = 3) -> pd.DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word-``n``-gram with a held-out evaluation set (the GPT-3 / PaLM
-    training-data hygiene pass; the reference's record-overlap checks are
-    the same shape — a small authority set probed by every record, cf.
-    `/root/reference/lib/compare-record.js` candidate gating).
+    training-data hygiene pass; the reference's authority lookup is the
+    same shape — a small authority set probed per record, cf.
+    `/root/reference/lib/post-merge-modifiers.js:254` auth_db.query).
 
     The "benchmark" is the deterministic slice ``doc_id % eval_mod ==
     eval_rem`` — a stand-in for a real eval suite, which is SMALL by

@@ -912,19 +912,39 @@ def q_embed_quantize(sf_dir: str) -> rd.Dataset:
             (emb.combine_chunks() if isinstance(emb, pa.ChunkedArray)
              else emb).offsets, np.int64)
         n = len(t)
-        mat = flat.reshape(n, -1) if n and (offs[1:] - offs[:-1] == offs[1] - offs[0]).all() else None
+        if n == 0:
+            return pa.table({
+                "vec_id": t["vec_id"],
+                "codes": pa.array([], pa.list_(pa.int8())),
+                "scale_micro": pa.array([], pa.int64()),
+                "max_err_micro": pa.array([], pa.int64()),
+            })
+        mat = flat.reshape(n, -1) if (offs[1:] - offs[:-1] == offs[1] - offs[0]).all() else None
         if mat is None:  # ragged fallback (not hit by the testdata)
-            rows = [flat[offs[i]:offs[i + 1]] for i in range(n)]
-            mat = np.zeros((n, max(len(r) for r in rows)), np.float64)
-            for i, r in enumerate(rows):
-                mat[i, :len(r)] = r
-        amax = np.abs(mat).max(axis=1)
-        scale = np.where(amax > 0, amax / 127.0, 1.0)
-        codes = np.clip(np.round(mat / scale[:, None]), -127, 127).astype(np.int8)
-        err = np.abs(codes.astype(np.float64) * scale[:, None] - mat).max(axis=1)
+            # quantize each row at its OWN length: zero-padding to the batch
+            # max would emit phantom trailing dimensions in the codes.
+            code_rows, scale_l, err_l = [], [], []
+            for i in range(n):
+                r = flat[offs[i]:offs[i + 1]]
+                am = np.abs(r).max() if len(r) else 0.0
+                sc = am / 127.0 if am > 0 else 1.0
+                c = np.clip(np.round(r / sc), -127, 127).astype(np.int8)
+                code_rows.append(c)
+                scale_l.append(sc)
+                err_l.append(np.abs(c.astype(np.float64) * sc - r).max()
+                             if len(r) else 0.0)
+            scale = np.asarray(scale_l, np.float64)
+            err = np.asarray(err_l, np.float64)
+            codes_arr = pa.array(code_rows, pa.list_(pa.int8()))
+        else:
+            amax = np.abs(mat).max(axis=1)
+            scale = np.where(amax > 0, amax / 127.0, 1.0)
+            codes = np.clip(np.round(mat / scale[:, None]), -127, 127).astype(np.int8)
+            err = np.abs(codes.astype(np.float64) * scale[:, None] - mat).max(axis=1)
+            codes_arr = pa.array(list(codes), pa.list_(pa.int8()))
         return pa.table({
             "vec_id": t["vec_id"],
-            "codes": pa.array(list(codes), pa.list_(pa.int8())),
+            "codes": codes_arr,
             "scale_micro": pa.array(np.round(scale * 1e6).astype(np.int64),
                                     pa.int64()),
             "max_err_micro": pa.array(np.round(err * 1e6).astype(np.int64),

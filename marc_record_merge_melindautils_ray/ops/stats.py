@@ -563,9 +563,13 @@ def q_group_regression(sf_dir: str) -> pd.DataFrame:
     and intercept as (numerator, shared denominator) BIGINT columns —
     slope = slope_num/den, intercept = icept_num/den — so no division ever
     happens and the oracle hash-compares bit-for-bit (DuckDB's regr_slope
-    would be float).  Day-grain x keeps every cross-sum inside int64 at any
-    sf.  One combiner pass (per-batch 5-sum partials per group) + one tiny
-    groupby; the global min-ts scalar is one metadata-cheap pre-pass."""
+    would be float).  Day-grain x keeps the per-group SUMS inside int64 at
+    any sf; the final cross products (n·sxy etc.) can exceed int64 at very
+    large per-group row counts, so they are combined in exact Python ints
+    and overflow-checked back to int64 (raise, never wrap — DuckDB promotes
+    to HUGEINT, silent numpy wrap would break oracle parity).  One combiner
+    pass (per-batch 5-sum partials per group) + one tiny groupby; the
+    global min-ts scalar is one metadata-cheap pre-pass."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
     t0 = np.datetime64(ds.min("ts"), "us").astype("datetime64[D]")
 
@@ -585,18 +589,29 @@ def q_group_regression(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     agg.columns = ["event_type", "n", "sx", "sy", "sxx", "sxy"]
-    n = agg["n"].astype(np.int64)
-    sx, sy = agg["sx"].astype(np.int64), agg["sy"].astype(np.int64)
-    sxx, sxy = agg["sxx"].astype(np.int64), agg["sxy"].astype(np.int64)
+    # exact Python-int combination (numpy int64 would wrap silently where
+    # DuckDB promotes to HUGEINT); overflow-check the results back to int64
+    I64 = 2 ** 63
+    slope_num, den, icept_num = [], [], []
+    for _, r in agg.iterrows():
+        n_, sx_, sy_ = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx_, sxy_ = int(r["sxx"]), int(r["sxy"])
+        for v in (n_ * sxy_ - sx_ * sy_, n_ * sxx_ - sx_ * sx_,
+                  sy_ * sxx_ - sx_ * sxy_):
+            if not (-I64 <= v < I64):
+                raise OverflowError(
+                    f"q_group_regression cross product {v} exceeds int64 for "
+                    f"group {r['event_type']!r}; rescale x/y grain")
+        slope_num.append(n_ * sxy_ - sx_ * sy_)
+        den.append(n_ * sxx_ - sx_ * sx_)
+        icept_num.append(sy_ * sxx_ - sx_ * sxy_)
     out = pd.DataFrame({
         "event_type": agg["event_type"],
-        "n": n,
-        "slope_num": n * sxy - sx * sy,
-        "den": n * sxx - sx * sx,
-        "icept_num": sy * sxx - sx * sxy,
+        "n": agg["n"].astype(np.int64),
+        "slope_num": np.array(slope_num, np.int64),
+        "den": np.array(den, np.int64),
+        "icept_num": np.array(icept_num, np.int64),
     })
-    for c in ("slope_num", "den", "icept_num"):
-        out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -609,10 +624,14 @@ def q_key_skew(sf_dir: str) -> pd.DataFrame:
     Σᵢ(2i−n−1)·xᵢ) — no float anywhere, so the oracle hash-compares.
 
     Plan: one groupby(key).count() (the only data-sized exchange) → sizes
-    sort by (n, key) → a STREAMING driver fold over the sorted size table
-    (O(1) driver state; the stream is O(distinct keys), already reduced from
-    O(rows) — documented profiler trade; scale path: block-offset rank
-    partials)."""
+    sort by (n, key) → DISTRIBUTED block-offset rank partials: each sorted
+    batch emits ONE row (count m, Σx, local Σ(j+1)·xⱼ, max, and its first
+    (n, k) tuple); the sort makes batch (n, k)-ranges disjoint, so sorting
+    the O(batches) partial rows by first-tuple on the driver recovers the
+    global batch order, and Σ i·xᵢ folds as Σ_b [local_b + offset_b·Σx_b]
+    with offset_b the cumulative count of earlier batches.  Driver work is
+    O(batches), never O(distinct keys) — the profiler that diagnoses skew is
+    itself skew/scale-safe."""
     ds = _read(sf_dir, "orders", ["o_custkey"])
     counts = (
         ds.map_batches(
@@ -627,18 +646,36 @@ def q_key_skew(sf_dir: str) -> pd.DataFrame:
         return pa.table({"k": t["k"], "n": t["sum(one)"]})
 
     sized = counts.map_batches(rename, batch_format="pyarrow").sort(["n", "k"])
-    n_keys = 0
-    n_rows = 0
-    max_n = 0
-    rank_sum = 0  # Σ i·xᵢ with 1-based rank i in (n, k) order
-    for b in sized.iter_batches(batch_size=65536, batch_format="pyarrow"):
+
+    def rank_partial(b: pa.Table) -> pd.DataFrame:
         x = np.asarray(b["n"], np.int64)
-        i = np.arange(n_keys + 1, n_keys + len(x) + 1, dtype=np.int64)
-        rank_sum += int((i * x).sum())
-        n_keys += len(x)
-        n_rows += int(x.sum())
-        if len(x):
-            max_n = max(max_n, int(x.max()))
+        if len(x) == 0:
+            return pd.DataFrame({"first_n": pd.Series([], dtype=np.int64),
+                                 "first_k": pd.Series([], dtype=np.int64),
+                                 "m": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.int64),
+                                 "local": pd.Series([], dtype=np.int64),
+                                 "mx": pd.Series([], dtype=np.int64)})
+        j = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pd.DataFrame({
+            "first_n": [np.int64(x[0])],
+            "first_k": [np.int64(np.asarray(b["k"], np.int64)[0])],
+            "m": [np.int64(len(x))],
+            "s": [np.int64(x.sum())],
+            "local": [np.int64((j * x).sum())],
+            "mx": [np.int64(x.max())],
+        })
+
+    parts = sized.map_batches(rank_partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["first_n", "first_k"]).reset_index(drop=True)
+    offs = np.concatenate(([0], np.cumsum(parts["m"].to_numpy(np.int64))[:-1])) \
+        if len(parts) else np.zeros(0, np.int64)
+    n_keys = int(parts["m"].sum()) if len(parts) else 0
+    n_rows = int(parts["s"].sum()) if len(parts) else 0
+    max_n = int(parts["mx"].max()) if len(parts) else 0
+    rank_sum = int((parts["local"].to_numpy(np.int64)
+                    + offs * parts["s"].to_numpy(np.int64)).sum()) \
+        if len(parts) else 0
     gini_num = 2 * rank_sum - (n_keys + 1) * n_rows
     return pd.DataFrame({
         "n_keys": [np.int64(n_keys)],

@@ -435,7 +435,10 @@ def build_payload_blocks(clips: rd.Dataset, id_refs, cfg: DedupConfig):
     # can never schedule).
     from marc_record_merge_melindautils_ray.stages.cluster import cluster_parallelism
 
-    pool = max(2, min(max(4, cfg.verify_concurrency), cluster_parallelism() - 1))
+    # Cap applied AFTER the floor: max(2, ...) alone can re-pin every slot
+    # on a 2-CPU session (max(2, min(4, 1)) == 2 == cluster CPUs).
+    _cap = max(1, cluster_parallelism() - 1)
+    pool = min(max(2, min(max(4, cfg.verify_concurrency), _cap)), _cap)
     pay = clips.select_columns(
         ["clip_id", "bytes", "codec", "transcript", "sr_hz"]
     ).map_batches(

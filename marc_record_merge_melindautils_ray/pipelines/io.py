@@ -16,6 +16,7 @@ consumers can process buckets independently).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -73,6 +74,35 @@ def write_table(
         # alongside the rewrite) and ONLY the missing buckets' rows are
         # re-filtered and re-written; finished buckets are never touched or
         # re-shipped.
+        #
+        # Resume trusts markers only under a MATCHING manifest: a marker left
+        # by a crashed run of DIFFERENT data / key column / bucket count must
+        # not silently keep stale rows, so (key_col, num_buckets, schema
+        # fingerprint) are written next to the markers and any mismatch (or a
+        # marker-bearing directory with no manifest at all) wipes the target
+        # before `done` is computed.
+        manifest_path = os.path.join(target, "_MANIFEST.json")
+        manifest = {
+            "key_col": key_col,
+            "num_buckets": int(num_buckets),
+            "schema": _schema_fingerprint(ds),
+        }
+        stale = False
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    stale = json.load(f) != manifest
+            except (OSError, ValueError):
+                stale = True
+        elif any(e.startswith("bucket=") for e in os.listdir(target)):
+            stale = True  # pre-manifest leftovers: markers are unverifiable
+        if stale:
+            shutil.rmtree(target, ignore_errors=True)
+            os.makedirs(target, exist_ok=True)
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         done = {
             b for b in range(num_buckets)
             if os.path.exists(os.path.join(
@@ -113,6 +143,16 @@ def write_table(
         f.flush()
         os.fsync(f.fileno())
     return True
+
+
+def _schema_fingerprint(ds: rd.Dataset) -> str:
+    """Column names + types, metadata-cheap (no execution of the pipeline
+    body beyond what schema inference already does)."""
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        return ",".join(f"{n}:{t}" for n, t in zip(sch.names, sch.types))
+    except Exception:
+        return "unknown"
 
 
 def _lance_available() -> bool:
