@@ -15,9 +15,12 @@ Plan:
 2. candidate pairs where BOTH sides are base clips are dropped before
    phase-1 — those pairs were already resolved when the base was deduped,
    and re-deciding them could contradict the existing clusters.  The new-id
-   membership test is a sorted-hash-array broadcast (the NEW batch is the
-   small side by definition of ingest; swap in ``state.bloom`` past ~10^8
-   new rows);
+   membership set travels as broadcast Arrow block refs (``_RefIdSet``):
+   the driver holds O(blocks) refs, each worker builds one sorted
+   (hash, id) array from plasma — so even a bulk backfill (ingest ≈ base)
+   never lands as a driver-side list (swap in ``state.bloom`` for the
+   pair-filter side past ~10^8 new rows if one worker heap can't hold the
+   set; the SplitRows side must stay exact);
 3. phase-1 / phase-2 verification is unchanged (gates don't care which side
    is new);
 4. verified edges are CONTRACTED before connected components: every
@@ -93,6 +96,40 @@ def _id_set(ids) -> tuple[np.ndarray, np.ndarray]:
     return h[order], arr[order]
 
 
+def _blocks_table(blk) -> pa.Table:
+    """Normalize a broadcast block ref value to an Arrow table."""
+    if isinstance(blk, pa.Table):
+        return blk
+    return pa.Table.from_pandas(blk, preserve_index=False)
+
+
+class _RefIdSet:
+    """Per-worker sorted-hash membership set over a single-string-column
+    dataset carried as broadcast Arrow block refs.  The DRIVER never holds
+    the ids — it holds O(blocks) refs; each worker builds the sorted
+    (hash, id) arrays ONCE (task_stage per-worker cache keyed by the refs),
+    so a bulk backfill (ingest ≈ corpus) costs one worker-heap copy, never a
+    driver list (VERDICT r4 item 4).  Hash hits are confirmed against the
+    id strings, so collisions cannot misclassify."""
+
+    def __init__(self, refs, col: str):
+        from marc_record_merge_melindautils_ray.functions.util import maybe_get
+
+        parts = []
+        for r in refs:
+            t = _blocks_table(maybe_get(r))
+            if col in t.schema.names:  # empty Ray results drop their schema
+                parts.append(np.asarray(t[col].to_pylist(), dtype=object))
+        ids = np.concatenate(parts) if parts else np.empty(0, object)
+        self.h, self.ids = _id_set(ids)
+
+    def contains(self, ids: np.ndarray) -> np.ndarray:
+        return _member_mask(self.h, self.ids, ids)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+
 def _member_mask(nh: np.ndarray, nids: np.ndarray, ids: np.ndarray) -> np.ndarray:
     from marc_record_merge_melindautils_ray.functions.hashing import stable_str_hash
 
@@ -149,23 +186,32 @@ def run_dedup_incremental(
         lo=max(16, 2 * cluster_parallelism()), hi=512,
     )
 
-    # new-id membership for the pair filter (small side: the ingest batch)
-    new_ids = [r["clip_id"] for r in new_clips.select_columns(["clip_id"]).take_all()]
-    new_ref = ray.put(_id_set(new_ids))
+    # new-id membership for the pair filter: broadcast Arrow block refs +
+    # per-worker sorted set — never a driver-side id list, so a bulk
+    # backfill (ingest ≈ base) costs O(blocks) driver state only
+    new_id_blocks = new_clips.select_columns(["clip_id"]).materialize()
+    newid_refs = tuple(new_id_blocks.to_arrow_refs())
 
-    def keep_new_involved(t: pa.Table) -> pa.Table:
-        nh, nids = maybe_get(new_ref)
-        if not len(t):
-            return t
-        a = np.asarray(t["id_a"].to_pylist(), dtype=object)
-        b = np.asarray(t["id_b"].to_pylist(), dtype=object)
-        return t.filter(pa.array(
-            _member_mask(nh, nids, a) | _member_mask(nh, nids, b)
-        ))
+    class KeepNewInvolved:
+        def __init__(self, refs):
+            self.new_set = _RefIdSet(refs, "clip_id")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not len(t):
+                return t
+            a = np.asarray(t["id_a"].to_pylist(), dtype=object)
+            b = np.asarray(t["id_b"].to_pylist(), dtype=object)
+            return t.filter(pa.array(
+                self.new_set.contains(a) | self.new_set.contains(b)
+            ))
 
     survivors = (
         candidate_pairs(features, cfg, hot_keys, multi_keys, useful_shingles, num_parts=pair_parts)
-        .map_batches(keep_new_involved, batch_format="pyarrow")
+        .map_batches(
+            task_stage(KeepNewInvolved, (newid_refs,),
+                       key=("keep_new_involved", *newid_refs)),
+            batch_format="pyarrow",
+        )
         .map_batches(make_phase1_kernel(cfg, host_ids), batch_format="pyarrow")
         .map_batches(survivors_to_table, batch_format="pyarrow")
     )
@@ -247,22 +293,22 @@ def run_dedup_incremental(
 
     # split the CC output: new clips / base updates / cluster merges
     class SplitRows:
-        def __init__(self, refs, new_set_ref):
+        def __init__(self, refs, newid_refs_):
             from marc_record_merge_melindautils_ray.state.broadcast_index import (
                 ArrowBlockIndex,
             )
 
             self.idx = ArrowBlockIndex(refs, "clip_id")
-            # held as ctor state so the task_stage cache key COVERS it — a
-            # closure capture would let a warm worker reuse a prior ingest
-            # batch's id set (cross-run cache poisoning; review finding)
-            self._new_set_ref = new_set_ref
+            # built from ctor-arg refs so the task_stage cache key COVERS
+            # them — a closure capture would let a warm worker reuse a prior
+            # ingest batch's id set (cross-run cache poisoning; review
+            # finding)
+            self.new_set = _RefIdSet(newid_refs_, "clip_id")
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = np.asarray(t["clip_id"].to_pylist(), dtype=object)
             labels = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
-            nh, nids = maybe_get(self._new_set_ref)
-            is_new = _member_mask(nh, nids, ids)
+            is_new = self.new_set.contains(ids)
             blocks, rows, found = self.idx.lookup(ids)
             old = np.array([None] * len(ids), dtype=object)
             if found.any():
@@ -282,8 +328,8 @@ def run_dedup_incremental(
             })
 
     split = cc.map_batches(
-        task_stage(SplitRows, (assign_refs, new_ref),
-                   key=("split_rows", *assign_refs, new_ref)),
+        task_stage(SplitRows, (assign_refs, newid_refs),
+                   key=("split_rows", *assign_refs, *newid_refs)),
         batch_format="pyarrow",
     ).materialize()
 
@@ -343,17 +389,36 @@ def run_dedup_incremental(
         .materialize()
     )
 
-    # canonical rebuild for AFFECTED clusters only (labels the ingest
-    # touched — ingest-bounded, so a driver-side set is fine)
-    affected = set(
-        r["cluster_id"]
-        for ds in (new_assignments, base_updates)
-        for r in ds.take_all()
-    ) | set(merges_df["into_cluster_id"])
+    # canonical rebuild for AFFECTED clusters only.  The affected-label set
+    # travels the same broadcast-block route as the new-id set: label blocks
+    # stay in plasma, each worker builds one sorted membership set — no
+    # take_all() driver collection even when the ingest is a bulk backfill
+    # (merge targets are appended as one extra block; merges_df itself is a
+    # caller-facing return value, already driver-side)
+    aff_label_ds = (
+        new_assignments.select_columns(["cluster_id"])
+        .union(base_updates.select_columns(["cluster_id"]))
+        .union(rd.from_arrow(pa.table({
+            "cluster_id": pa.array(
+                merges_df["into_cluster_id"].astype(str).tolist(), pa.string()),
+        })))
+        .materialize()
+    )
+    aff_label_refs = tuple(aff_label_ds.to_arrow_refs())
+
+    class AffectedFilter:
+        def __init__(self, refs):
+            self.labels = _RefIdSet(refs, "cluster_id")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not len(self.labels) or not len(t):
+                return t.slice(0, 0)
+            lbl = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
+            return t.filter(pa.array(self.labels.contains(lbl)))
+
     aff_assign = combined.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t["cluster_id"], value_set=pa.array(sorted(affected), pa.string()))
-        ) if affected else t.slice(0, 0),
+        task_stage(AffectedFilter, (aff_label_refs,),
+                   key=("affected_filter", *aff_label_refs)),
         batch_format="pyarrow",
     ).materialize()
     n_aff = aff_assign.count()
