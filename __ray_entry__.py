@@ -38,6 +38,45 @@ def _corpus_shape(sf_dir: str) -> tuple[int, int]:
     return fams, 3 * fams
 
 
+_CLIPS_FIXTURE = "/tmp/melinda_oracle_fixtures/clips.parquet"
+
+
+def _clips_fixture(sf_dir: str):
+    """Write the deterministic synthetic clip corpus for ``sf_dir`` to the
+    FIXED fixture path the clips oracles read (`_CLIPS_FIXTURE`), and return
+    the corpus table.  This is what lets metadata-only clip queries be
+    ORACLE-BACKED: the Ray side computes over the in-memory corpus, the
+    DuckDB side reads the identical rows from the fixture parquet.  The
+    write is atomic (tmp + os.replace) and skipped when the sidecar shape
+    marker already matches, so repeated queries at one sf don't rewrite.
+    ``oracle_sql()`` pre-seeds the sf0.01 shape so oracle-first evaluation
+    order also works at the driver's correctness sf."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
+
+    fams, singles = _corpus_shape(sf_dir)
+    clips, _, _ = make_corpus(fams, singles, 42)
+    os.makedirs(os.path.dirname(_CLIPS_FIXTURE), exist_ok=True)
+    sidecar = _CLIPS_FIXTURE + ".shape.json"
+    shape = {"fams": fams, "singles": singles, "seed": 42}
+    try:
+        with open(sidecar) as f:
+            if json.load(f) == shape and os.path.exists(_CLIPS_FIXTURE):
+                return clips
+    except (OSError, ValueError):
+        pass
+    tmp = _CLIPS_FIXTURE + ".tmp"
+    pq.write_table(clips, tmp)
+    os.replace(tmp, _CLIPS_FIXTURE)
+    with open(sidecar, "w") as f:
+        json.dump(shape, f)
+    return clips
+
+
 def _clips_dedup_quality(sf_dir: str) -> Any:
     """Self-evaluating flagship run: dedup the labeled synthetic corpus and
     report exact pair-level recall/precision vs the planted truth (the
@@ -164,15 +203,14 @@ def _clips_audio_features(sf_dir: str) -> Any:
 def _clips_speaking_rate(sf_dir: str) -> Any:
     """Cross-modal QC: transcript tokens per second of audio — the
     misalignment detector (metadata + transcript only; payload bytes never
-    leave the scan).  Rows-only; integer-exactness + flag semantics pinned
-    in tests/test_audio_features.py."""
+    leave the scan).  ORACLE-BACKED via the clips fixture parquet (the SQL
+    reads the identical corpus rows); integer-exactness + flag semantics
+    also pinned in tests/test_audio_features.py."""
     import ray.data as rd
 
     from marc_record_merge_melindautils_ray.ops.audio_features import clip_speaking_rate
-    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
 
-    fams, singles = _corpus_shape(sf_dir)
-    clips, _, _ = make_corpus(fams, singles, 42)
+    clips = _clips_fixture(sf_dir)
     return (
         clip_speaking_rate(rd.from_arrow(clips))
         .to_pandas().sort_values("clip_id").reset_index(drop=True)
@@ -334,15 +372,14 @@ def _clips_align_offset(sf_dir: str) -> Any:
 
 
 def _clips_expectations(sf_dir: str) -> Any:
-    """Declarative ingest-gate expectations over the clip table (rows-only;
-    planted-poison violation counts pinned in tests)."""
+    """Declarative ingest-gate expectations over the clip table
+    (ORACLE-BACKED via the clips fixture parquet — every rule is a SQL CASE
+    arm; planted-poison violation counts also pinned in tests)."""
     import ray.data as rd
 
     from marc_record_merge_melindautils_ray.ops.audio_features import clip_expectations
-    from marc_record_merge_melindautils_ray.sources.synth import make_corpus
 
-    fams, singles = _corpus_shape(sf_dir)
-    clips, _, _ = make_corpus(fams, singles, 42)
+    clips = _clips_fixture(sf_dir)
     return clip_expectations(rd.from_arrow(clips))
 
 
@@ -699,7 +736,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # pre-seed the clips fixture at the driver's correctness sf (0.01) so an
+    # oracle-first evaluation order still finds the parquet; a Ray clips
+    # query running first overwrites it with the active sf's shape, which is
+    # exactly what its paired SQL should then read
+    try:
+        _clips_fixture("/root/testdata/sf0.01")
+    except Exception:
+        pass  # fixture-dependent oracles will surface the real error
     return {
+        "clips_speaking_rate": f"""
+            SELECT clip_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(dur_ms AS BIGINT) AS dur_ms,
+                   CAST(rate AS BIGINT) AS rate_milli_tok_s,
+                   CASE WHEN dur_ms <= 0 THEN 'bad_duration'
+                        WHEN rate < 1000 THEN 'too_slow'
+                        WHEN rate > 20000 THEN 'too_fast'
+                        ELSE 'ok' END AS rate_flag
+            FROM (
+              SELECT clip_id, CAST(dur_ms AS BIGINT) AS dur_ms,
+                     len(regexp_extract_all(coalesce(transcript, ''), '\\S+'))
+                         AS n_tokens,
+                     CASE WHEN dur_ms > 0
+                          THEN (CAST(1000000 AS BIGINT) *
+                                len(regexp_extract_all(coalesce(transcript, ''),
+                                                       '\\S+')))
+                               // CAST(dur_ms AS BIGINT)
+                          ELSE 0 END AS rate
+              FROM '{_CLIPS_FIXTURE}'
+            )
+        """,
+        "clips_expectations": f"""
+            SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
+              SELECT 'clip_id_not_null' AS rule,
+                     count(*) FILTER (clip_id IS NULL OR len(clip_id) = 0)
+                         AS violations
+              FROM '{_CLIPS_FIXTURE}'
+              UNION ALL
+              SELECT 'sr_in_domain',
+                     count(*) FILTER (sr_hz IS NULL OR sr_hz NOT IN
+                                      (8000, 16000, 22050, 44100, 48000))
+              FROM '{_CLIPS_FIXTURE}'
+              UNION ALL
+              SELECT 'dur_positive',
+                     count(*) FILTER (dur_ms IS NULL OR dur_ms <= 0)
+              FROM '{_CLIPS_FIXTURE}'
+              UNION ALL
+              SELECT 'codec_in_domain',
+                     count(*) FILTER (codec IS NULL OR codec NOT IN
+                                      ('pcm16','f32','ulaw','alaw','opus','mp3'))
+              FROM '{_CLIPS_FIXTURE}'
+              UNION ALL
+              SELECT 'status_in_domain',
+                     count(*) FILTER (status IS NULL OR status NOT IN
+                                      ('active','deleted','suppressed'))
+              FROM '{_CLIPS_FIXTURE}'
+              UNION ALL
+              SELECT 'transcript_no_aleph_multifield',
+                     count(*) FILTER (contains(coalesce(transcript, ''), '^^'))
+              FROM '{_CLIPS_FIXTURE}'
+              UNION ALL
+              SELECT 'payload_not_empty',
+                     count(*) FILTER (bytes IS NULL OR octet_length(bytes) = 0)
+              FROM '{_CLIPS_FIXTURE}'
+            ) ORDER BY rule
+        """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
