@@ -30,14 +30,49 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def wait_for_clean_window(max_wait_s: float | None = None,
+                          interval_s: float = 60.0,
+                          membw_min: float = 7.5,
+                          cpu_min: float = 0.9) -> tuple[bool, list[dict]]:
+    """Bounded wait for a contention-free measurement window (VERDICT r4
+    item 1): re-probe memory bandwidth + CPU-steal every ``interval_s`` for
+    up to ``max_wait_s`` (default 600 s; env ``GRAFT_PROBE_WAIT_S``, 0
+    disables waiting) and only release the timed run when BOTH probes read
+    clean (membw ≥ 7.5 GB/s AND busy-spin ratio ≥ 0.9 — the two storm
+    classes documented in BASELINE.md).  Every attempt is returned and
+    recorded in the bench artifact, so a snapshot taken in a storm is
+    self-identifying rather than silently wrong."""
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("GRAFT_PROBE_WAIT_S", "600"))
+    attempts: list[dict] = []
+    t0 = time.monotonic()
+    while True:
+        bw = membw_probe()
+        cr = cpu_steal_probe()
+        attempts.append({
+            "t_s": round(time.monotonic() - t0, 1),
+            "membw_gbps": bw,
+            "cpu_ratio": cr,
+        })
+        if bw >= membw_min and cr >= cpu_min:
+            return True, attempts
+        if time.monotonic() - t0 + interval_s > max_wait_s:
+            return False, attempts
+        time.sleep(interval_s)
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
-    # validity probes BEFORE anything heavy: a reading taken at
-    # membw < 7.5 or cpu_ratio < 0.9 is contention-contaminated (BASELINE.md)
-    probe_membw = membw_probe()
-    probe_cpu = cpu_steal_probe()
+    # validity probes BEFORE anything heavy, and ACTED ON: wait (bounded)
+    # for a clean window instead of just recording the contamination — a
+    # reading taken at membw < 7.5 or cpu_ratio < 0.9 is contention-
+    # contaminated (BASELINE.md); r3/r4 driver snapshots both landed in
+    # storms because the probes were advisory only
+    clean, attempts = wait_for_clean_window()
+    probe_membw = attempts[-1]["membw_gbps"]
+    probe_cpu = attempts[-1]["cpu_ratio"]
 
     import ray
     import ray.data as rd
@@ -100,6 +135,10 @@ def run_bench() -> dict:
     n_assign = res["assignments"].count()
     n_canon = res["canonical"].count()
     headline = time.monotonic() - t0
+    # post-headline probes: a storm can START mid-run (observed r4); the
+    # before/after pair makes the artifact self-diagnosing in both directions
+    probe_membw_after = membw_probe()
+    probe_cpu_after = cpu_steal_probe()
 
     queries: dict[str, float] = {}
     for name, fn in [
@@ -149,6 +188,10 @@ def run_bench() -> dict:
         "clips_per_sec": round(n_clips / headline, 1),
         "membw_gbps_before": probe_membw,
         "cpu_ratio_before": probe_cpu,
+        "membw_gbps_after_headline": probe_membw_after,
+        "cpu_ratio_after_headline": probe_cpu_after,
+        "clean_at_launch": clean,
+        "probe_attempts": attempts,
         "clusters": int(n_canon),
         "clustered_clips": int(n_assign),
         # per-stage driver laps + pair-split counters from run_dedup metrics:
@@ -212,10 +255,15 @@ def run_scaling() -> dict:
     # rule's N-vs-4N criterion describes; BASELINE.md records both sizes
     nfam = os.environ.get("GRAFT_NFAM", "240000")
     for ncpu in (8, 32):
-        probes[f"membw_gbps_before_{ncpu}cpu"] = membw_probe()
-        probes[f"cpu_ratio_before_{ncpu}cpu"] = cpu_steal_probe()
+        clean, attempts = wait_for_clean_window()
+        probes[f"clean_at_launch_{ncpu}cpu"] = clean
+        probes[f"membw_gbps_before_{ncpu}cpu"] = attempts[-1]["membw_gbps"]
+        probes[f"cpu_ratio_before_{ncpu}cpu"] = attempts[-1]["cpu_ratio"]
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_NFAM=nfam)
+                   GRAFT_NFAM=nfam,
+                   # the child re-probes once (recorded) but must not
+                   # double-wait — the parent already gated the window
+                   GRAFT_PROBE_WAIT_S="0")
         proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,
