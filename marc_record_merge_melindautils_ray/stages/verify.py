@@ -469,6 +469,33 @@ class PairPcmVerify:
                 oks[i] = True
                 snrs[i] = float("inf")
                 continue
+            # int16 fast kernel: pcm16↔pcm16 at a common rate never decodes
+            # to float32 at all — raw little-endian int16 views straight off
+            # the plasma buffers feed the exact integer SNR (half the
+            # bytes/sample of the float path; the stage is DRAM-bound).
+            # SNR is scale-invariant, so verdicts match the float path to
+            # <0.001 dB (snr_gate_i16 docstring).
+            if (
+                rel == "band"
+                and codec_a == "pcm16"
+                and codec_b == "pcm16"
+                and sr_a == sr_b
+                and bytes_a is not None
+                and bytes_b is not None
+            ):
+                ia = np.frombuffer(bytes_a, dtype="<i2")
+                ib = np.frombuffer(bytes_b, dtype="<i2")
+                m = min(len(ia), len(ib))
+                if m == 0 or abs(len(ia) - len(ib)) > max(1, int(0.05 * m)):
+                    extra[i].append("duration-mismatch")
+                    continue
+                okb, s = au.snr_gate_i16(ia[:m], ib[:m], self.cfg.snr_db)
+                snrs[i] = s
+                if okb:
+                    oks[i] = True
+                else:
+                    extra[i].append("pcm-snr-below-threshold")
+                continue
             pa_ = self._pcm(a, bytes_a, codec_a)
             pb = self._pcm(b, bytes_b, codec_b)
             if pa_ is None or pb is None:

@@ -232,3 +232,68 @@ def test_bulk_backfill_ingest_matches_full_run(ray_session):
                 | set(inc["base_updates"].to_pandas().get("cluster_id", []))
                 | set(inc["cluster_merges"]["into_cluster_id"]))
     assert set(canon["cluster_id"]) == affected
+
+
+def test_snr_gate_i16_matches_float_path():
+    """The int16 SNR kernel is exact: verdicts and dB agree with the float32
+    decode path (scale cancels), including early-reject and the +inf and
+    silent-reference corners."""
+    from marc_record_merge_melindautils_ray.functions import audio as au
+
+    rng = np.random.default_rng(21)
+    for snr_target in (10.0, 25.0, 29.5, 30.5, 35.0, 60.0):
+        sig = (rng.uniform(-0.5, 0.5, 150_000) * 32767).astype(np.int16)
+        p_sig = float(np.einsum("i,i->", sig.astype(np.int64),
+                                sig.astype(np.int64)))
+        noise = rng.standard_normal(len(sig))
+        noise *= np.sqrt(p_sig * 10 ** (-snr_target / 10) / np.einsum(
+            "i,i->", noise, noise))
+        test = np.clip(sig + noise, -32768, 32767).astype(np.int16)
+        ok_i, s_i = au.snr_gate_i16(sig, test, 30.0)
+        fa = au.decode(sig.tobytes(), "pcm16")
+        fb = au.decode(test.tobytes(), "pcm16")
+        ok_f, s_f = au.snr_gate(fa, fb, 30.0)
+        assert ok_i == ok_f == (snr_target > 30.0)
+        if np.isfinite(s_i) and np.isfinite(s_f):
+            assert abs(s_i - s_f) < 0.01
+    # identical buffers → +inf; silent reference → -inf reject
+    sig = (rng.uniform(-0.5, 0.5, 1000) * 32767).astype(np.int16)
+    assert au.snr_gate_i16(sig, sig.copy(), 30.0) == (True, float("inf"))
+    z = np.zeros(1000, np.int16)
+    ok, s = au.snr_gate_i16(z, sig, 30.0)
+    assert not ok and s == float("-inf")
+
+
+def test_phase2_int16_fastpath_same_verdicts(ray_session):
+    """PairPcmVerify verdicts are unchanged by the int16 fast path: a true
+    dup (bit-different but high-SNR), an LSH false positive, and a
+    cross-rate pair (which must take the float resample path) all verdict
+    identically to the decoded-float semantics."""
+    from marc_record_merge_melindautils_ray.config import DedupConfig
+    from marc_record_merge_melindautils_ray.functions import audio as au
+    from marc_record_merge_melindautils_ray.stages.verify import PairPcmVerify
+
+    rng = np.random.default_rng(5)
+    sig = rng.uniform(-0.5, 0.5, 80_000).astype(np.float32)
+    near = np.clip(sig + 0.0005 * rng.standard_normal(len(sig)).astype(
+        np.float32), -1, 1)
+    other = rng.uniform(-0.5, 0.5, 80_000).astype(np.float32)
+    sig16k = au.resample_linear(sig, 8000, 16000)
+
+    df = pd.DataFrame({
+        "id_a": ["a", "a", "a"],
+        "id_b": ["b", "c", "d"],
+        "rel": ["band", "band", "band"],
+        "bytes_a": [au.encode(sig, "pcm16")] * 3,
+        "codec_a": ["pcm16"] * 3,
+        "norm_a": ["t"] * 3,
+        "sr_a": [8000] * 3,
+        "bytes_b": [au.encode(near, "pcm16"), au.encode(other, "pcm16"),
+                    au.encode(sig16k, "pcm16")],
+        "codec_b": ["pcm16"] * 3,
+        "norm_b": ["t"] * 3,
+        "sr_b": [8000, 8000, 16000],
+    })
+    out = PairPcmVerify(DedupConfig())(df)
+    assert list(out["ok"]) == [True, False, True]
+    assert out["snr"].iloc[0] >= 30.0 and out["snr"].iloc[1] < 30.0
