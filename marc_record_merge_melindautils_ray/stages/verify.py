@@ -345,6 +345,29 @@ class PairPcmVerify:
         self._index = ArrowBlockIndex(block_refs, key) if block_refs else None
         self._pcm_cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._norm_cache: OrderedDict[tuple[int, int], str] = OrderedDict()
+        # decode-cache hit-rate instrumentation (VERDICT r4 item 7): when
+        # GRAFT_PCM_CACHE_STATS names a directory, each worker periodically
+        # dumps its cumulative counters there (measurement-only; off by
+        # default, zero hot-path cost beyond two int increments)
+        self._cache_hits = 0
+        self._cache_misses = 0
+        import os as _os
+
+        self._stats_dir = _os.environ.get("GRAFT_PCM_CACHE_STATS")
+
+    def _maybe_dump_cache_stats(self) -> None:
+        if not self._stats_dir:
+            return
+        total = self._cache_hits + self._cache_misses
+        if total % 64 == 0:
+            import json as _json
+            import os as _os
+
+            path = _os.path.join(
+                self._stats_dir, f"pcm_cache_{_os.getpid()}_{id(self)}.json")
+            with open(path, "w") as f:
+                _json.dump({"hits": self._cache_hits,
+                            "misses": self._cache_misses}, f)
 
     def _norm_of(self, bi: int, ri: int) -> str | None:
         """Fetch only the normalized transcript — cheap column access; the
@@ -396,17 +419,25 @@ class PairPcmVerify:
     def _pcm(self, cid: str, payload, codec) -> np.ndarray | None:
         if cid in self._pcm_cache:
             self._pcm_cache.move_to_end(cid)
+            self._cache_hits += 1
+            self._maybe_dump_cache_stats()
             return self._pcm_cache[cid]
         if payload is None or codec is None or not au.is_decodable(codec):
             return None
+        self._cache_misses += 1
+        self._maybe_dump_cache_stats()
         pcm = au.decode(payload, codec)
         self._pcm_cache[cid] = pcm
-        # bound chosen for the warm-worker task path, where the instance
-        # outlives the stage in the per-process LRU: ~256 × a 2-4 s clip
-        # ≈ tens of MB, not the ~160 MB a 1024-entry cache could retain;
-        # pair locality after the pair-dedup shuffle is weak anyway (pairs
-        # are keyed by pair hash, not clip), so a big cache buys little
-        if len(self._pcm_cache) > 256:
+        # MEASURED at 326 k clips / 33.9 k near pairs (round 5, env
+        # GRAFT_PCM_CACHE_STATS): 0 hits / 66 752 misses — pair-hash
+        # sharding gives ZERO cross-pair decode locality, and the int16
+        # fast kernel already removed pcm16 pairs from this path entirely
+        # (only transcode/containment/cross-rate pairs decode).  The LRU
+        # therefore only needs to cover repeats WITHIN one batch; 64
+        # entries (~15 MB of 2-4 s clips) is ample, and re-keying the
+        # phase-2 shuffle by min(id) is not worth an extra exchange for a
+        # measured-zero benefit (BASELINE.md records the decision).
+        if len(self._pcm_cache) > 64:
             self._pcm_cache.popitem(last=False)
         return pcm
 
