@@ -2583,7 +2583,11 @@ def q_full_outer_daily(sf_dir: str) -> pd.DataFrame:
     # so a driver pandas groupby finishes it; the distributed sort-aggregate
     # here cost a measured 17.8 s of pure blocks×partitions fixed overhead
     # on 56 k tiny rows (64 input blocks × 64 sort partitions, ~1.5 s per
-    # near-empty unit) vs ~0.01 s of actual combining work
+    # near-empty unit) vs ~0.01 s of actual combining work.
+    # GUARD: the batch term grows with corpus — fold rows ≈ days × input
+    # blocks, i.e. ~2,500 days × blocks.  The driver fold holds while
+    # blocks ≲ 10^4 (≈ 25 M tiny rows); past that, pre-combine per task
+    # (coalesce blocks or add a combiner map) before unioning here.
     parts = orders.union(ship).to_pandas()
     out = parts.groupby("day_i", as_index=False).sum()
     out["day"] = np.datetime_as_string(
