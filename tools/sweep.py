@@ -25,7 +25,7 @@ sys.path.insert(0, "/root/repo")
 import __ray_entry__ as E  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "SWEEP_r04.json"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "SWEEP_r05.json"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
