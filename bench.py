@@ -54,6 +54,10 @@ def wait_for_clean_window(max_wait_s: float | None = None,
             "membw_gbps": bw,
             "cpu_ratio": cr,
         })
+        # live progress on stderr (stdout stays the one-JSON-line contract);
+        # a wait that outlives its bound is diagnosable from the log
+        print(f"[probe] t={attempts[-1]['t_s']}s membw={bw} cpu_ratio={cr}",
+              file=sys.stderr, flush=True)
         if bw >= membw_min and cr >= cpu_min:
             return True, attempts
         if time.monotonic() - t0 + interval_s > max_wait_s:
@@ -141,7 +145,10 @@ def run_bench() -> dict:
     probe_cpu_after = cpu_steal_probe()
 
     queries: dict[str, float] = {}
-    for name, fn in [
+    # GRAFT_HEADLINE_ONLY=1 skips the generic-query loop: the scaling
+    # protocol only consumes headline clips_per_sec + laps, and a slim leg
+    # fits more gated attempts into a scarce clean window on this host
+    query_list = [] if os.environ.get("GRAFT_HEADLINE_ONLY") else [
         ("pricing_summary", relational.q_pricing_summary),
         ("join_hash", relational.q_join_hash),
         ("join_broadcast", relational.q_join_broadcast),
@@ -170,7 +177,8 @@ def run_bench() -> dict:
         # their wall is 10-16 iterations of fixed per-pass overhead over
         # tiny tables (no data-scaling signal); their cost/accuracy is
         # pinned in tests instead
-    ]:
+    ]
+    for name, fn in query_list:
         t = time.monotonic()
         out = fn(sf_dir)
         if hasattr(out, "count"):
