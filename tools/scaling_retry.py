@@ -39,6 +39,11 @@ MAX_VERIFY_32 = 12.0
 
 def validate(res: dict) -> tuple[bool, list[str]]:
     reasons = []
+    # gate modes "clean" AND "plateau" are both valid launches: the round-5
+    # host structurally caps the 32-thread spin at ~0.75 (stable, guest
+    # idle), so the absolute-0.9 "clean" never fires there; a flat plateau
+    # is the box's capacity and the artifact records it as such, alongside
+    # host_spin_ladder / host_ceiling_eff_8_32 for normalization
     if not res.get("clean_at_launch_8cpu"):
         reasons.append("8cpu leg launched dirty (gate timed out)")
     if not res.get("clean_at_launch_32cpu"):
