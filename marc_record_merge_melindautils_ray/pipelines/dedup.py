@@ -614,7 +614,7 @@ def run_dedup(
     # count scales as input-blocks × partitions — at 1 M clips the default
     # 20 k sizing produced 200 partitions and a measured superlinear
     # candidates wall (54 s vs 7.8 s at 326 k for 3.1× the rows)
-    pair_parts = adaptive_parts(
+    pair_parts = int(os.environ.get("GRAFT_PAIR_PARTS", "0")) or adaptive_parts(
         n_feature_rows * 4, rows_per_part=100_000,
         lo=max(16, 2 * cluster_parallelism()), hi=512,
     )
